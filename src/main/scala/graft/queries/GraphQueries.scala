@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** The reference's query surface (SURVEY.md §2.1 Q1–Q4) re-expressed
+  * Spark-first over an edge list derived from the parquet testdata, so the
+  * DuckDB oracle can recompute every result.
+  *
+  * Edge model mirrors the reference's `(id, successors)` rows
+  * (`/root/reference/src/main/java/de/l3s/mapreduce/webgraph/io/WebGraphInputFormat.java:16`):
+  * edges := orders(o_custkey -> o_orderkey), i.e. each customer node points
+  * at its order nodes. Successor lists are strictly ascending and
+  * duplicate-free, matching the BV format invariant
+  * (`patched/HdfsBVGraph.java:172-195`).
+  *
+  * Scale notes: adjacency building is one hash-shuffle on src (unavoidable
+  * — it IS the grouping); explosion back to edges is a narrow Generate, no
+  * shuffle; degree distribution re-aggregates the already-shuffled
+  * adjacency. GraphX handoff (README.md:37-48 of the reference) is covered
+  * in tests; here everything stays DataFrame-native for oracle parity.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Edge list `(src, dst)` derived from orders. */
+  def edges(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
+
+  val queries: Map[String, Q] = Map(
+    // -- Q1-equivalent: adjacency rows (id, successors). Successors surface
+    //    as a comma-joined ascending string so the hash compare is
+    //    engine-neutral (array<->list representations differ across engines).
+    "adjacency_list" -> ((s, d) => {
+      edges(s, d)
+        .groupBy(col("src"))
+        .agg(
+          array_join(transform(array_sort(collect_list(col("dst"))),
+            x => x.cast("string")), ",").as("successors"),
+          count(lit(1)).as("outdegree"))
+        .orderBy("src")
+    }),
+
+    // -- Q2+Q3-equivalent: adjacency -> explode -> count == edge count;
+    //    also node counts (the README's numVertices/numEdges pair).
+    "edge_count" -> ((s, d) => {
+      val adj = edges(s, d)
+        .groupBy(col("src")).agg(collect_list(col("dst")).as("successors"))
+      adj.select(explode(col("successors")).as("dst"), col("src"))
+        .agg(
+          count(lit(1)).as("m_edges"),
+          countDistinct(col("src")).as("n_src"),
+          countDistinct(col("dst")).as("n_dst"))
+    }),
+
+    // -- degree distribution: histogram of outdegrees
+    "outdegree_dist" -> ((s, d) => {
+      edges(s, d)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")
+    }),
+
+    // -- top-k by indegree (TakeOrderedAndProject — scales to 100 TB where
+    //    a global sort would not)
+    "top_indegree" -> ((s, d) => {
+      val e1 = orders(s, d).select(col("o_custkey").as("src"), col("o_orderkey").as("mid"))
+      val e2 = lineitem(s, d).select(col("l_orderkey").as("mid"), col("l_partkey").as("dst"))
+      e1.join(e2, "mid")
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).as("indeg"))
+        .orderBy(col("indeg").desc, col("dst"))
+        .limit(10)
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "adjacency_list" ->
+      """SELECT o_custkey AS src,
+         STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS successors,
+         COUNT(*) AS outdegree
+         FROM orders GROUP BY o_custkey ORDER BY src""",
+    "edge_count" ->
+      """SELECT COUNT(*) AS m_edges, COUNT(DISTINCT o_custkey) AS n_src,
+         COUNT(DISTINCT o_orderkey) AS n_dst FROM orders""",
+    "outdegree_dist" ->
+      """SELECT deg, COUNT(*) AS n_nodes FROM
+         (SELECT o_custkey, COUNT(*) AS deg FROM orders GROUP BY o_custkey) t
+         GROUP BY deg ORDER BY deg""",
+    "top_indegree" ->
+      """SELECT l_partkey AS dst, COUNT(*) AS indeg
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY l_partkey ORDER BY indeg DESC, dst LIMIT 10""")
+}

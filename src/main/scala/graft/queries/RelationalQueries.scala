@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Core relational operator inventory (SURVEY.md §2.3): projection/filter,
+  * joins (broadcast-hash, sort-merge, semi, anti), aggregation (hash,
+  * distinct, rollup), window functions, sorts/top-k, set ops, scalar
+  * functions (string/date/math/json).
+  *
+  * Scale notes (100 TB): every query here is fully declarative DataFrame
+  * code, so Catalyst gets predicate pushdown + column pruning into the
+  * parquet scans, partial (map-side) aggregation, AQE join re-planning and
+  * whole-stage codegen for free. Small dimensions (part/nation/region at
+  * ≤ 1/5,000,000th of the fact tables) are explicitly `broadcast()`-hinted;
+  * large fact-fact joins shuffle on their join keys — co-partitioning at
+  * scale comes from bucketing both sides on the key (documented in
+  * README.md) and/or AQE skew handling.
+  *
+  * Determinism for the DuckDB oracle: money amounts are carried as exact
+  * integer cents — `floor(x * 100)` is bit-identical IEEE arithmetic in
+  * both engines, and integer sums are accumulation-order-independent —
+  * so no floating-point value ever reaches a hash compare. Every query
+  * ends in a total ORDER BY over a unique key.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact integer cents from a 2-decimal money double (engine-neutral). */
+  private def cents(c: Column): Column = floor(c * 100)
+  /** 1/100ths of cents for 4-decimal derived amounts like price*(1-disc). */
+  private def c4(c: Column): Column = floor(c * 10000)
+
+  val queries: Map[String, Q] = Map(
+    // -- aggregation: TPC-H Q1 shape — partial+final hash agg, 5 aggs in one pass
+    "q1_agg" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(c4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c4"),
+          floor(sum(col("l_quantity").cast("long")) * 10000 / count(lit(1))).as("avg_qty_x1e4"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // -- projection + filter: both pushed into the parquet scan
+    "proj_filter" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          c4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_c4"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // -- broadcast hash join: part is tiny relative to lineitem at every SF
+    "join_bhj" -> ((s, d) => {
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // -- shuffle join on the fact-fact key (sort-merge/shuffled-hash per AQE)
+    "join_smj" -> ((s, d) => {
+      orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(c4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c4"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // -- left-semi (EXISTS): customers having at least one high-value order
+    "join_semi" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- left-anti (NOT EXISTS): customers with no urgent orders
+    "join_anti" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- 2-hop graph traversal as a self-composable join:
+    //    customer -> order -> part, counting distinct reachable parts
+    "two_hop" -> ((s, d) => {
+      val hop1 = orders(s, d).select(col("o_custkey").as("src"), col("o_orderkey").as("mid"))
+      val hop2 = lineitem(s, d).select(col("l_orderkey").as("mid"), col("l_partkey").as("dst"))
+      hop1.join(hop2, "mid")
+        .groupBy(col("src"))
+        .agg(countDistinct(col("dst")).as("n_reachable"))
+        .orderBy("src")
+    }),
+
+    // -- rollup over the region->nation hierarchy (grouping sets engine)
+    "agg_rollup" -> ((s, d) => {
+      val c = customer(s, d)
+      val n = nation(s, d)
+      val r = region(s, d)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("bal_cents"))
+        .select(
+          coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("n_cust"), col("bal_cents"))
+        .orderBy("region", "nation")
+    }),
+
+    // -- multi-distinct aggregation (expand + two-phase agg under the hood)
+    "agg_distinct" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- window: rank / top-k per group
+    "win_rank_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+          col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // -- window: running sum with an explicit rows frame (exact integer sum)
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // -- global top-k: Catalyst compiles orderBy+limit to TakeOrderedAndProject
+    //    (per-partition heaps + driver merge — the plan that survives 100 TB,
+    //    unlike a global sort)
+    "top_revenue" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(c4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("l_partkey"))
+        .limit(10)
+    }),
+
+    // -- set ops: symmetric difference of customer sets via EXCEPT/UNION ALL
+    "setops_sym_diff" -> ((s, d) => {
+      val o = orders(s, d)
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+      val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+      open.except(done).withColumn("side", lit("open_only"))
+        .unionAll(done.except(open).withColumn("side", lit("done_only")))
+        .orderBy("side", "o_custkey")
+    }),
+
+    // -- scalar string/math functions (all codegen'd builtins, no UDFs)
+    "scalar_funcs" -> ((s, d) => {
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name8"),
+          length(col("p_name")).cast("long").as("name_len"),
+          abs(col("p_size") - 25).as("size_dev"),
+          floor(col("p_retailprice") * 1.1 * 100).as("marked_up_cents"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")
+    }),
+
+    // -- date/time functions over timestamps
+    "date_funcs" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("volume_cents"))
+        .orderBy("yr", "qtr")
+    }),
+
+    // -- JSON extraction from the events.props payload
+    "json_extract" -> ((s, d) => {
+      events(s, d)
+        .select(
+          col("event_id"),
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .filter(col("k_val") > 50)
+        .orderBy("event_id")
+    }),
+
+    // -- CASE/conditional + HAVING shape
+    "case_having" -> ((s, d) => {
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"),
+          when(col("l_discount") >= 0.05, lit("high"))
+            .when(col("l_discount") > 0.0, lit("low"))
+            .otherwise(lit("none")).as("disc_band"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .groupBy(col("disc_band"))
+        .agg(count(lit(1)).as("n"),
+          floor(sum(col("price_cents")) / count(lit(1))).as("avg_price_cents"))
+        .filter(col("n") > 10)
+        .orderBy("disc_band")
+    }))
+
+  /** DuckDB-dialect oracle SQL, value- and type-aligned with the Spark
+    * results above. DuckDB SUM(BIGINT) yields HUGEINT and FLOOR yields
+    * DOUBLE, hence the CASTs back to BIGINT to mirror Spark's types.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_c4,
+         CAST(FLOOR(SUM(CAST(l_quantity AS BIGINT)) * 10000 / COUNT(*)) AS BIGINT) AS avg_qty_x1e4,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "proj_filter" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS net_c4
+         FROM lineitem WHERE l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "join_bhj" ->
+      """SELECT p_brand,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "join_smj" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "two_hop" ->
+      """SELECT o_custkey AS src, COUNT(DISTINCT l_partkey) AS n_reachable
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_custkey ORDER BY src""",
+    "agg_rollup" ->
+      """SELECT COALESCE(r_name, '(all)') AS region,
+         COALESCE(n_name, '(all)') AS nation,
+         COUNT(*) AS n_cust,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region, nation""",
+    "agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "win_rank_topk" ->
+      """SELECT o_orderpriority, rn, o_orderkey, price_cents FROM (
+           SELECT o_orderpriority, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_orderpriority, rn""",
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "top_revenue" ->
+      """SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
+         FROM lineitem GROUP BY l_partkey
+         ORDER BY revenue_c4 DESC, l_partkey LIMIT 10""",
+    "setops_sym_diff" ->
+      """(SELECT o_custkey, 'open_only' AS side FROM
+          (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           EXCEPT
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+         UNION ALL
+         (SELECT o_custkey, 'done_only' AS side FROM
+          (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           EXCEPT
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+         ORDER BY side, o_custkey""",
+    "scalar_funcs" ->
+      """SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 8)) AS name8,
+         LENGTH(p_name) AS name_len,
+         ABS(p_size - 25) AS size_dev,
+         CAST(FLOOR(p_retailprice * CAST(1.1 AS DOUBLE) * 100) AS BIGINT) AS marked_up_cents,
+         CONCAT_WS('/', p_brand, p_type) AS brand_type
+         FROM part ORDER BY p_partkey""",
+    "date_funcs" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+         CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+         FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""",
+    "json_extract" ->
+      """SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+         ORDER BY event_id""",
+    "case_having" ->
+      """SELECT disc_band, COUNT(*) AS n,
+         CAST(FLOOR(SUM(price_cents) / COUNT(*)) AS BIGINT) AS avg_price_cents
+         FROM (SELECT CASE WHEN l_discount >= 0.05 THEN 'high'
+                           WHEN l_discount > 0.0 THEN 'low'
+                           ELSE 'none' END AS disc_band,
+                      CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents
+               FROM lineitem) t
+         GROUP BY disc_band HAVING COUNT(*) > 10
+         ORDER BY disc_band""")
+}

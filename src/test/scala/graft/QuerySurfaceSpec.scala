@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + invariant tests for every declared query at sf0.001.
+  * The value-level gate is the driver's DuckDB compare (tools/run_verify.sh
+  * locally); here we assert structural invariants that stay true at any SF.
+  */
+class QuerySurfaceSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("all queries run and are non-empty at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with empty results: $empty")
+  }
+
+  test("q1_agg counts partition the filtered lineitem") {
+    val li = Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    val total = SparkEntry.queries("q1_agg")(spark, sf0001)
+      .agg(sum("count_order")).head().getLong(0)
+    assert(total == li)
+  }
+
+  test("edge_count m_edges equals orders row count") {
+    val m = SparkEntry.queries("edge_count")(spark, sf0001)
+      .head().getAs[Long]("m_edges")
+    assert(m == Tables.orders(spark, sf0001).count())
+  }
+
+  test("semi and anti partition customers against the urgent-order set") {
+    val semiFullAnti =
+      SparkEntry.queries("join_anti")(spark, sf0001).count()
+    val urgentCust = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    val customers = Tables.customer(spark, sf0001).count()
+    assert(semiFullAnti == customers - urgentCust)
+  }
+
+  test("win_running_sum final value per customer equals customer total") {
+    val q = SparkEntry.queries("win_running_sum")(spark, sf0001)
+    val last = q.groupBy("o_custkey").agg(max("running_cents").as("final"))
+    val direct = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100)).as("direct"))
+    val mismatch = last.join(direct, "o_custkey")
+      .filter(col("final") =!= col("direct")).count()
+    assert(mismatch == 0)
+  }
+
+  test("adjacency successors are ascending (BV invariant)") {
+    val bad = SparkEntry.queries("adjacency_list")(spark, sf0001)
+      .select(split(col("successors"), ",").cast("array<long>").as("succ"))
+      .filter(expr("exists(zip_with(succ, slice(succ, 2, size(succ)), (a, b) -> a >= b), x -> x)"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("top_revenue is 10 rows in strictly non-increasing order") {
+    val rows = SparkEntry.queries("top_revenue")(spark, sf0001)
+      .select("revenue_c4").collect().map(_.getLong(0))
+    assert(rows.length == 10 && rows.sliding(2).forall(p => p(0) >= p(1)))
+  }
+}
