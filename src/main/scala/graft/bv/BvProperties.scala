@@ -1,0 +1,149 @@
+package graft.bv
+
+/** Per-stream universal-code selection, mirroring upstream BVGraph's coding
+  * constants and `compressionflags` 4-bit fields
+  * (/root/reference/.../patched/HdfsBVGraph.java:307-340). Upstream values:
+  * GAMMA=1 DELTA=2 GOLOMB=3 SKEWED_GOLOMB=4 ARITH=5 INTERP=6 UNARY=7 ZETA=8
+  * NIBBLE=9; we support the four used by real-world BV graphs.
+  */
+object Coding {
+  val GAMMA = 1
+  val DELTA = 2
+  val UNARY = 7
+  val ZETA = 8
+
+  def name(c: Int): String = c match {
+    case GAMMA => "GAMMA"
+    case DELTA => "DELTA"
+    case UNARY => "UNARY"
+    case ZETA => "ZETA"
+    case other => s"UNSUPPORTED($other)"
+  }
+
+  def byName(s: String): Int = s match {
+    case "GAMMA" => GAMMA
+    case "DELTA" => DELTA
+    case "UNARY" => UNARY
+    case "ZETA" => ZETA
+    case other => throw new IllegalArgumentException(
+      s"Compression flag coding $other unsupported")
+  }
+}
+
+/** Codings for the six BV streams; defaults match upstream
+  * (outdegrees γ, blocks γ, residuals ζ, references unary, block counts γ,
+  * offsets γ).
+  */
+final case class StreamCodings(
+    outdegree: Int = Coding.GAMMA,
+    block: Int = Coding.GAMMA,
+    residual: Int = Coding.ZETA,
+    reference: Int = Coding.UNARY,
+    blockCount: Int = Coding.GAMMA,
+    offset: Int = Coding.GAMMA) {
+
+  /** `|`-separated flag string; empty means all-defaults (what upstream
+    * writes for default-coded graphs). */
+  def toFlagString: String = {
+    val d = StreamCodings()
+    val parts = Seq(
+      (outdegree, d.outdegree, "OUTDEGREES"),
+      (block, d.block, "BLOCKS"),
+      (residual, d.residual, "RESIDUALS"),
+      (reference, d.reference, "REFERENCES"),
+      (blockCount, d.blockCount, "BLOCK_COUNT"),
+      (offset, d.offset, "OFFSETS")).collect {
+      case (c, dflt, prefix) if c != dflt => s"${prefix}_${Coding.name(c)}"
+    }
+    parts.mkString("|")
+  }
+}
+
+object StreamCodings {
+  /** Parse a `compressionflags` value (e.g. "OUTDEGREES_GAMMA|RESIDUALS_ZETA").
+    * Unknown stream prefixes are an error, matching upstream's reflection
+    * failure (/root/reference/.../patched/HdfsBVGraph.java:334-336).
+    */
+  def fromFlagString(s: String): StreamCodings = {
+    var c = StreamCodings()
+    if (s == null || s.trim.isEmpty) return c
+    s.split("\\|").map(_.trim).filter(_.nonEmpty).foreach { flag =>
+      val cut = flag.lastIndexOf('_')
+      val (stream, coding) = (flag.substring(0, cut), Coding.byName(flag.substring(cut + 1)))
+      stream match {
+        case "OUTDEGREES" => c = c.copy(outdegree = coding)
+        case "BLOCKS" => c = c.copy(block = coding)
+        case "RESIDUALS" => c = c.copy(residual = coding)
+        case "REFERENCES" => c = c.copy(reference = coding)
+        case "BLOCK_COUNT" => c = c.copy(blockCount = coding)
+        case "OFFSETS" => c = c.copy(offset = coding)
+        case other => throw new IllegalArgumentException(
+          s"Compression flag $flag unknown.")
+      }
+    }
+    c
+  }
+}
+
+/** The `.properties` sidecar (SURVEY.md §1.2). */
+final case class BvProperties(
+    nodes: Int,
+    arcs: Long,
+    windowSize: Int = 7,
+    maxRefCount: Int = 3,
+    minIntervalLength: Int = 4,
+    zetaK: Int = 3,
+    codings: StreamCodings = StreamCodings(),
+    version: Int = 0,
+    graphClass: String = "it.unimi.dsi.webgraph.BVGraph") {
+
+  def render: String = {
+    val sb = new StringBuilder
+    sb.append("#BVGraph properties\n")
+    sb.append(s"graphclass=$graphClass\n")
+    sb.append(s"version=$version\n")
+    sb.append(s"nodes=$nodes\n")
+    sb.append(s"arcs=$arcs\n")
+    sb.append(s"windowsize=$windowSize\n")
+    sb.append(s"maxrefcount=$maxRefCount\n")
+    sb.append(s"minintervallength=$minIntervalLength\n")
+    sb.append(s"zetak=$zetaK\n")
+    sb.append(s"compressionflags=${codings.toFlagString}\n")
+    sb.toString
+  }
+}
+
+object BvProperties {
+  val BVGRAPH_VERSION = 0
+
+  def parse(text: String): BvProperties = {
+    val props = new java.util.Properties()
+    props.load(new java.io.StringReader(text))
+    def get(k: String): String = {
+      val v = props.getProperty(k)
+      if (v == null) throw new IllegalArgumentException(s"Missing property $k")
+      v
+    }
+    val graphClass = get("graphclass")
+      .replace("it.unimi.dsi.big.webgraph", "it.unimi.dsi.webgraph")
+    if (!graphClass.endsWith("BVGraph"))
+      throw new IllegalArgumentException(s"Cannot load graph class $graphClass")
+    val version = get("version").toInt
+    if (version > BVGRAPH_VERSION)
+      throw new IllegalArgumentException(s"Unsupported format version $version")
+    val nodes = get("nodes").toLong
+    if (nodes > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"Cannot handle graphs with $nodes (>2^31) nodes")
+    BvProperties(
+      nodes = nodes.toInt,
+      arcs = get("arcs").toLong,
+      windowSize = get("windowsize").toInt,
+      maxRefCount = get("maxrefcount").toInt,
+      minIntervalLength = get("minintervallength").toInt,
+      zetaK = Option(props.getProperty("zetak")).map(_.toInt).getOrElse(3),
+      codings = StreamCodings.fromFlagString(props.getProperty("compressionflags")),
+      version = version,
+      graphClass = graphClass)
+  }
+}

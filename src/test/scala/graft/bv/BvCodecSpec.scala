@@ -1,0 +1,234 @@
+package graft.bv
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the BV codec (SURVEY.md §5.1): encoder→decoder
+  * round-trips across shaped generators that force each coding path —
+  * interval-heavy consecutive runs, reference-heavy near-duplicate rows,
+  * empty outdegrees, residual-only — crossed with the format parameters
+  * (window size, min interval length, ζ_k, per-stream codings).
+  */
+class BvCodecSpec extends AnyFunSuite {
+
+  // ---- bit-level round-trips --------------------------------------------
+
+  private def withBits[A](write: BitOutput => Unit)(read: BitInput => A): A = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new BitOutput(bos)
+    write(out)
+    out.flush()
+    read(new BitInput(new ArrayBytes(bos.toByteArray)))
+  }
+
+  test("gamma/delta/unary/zeta round-trip") {
+    for (seed <- 1 to 8; k <- 1 to 6) {
+        val rnd = new scala.util.Random(seed)
+        val xs = List.fill(200)(rnd.nextLong(1L << 40))
+        val got = withBits { out =>
+          xs.foreach { x =>
+            out.writeGamma(x); out.writeDelta(x); out.writeZeta(x, k)
+            out.writeUnary((x & 63L).toInt)
+          }
+        } { in =>
+          xs.map { _ =>
+            (in.readLongGamma(), in.readLongDelta(), in.readLongZeta(k),
+              in.readUnary().toLong)
+          }
+        }
+        assert(got == xs.map(x => (x, x, x, x & 63L)))
+    }
+  }
+
+  test("zeta matches slow independent implementation") {
+    // Independent slow ζ_k decoder straight from the Boldi–Vigna definition:
+    // h in unary; then a minimal-ish binary value of h*k+k-1 bits, extended
+    // by one bit when ≥ 2^(h*k).
+    def slowReadZeta(in: BitInput, k: Int): Long = {
+      val h = in.readUnary()
+      val left = 1L << (h * k)
+      val m = in.readLong(h * k + k - 1)
+      if (m < left) m + left - 1 else (m << 1 | in.readBit()) - 1
+    }
+    for (seed <- 1 to 6; k <- 1 to 5) {
+        val rnd = new scala.util.Random(seed)
+        val xs = List.fill(100)(rnd.nextLong(1L << 30))
+        val got = withBits { out => xs.foreach(out.writeZeta(_, k)) } { in =>
+          xs.map(_ => slowReadZeta(in, k))
+        }
+        assert(got == xs)
+    }
+  }
+
+  test("zigzag round-trip") {
+    val rnd = new scala.util.Random(3)
+    (List.fill(1000)(rnd.nextLong()) ++ List(0L, 1L, -1L, Long.MaxValue >> 1, Long.MinValue >> 1))
+      .foreach { x => assert(ZigZag.nat2int(ZigZag.int2nat(x)) == x) }
+  }
+
+  test("position() mid-stream repositioning") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new BitOutput(bos)
+    val xs = (0 until 500).map(i => (i * 2654435761L) % 1000)
+    val positions = xs.map { x => val p = out.writtenBits; out.writeGamma(x); p }
+    out.flush()
+    val in = new BitInput(new ArrayBytes(bos.toByteArray), bufferSize = 16)
+    // read at random positions, including backwards seeks
+    val order = scala.util.Random.shuffle(xs.indices.toList)
+    order.foreach { i =>
+      in.position(positions(i))
+      assert(in.readLongGamma() == xs(i), s"at index $i")
+    }
+  }
+
+  // ---- graph generators --------------------------------------------------
+
+  /** Strictly ascending duplicate-free successor list over [0, n). */
+  private def adjacency(n: Int, gen: (Int, scala.util.Random) => Array[Int],
+      seed: Long): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(n)(x => gen(x, rnd))
+  }
+
+  private def randomList(n: Int, maxDeg: Int)(x: Int, rnd: scala.util.Random): Array[Int] = {
+    val d = rnd.nextInt(maxDeg + 1)
+    val set = scala.collection.mutable.SortedSet.empty[Int]
+    while (set.size < math.min(d, n)) set += rnd.nextInt(n)
+    set.toArray
+  }
+
+  /** Long consecutive runs — forces the interval coder. */
+  private def intervalHeavy(n: Int)(x: Int, rnd: scala.util.Random): Array[Int] = {
+    val runs = rnd.nextInt(3)
+    val set = scala.collection.mutable.SortedSet.empty[Int]
+    (0 until runs).foreach { _ =>
+      val start = rnd.nextInt(n)
+      val len = 2 + rnd.nextInt(12)
+      (start until math.min(start + len, n)).foreach(set += _)
+    }
+    set.toArray
+  }
+
+  /** Near-duplicate consecutive rows — forces reference compression. */
+  private def referenceHeavy(n: Int): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(7L)
+    val out = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      if (i == 0 || rnd.nextDouble() < 0.3 || out(i - 1).isEmpty) {
+        out(i) = randomList(n, 12)(i, rnd)
+      } else {
+        // mutate the predecessor slightly: drop some, add some
+        val set = scala.collection.mutable.SortedSet.empty[Int] ++ out(i - 1)
+        if (set.nonEmpty && rnd.nextBoolean()) set -= set.toVector(rnd.nextInt(set.size))
+        if (rnd.nextBoolean()) set += rnd.nextInt(n)
+        out(i) = set.toArray
+      }
+      i += 1
+    }
+    out
+  }
+
+  private val paramGrid = Seq(
+    BvProperties(0, 0),                                         // upstream defaults
+    BvProperties(0, 0, windowSize = 0),                         // no references
+    BvProperties(0, 0, minIntervalLength = 0),                  // no intervals
+    BvProperties(0, 0, windowSize = 1, maxRefCount = 1),
+    BvProperties(0, 0, windowSize = 4, maxRefCount = 2, minIntervalLength = 2, zetaK = 1),
+    BvProperties(0, 0, zetaK = 5),
+    BvProperties(0, 0, codings = StreamCodings(
+      outdegree = Coding.DELTA, residual = Coding.GAMMA, offset = Coding.DELTA)),
+    BvProperties(0, 0, codings = StreamCodings(
+      block = Coding.DELTA, blockCount = Coding.DELTA, reference = Coding.GAMMA)))
+
+  private def roundTrip(adj: Array[Array[Int]], p: BvProperties): Unit = {
+    val enc = new BvEncoder(p)
+    val (g, o, propsText) = enc.encode(adj)
+    val props = BvProperties.parse(propsText)
+    assert(props.nodes == adj.length)
+    assert(props.arcs == adj.map(_.length.toLong).sum)
+    val graph = new BvGraph(props, new ArrayBytes(g), new ArrayBytes(o))
+
+    // full sequential scan
+    val seq = graph.iterator.toArray
+    assert(seq.length == adj.length)
+    seq.foreach { case (x, succ) =>
+      assert(succ.sameElements(adj(x)), s"node $x (params $p): " +
+        s"got ${succ.mkString(",")} want ${adj(x).mkString(",")}")
+    }
+
+    if (adj.length > 0) {
+      // random access from a cold stream
+      val probe = scala.util.Random.shuffle(adj.indices.toList).take(20)
+      probe.foreach { x =>
+        assert(graph.successorArray(x).sameElements(adj(x)), s"random access node $x")
+      }
+      // random-access outdegree
+      val din = graph.newBitInput(512)
+      probe.foreach { x => assert(graph.outdegree(x, din) == adj(x).length) }
+      // mid-split starts: window warm-up must reproduce the sequential scan
+      val starts = Seq(1, adj.length / 3, adj.length / 2, adj.length - 1)
+        .filter(s => s > 0 && s < adj.length)
+      starts.foreach { from =>
+        val part = graph.nodeIterator(from, adj.length).toArray
+        assert(part.length == adj.length - from)
+        part.foreach { case (x, succ) =>
+          assert(succ.sameElements(adj(x)), s"mid-split from=$from node $x")
+        }
+      }
+    }
+  }
+
+  test("round-trip: random graphs across the parameter grid") {
+    for (p <- paramGrid; seed <- 1L to 3L) {
+      roundTrip(adjacency(60, randomList(60, 10), seed), p)
+    }
+  }
+
+  test("round-trip: interval-heavy graphs") {
+    for (p <- paramGrid; seed <- 1L to 2L) {
+      roundTrip(adjacency(50, intervalHeavy(50), seed), p)
+    }
+  }
+
+  test("round-trip: reference-heavy graphs") {
+    for (p <- paramGrid) roundTrip(referenceHeavy(80), p)
+  }
+
+  test("round-trip: empty graph, empty lists, singleton") {
+    for (p <- paramGrid) {
+      roundTrip(Array.empty[Array[Int]], p)
+      roundTrip(Array.fill(10)(Array.empty[Int]), p)
+      roundTrip(Array(Array(0)), p)
+      // self-loops + full row
+      roundTrip(Array.tabulate(8)(x => Array.range(0, 8)), p)
+    }
+  }
+
+  test("round-trip: scalacheck random graphs, default params") {
+    val rnd = new scala.util.Random(11)
+    (1 to 40).foreach { _ =>
+      val n = rnd.nextInt(81)
+      roundTrip(adjacency(n, randomList(n, 8), rnd.nextLong()), BvProperties(0, 0))
+    }
+  }
+
+  test("properties render/parse round-trip incl. flag strings") {
+    for (p <- paramGrid) {
+      val r = BvProperties.parse(p.copy(nodes = 42, arcs = 99L).render)
+      assert(r.windowSize == p.windowSize && r.minIntervalLength == p.minIntervalLength
+        && r.zetaK == p.zetaK && r.codings == p.codings)
+    }
+  }
+
+  test("big.webgraph class rewrite accepted; bad class/version rejected") {
+    val ok = "graphclass=it.unimi.dsi.big.webgraph.BVGraph\nversion=0\nnodes=1\narcs=0\n" +
+      "windowsize=7\nmaxrefcount=3\nminintervallength=4\n"
+    assert(BvProperties.parse(ok).graphClass.endsWith("BVGraph"))
+    intercept[IllegalArgumentException] {
+      BvProperties.parse(ok.replace("BVGraph", "ASCIIGraph"))
+    }
+    intercept[IllegalArgumentException] {
+      BvProperties.parse(ok.replace("version=0", "version=99"))
+    }
+  }
+}
