@@ -62,6 +62,34 @@ object GraphQueries {
         .orderBy("deg")
     }),
 
+    // -- BV sink + DSv2 source end-to-end: derive adjacency from orders,
+    //    compress it to a BVGraph triple, scan it back with
+    //    spark.read.format("bvgraph"), explode to edges. The oracle is the
+    //    original orders table — so the encoder AND the splittable decoder
+    //    are both value-gated by DuckDB. (BV compression is inherently a
+    //    sequential single-writer sink — same as upstream WebGraph's offline
+    //    compressor — so the driver-side collect here is the sink's contract,
+    //    not a scan anti-pattern; reads stay fully distributed.)
+    "bv_roundtrip" -> ((s, d) => {
+      val pairs = edges(s, d)
+        .select(col("src").cast("int"), col("dst").cast("int"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      val n = if (pairs.isEmpty) 0
+        else math.max(pairs.map(_._1).max, pairs.map(_._2).max) + 1
+      val adj = {
+        val m = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+        Array.tabulate(n)(x => m.getOrElse(x, Array.empty[Int]))
+      }
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bv_${math.abs(d.hashCode)}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(base + ".properties")))
+        new graft.bv.BvEncoder(graft.bv.BvProperties(0, 0)).write(base, adj)
+      s.read.format("bvgraph").option("basename", base).option("splits", 8).load()
+        .select(col("id").cast("long").as("src"),
+          explode(col("successors")).as("d"))
+        .select(col("src"), col("d").cast("long").as("dst"))
+        .orderBy("src", "dst")
+    }),
+
     // -- top-k by indegree (TakeOrderedAndProject — scales to 100 TB where
     //    a global sort would not)
     "top_indegree" -> ((s, d) => {
@@ -75,6 +103,9 @@ object GraphQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "bv_roundtrip" ->
+      """SELECT o_custkey AS src, o_orderkey AS dst
+         FROM orders ORDER BY src, dst""",
     "adjacency_list" ->
       """SELECT o_custkey AS src,
          STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS successors,

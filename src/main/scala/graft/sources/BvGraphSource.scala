@@ -1,0 +1,252 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.bv.{BitInput, BvGraph, BvProperties, SeekableBytes}
+
+/** DataSource V2 connector for BVGraph-compressed graphs:
+  * `spark.read.format("bvgraph").option("basename", prefix)` yields rows
+  * `(id INT, successors ARRAY<INT>)` — the Spark-native re-expression of the
+  * reference's Hadoop InputFormat
+  * (/root/reference/src/main/java/de/l3s/mapreduce/webgraph/io/WebGraphInputFormat.java:16-25).
+  *
+  * Scale design (SURVEY.md §2.1 S1-S4, §4.3):
+  *  - One `InputPartition` per node range; ranges are **byte-balanced** using
+  *    the offsets index (equal compressed bytes, not equal node counts), so
+  *    skewed graphs don't produce straggler tasks. `splits` option overrides
+  *    the default of one split per ~32 MiB of compressed graph.
+  *  - `preferredLocations` from `FileSystem.getFileBlockLocations` — HDFS
+  *    locality exactly like the reference's `NodeIteratorInputSplit`.
+  *  - Per-executor JVM cache of the decoded offsets index (the reference
+  *    re-reads `.offsets` per task — SURVEY.md §2.1 "Per-task graph reload"
+  *    note; we load once per executor and share across tasks).
+  *  - `SupportsPushDownRequiredColumns`: a scan that doesn't need
+  *    `successors` never decodes adjacency data at all — ids are synthesized
+  *    from the range (zero graph I/O).
+  *  - `SupportsReportStatistics`: `nodes`/`arcs` from `.properties` feed
+  *    Catalyst's join planning (broadcast decisions).
+  */
+class BvGraphTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "bvgraph"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BvGraphTable.SCHEMA
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val basename = properties.get("basename")
+    require(basename != null, "bvgraph source requires .option(\"basename\", ...)")
+    val splits = Option(properties.get("splits")).map(_.toInt)
+    new BvGraphTable(basename, splits)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object BvGraphTable {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("successors", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  /** Default bytes of compressed graph per input partition. */
+  val TARGET_SPLIT_BYTES: Long = 32L * 1024 * 1024
+}
+
+class BvGraphTable(basename: String, splits: Option[Int])
+    extends Table with SupportsRead {
+  override def name(): String = s"bvgraph(`$basename`)"
+  override def schema(): StructType = BvGraphTable.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BvGraphScanBuilder(basename, splits)
+}
+
+class BvGraphScanBuilder(basename: String, splits: Option[Int])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = BvGraphTable.SCHEMA
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new BvGraphScan(basename, splits, required)
+}
+
+class BvGraphScan(basename: String, splits: Option[Int], required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"BvGraphScan(basename=$basename, columns=${required.fieldNames.mkString(",")})"
+
+  // Loaded lazily on the driver for planning (offsets for byte-balancing,
+  // properties for stats). The per-executor cache is separate.
+  private lazy val graph: BvGraph = BvGraphCache.get(basename)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong = {
+      // decompressed relational size: 4 B id + ~4 B per successor
+      val g = graph
+      util.OptionalLong.of(4L * g.n + 4L * g.m)
+    }
+    override def numRows(): util.OptionalLong =
+      util.OptionalLong.of(graph.n.toLong)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val g = graph
+    val n = g.n
+    if (n == 0) return Array.empty
+    val totalBits = g.offsets(n)
+    val numSplits = splits.getOrElse(
+      math.max(1, math.ceil((totalBits / 8.0) / BvGraphTable.TARGET_SPLIT_BYTES).toInt))
+
+    // Byte-balanced ranges: walk offsets, cut when the running byte span
+    // exceeds the per-split target (the reference slices the *node* space
+    // uniformly — WebGraphInputFormat.java:100 — which straggles on skew).
+    val targetBits = math.max(1L, totalBits / numSplits)
+    val cuts = scala.collection.mutable.ArrayBuffer(0)
+    var x = 0
+    while (x < n && cuts.length < numSplits) {
+      val startBit = g.offsets(cuts.last)
+      // binary-search the first node whose offset passes startBit+targetBits
+      var lo = x + 1; var hi = n
+      val limit = startBit + targetBits
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (g.offsets(mid) < limit) lo = mid + 1 else hi = mid
+      }
+      if (lo < n) cuts += lo
+      x = lo
+    }
+    cuts += n
+
+    val conf = new Configuration()
+    val graphPath = new Path(basename + ".graph")
+    val fs = graphPath.getFileSystem(conf)
+    val status = fs.getFileStatus(graphPath)
+
+    (0 until cuts.length - 1).map { i =>
+      val from = cuts(i); val until = cuts(i + 1)
+      val startByte = g.offsets(from) >>> 3
+      val endByte = (g.offsets(until) >>> 3) + 1
+      val hosts =
+        try fs.getFileBlockLocations(status, startByte,
+          math.max(1L, endByte - startByte)).flatMap(_.getHosts).distinct
+        catch { case _: Exception => Array.empty[String] }
+      BvInputPartition(from, until, hosts): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BvGraphReaderFactory(basename,
+      needSuccessors = required.fieldNames.contains("successors"),
+      needId = required.fieldNames.contains("id"))
+}
+
+/** Serialized driver→executor split descriptor (mirrors the reference's
+  * NodeIteratorInputSplit, io/NodeIteratorInputSplit.java:11-50). */
+case class BvInputPartition(from: Int, until: Int, hosts: Array[String])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
+
+class BvGraphReaderFactory(basename: String, needSuccessors: Boolean,
+    needId: Boolean) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BvInputPartition]
+    if (!needSuccessors) new BvIdOnlyReader(p, needId)
+    else new BvGraphPartitionReader(basename, p, needId)
+  }
+}
+
+/** Pruned scan: `successors` not required ⇒ ids are synthesized from the
+  * range with zero graph I/O (the scan collapses to a counter). */
+class BvIdOnlyReader(p: BvInputPartition, needId: Boolean)
+    extends PartitionReader[InternalRow] {
+  private var curr = p.from - 1
+  private val row = new GenericInternalRow(if (needId) 1 else 0)
+  override def next(): Boolean = { curr += 1; curr < p.until }
+  override def get(): InternalRow = {
+    if (needId) row.update(0, curr)
+    row
+  }
+  override def close(): Unit = ()
+}
+
+class BvGraphPartitionReader(basename: String, p: BvInputPartition,
+    needId: Boolean) extends PartitionReader[InternalRow] {
+  private val graph = BvGraphCache.get(basename)
+  private val iter = graph.nodeIterator(p.from, p.until)
+  private var curr: (Int, Array[Int]) = _
+  private val nFields = if (needId) 2 else 1
+  private val row = new GenericInternalRow(nFields)
+
+  override def next(): Boolean = {
+    if (!iter.hasNext) return false
+    curr = iter.next()
+    true
+  }
+
+  override def get(): InternalRow = {
+    val arr = UnsafeArrayData.fromPrimitiveArray(curr._2)
+    if (needId) { row.update(0, curr._1); row.update(1, arr) }
+    else row.update(0, arr)
+    row
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Positioned-read adapter over Hadoop `FSDataInputStream` — the Spark-side
+  * equivalent of the reference's HdfsRepositionableStream
+  * (io/HdfsRepositionableStream.java:9-24). `read(position, ...)` is
+  * thread-safe, so one open stream serves all readers in the executor. */
+class HadoopBytes(path: Path, conf: Configuration) extends SeekableBytes {
+  private val fs = path.getFileSystem(conf)
+  private val len = fs.getFileStatus(path).getLen
+  private val in = fs.open(path)
+  def length: Long = len
+  def readAt(pos: Long, buf: Array[Byte], off: Int, n: Int): Int =
+    if (pos >= len) -1 else in.read(pos, buf, off, n)
+}
+
+/** Executor-wide cache: one decoded `BvGraph` (properties + offsets index)
+  * per basename per JVM, shared by all tasks — fixes the reference's
+  * per-task `.offsets` reload (SURVEY.md §2.1 notes). */
+object BvGraphCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, BvGraph]()
+
+  def get(basename: String): BvGraph =
+    cache.computeIfAbsent(basename, { b =>
+      val conf = new Configuration()
+      val propsPath = new Path(b + ".properties")
+      val fs = propsPath.getFileSystem(conf)
+      val propsText = {
+        val in = fs.open(propsPath)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        finally in.close()
+      }
+      val props = BvProperties.parse(propsText)
+      new BvGraph(props,
+        new HadoopBytes(new Path(b + ".graph"), conf),
+        new HadoopBytes(new Path(b + ".offsets"), conf))
+    })
+}
