@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.Fnv64
+
+/** Session extensions: registers the engine's native Catalyst expressions
+  * as SQL functions. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("fnv64"),
+      new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
+      (children: Seq[Expression]) => Fnv64(children.head)))
+  }
+}

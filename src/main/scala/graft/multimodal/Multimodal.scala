@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing (builder brief): media are opaque `binary` payloads
+  * with typed metadata; decode/feature-extraction runs as batched
+  * per-partition Scala code (the JVM analogue of `mapInPandas` — rows are
+  * processed in fixed-size batches exactly as a vectorized decode would
+  * hand frames to a native library).
+  *
+  * The actual image decode is STUBBED — no media libraries ship in this
+  * environment — behind [[Multimodal.decodeImageStub]], a deterministic
+  * fake that derives "pixels" from the payload bytes. Everything around
+  * the stub (schema, binary column handling, batch shape, partition
+  * parallelism, feature schema) is real and tested.
+  *
+  * Scale notes: payloads never pass through a shuffle — features are
+  * extracted in the scan stage (narrow mapPartitions), and only the small
+  * numeric feature rows flow downstream. At 100 TB that is the difference
+  * between shuffling media bytes and shuffling ~40 B/row.
+  */
+object Multimodal {
+  /** Batch size handed to the (stubbed) vectorized decoder. */
+  val DECODE_BATCH = 64
+
+  case class MmRecord(doc_id: Long, modality: String, payload: Array[Byte],
+      width: Int, height: Int)
+  case class MmFeature(doc_id: Long, payload_len: Long, byte_sum: Long,
+      n_frames: Long)
+
+  /** STUB: stands in for a real image decoder (e.g. libjpeg via JNI).
+    * Deterministically expands payload bytes into a fake w*h "pixel"
+    * buffer so downstream feature code has realistic shapes to chew on. */
+  def decodeImageStub(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](width * height)
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (payload.isEmpty) 0 else payload(i % payload.length)
+      i += 1
+    }
+    out
+  }
+
+  /** One decoder batch -> feature rows. Features are defined on the raw
+    * payload (length, byte sum, frame-sample count) so they are exactly
+    * reproducible by the oracle; the stub decode is still exercised to
+    * keep the batch plumbing honest. */
+  def extractBatch(batch: Seq[MmRecord]): Iterator[MmFeature] = {
+    batch.iterator.map { r =>
+      val pixels = decodeImageStub(r.payload, r.width, r.height)
+      require(pixels.length == r.width * r.height, "stub decode shape")
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
+      MmFeature(r.doc_id, r.payload.length.toLong, sum,
+        r.payload.length.toLong / 32 + 1)
+    }
+  }
+
+  /** documents -> (doc_id, modality, payload BINARY, width, height):
+    * the text bytes stand in for media payloads; metadata is derived
+    * deterministically. */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit("image").as("modality"),
+      col("text").cast("binary").as("payload"),
+      (col("doc_id") % 64 + 1).cast("int").as("width"),
+      (col("doc_id") % 48 + 1).cast("int").as("height"))
+
+  /** The batched feature-extraction pass. */
+  def features(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    attachPayload(docs).as[MmRecord]
+      .mapPartitions(_.grouped(DECODE_BATCH).flatMap(extractBatch))
+      .toDF()
+  }
+}

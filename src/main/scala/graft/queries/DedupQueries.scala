@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.SketchAggs
+
+/** Deduplication operators over the `documents` table — the core
+  * training-data-pipeline surface (builder brief; no reference counterpart,
+  * SURVEY.md §2.4). Five dedup families:
+  *
+  *  - exact:           normalize -> hash -> groupBy (one shuffle)
+  *  - n-gram Jaccard:  exact set-similarity self-join via a rare-shingle
+  *                     inverted index (df-capped to bound bucket skew)
+  *  - MinHash + LSH:   one-pass Aggregator signatures -> banded bucket join
+  *                     -> exact verification of candidates
+  *  - SimHash:         one-pass Aggregator 64-bit sketch + band buckets
+  *  - embedding cosine: exact pair similarity (brute force at test SF; the
+  *                     LSH/IVF scale path is graft.queries.SimilarityQueries)
+  *
+  * Scale notes (100 TB): every family shuffles once on doc/feature keys and
+  * carries fixed-size sketches per doc (k longs, not k x features rows).
+  * The df cap on the inverted index is the standard hub-shingle guard — a
+  * shingle appearing in >dfCap docs generates O(dfCap^2) candidate pairs
+  * max instead of O(corpus^2). Exact-verify joins are hash joins on pair
+  * keys, AQE-skew-splittable.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace-normalized lowercased text (idempotent on the testdata,
+    * but the normalization pass is part of the operator contract). */
+  private def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  private def tokens(c: Column): Column = split(norm(c), " ")
+
+  /** Distinct word 3-gram shingles; short docs fall back to the whole text
+    * as a single shingle. */
+  def shingles(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ",
+          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+      .otherwise(array(norm(c)))
+  }
+
+  /** (doc_id, sh: array<string>) distinct shingle sets. */
+  def shingleSets(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** Exact-verified Jaccard >= 8/10 on candidate pairs. Integer cross-
+    * multiplication (inter*10 >= union*8) keeps the threshold exact in
+    * both engines; jac_e6 is floor(inter*1e6/union) — double division of
+    * exact ints, deterministic. */
+  private def verifyPairs(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("un", size(col("sha")) + size(col("shb")) - col("inter"))
+      .filter(col("inter") * 10 >= col("un") * 8)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("inter") * lit(1000000.0) / col("un")).as("jac_e6"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // -- exact dedup: one hash shuffle on the normalized-text digest. At
+    //    100 TB group on the md5 (fixed 32 bytes), never the raw text.
+    "dedup_exact" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(md5(norm(col("text"))).as("text_md5"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_id")
+    }),
+
+    // -- exact n-gram Jaccard via rare-shingle inverted index: candidates
+    //    share >= 1 shingle with df <= 50, then exact verification.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sets = shingleSets(s, d)
+      val ex = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
+      val rare = ex.groupBy("sng").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("sng")
+      val posting = ex.join(rare, "sng")
+      val cand = posting.select(col("sng"), col("doc_id").as("doc_a"))
+        .join(posting.select(col("sng"), col("doc_id").as("doc_b")), "sng")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      verifyPairs(cand, sets)
+    }),
+
+    // -- MinHash (k=128) + LSH (32 bands x 4 rows): Aggregator signatures,
+    //    banded bucket join for candidates, exact verification. At
+    //    Jaccard 0.8 the candidate probability is 1-(1-0.8^4)^32 ≈ 1.
+    //    Hash-dependent intermediate -> verified output equals a subset of
+    //    dedup_ngram_jaccard (recall asserted in PipelineSpec).
+    "dedup_minhash" -> ((s, d) => {
+      import s.implicits._
+      val k = 128; val bands = 32; val rows = 4
+      val sets = shingleSets(s, d)
+      val feats = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
+        .select(col("doc_id"), xxhash64(col("sng")).as("h"))
+        .as[(Long, Long)]
+      val sigAgg = new SketchAggs.MinHashSig(k).toColumn
+      val sigs = feats.groupByKey(_._1).agg(sigAgg).toDF("doc_id", "sig")
+      val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + 1, lit(rows)))))
+        .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bh"))
+      val cand = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+        .join(banded.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+          Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      verifyPairs(cand, sets)
+    }),
+
+    // -- SimHash sketch index: one 64-bit sketch per doc + 8x8-bit band
+    //    buckets (pair extraction from the buckets is exercised on
+    //    controlled near-dups in PipelineSpec; on arbitrary corpora the
+    //    band guarantee covers Hamming distance <= 7).
+    "dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      val feats = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .as[(Long, Long)]
+      val simAgg = new SketchAggs.SimHash64().toColumn
+      feats.groupByKey(_._1).agg(simAgg).toDF("doc_id", "simhash")
+        .select(col("doc_id"), format_string("%016x", col("simhash")).as("simhash_hex"),
+          posexplode(expr("transform(sequence(0, 7), b -> (simhash >> (b * 8)) & 255)")))
+        .select(col("doc_id"), col("simhash_hex"),
+          col("pos").as("band"), col("col").as("bucket"))
+        .orderBy("doc_id", "band")
+    }),
+
+    // -- embedding-cosine near-dup pairs (exact; quantized to e6 ints).
+    //    Norms precomputed per vector; sim = dot/(na*nb) in pure double
+    //    arithmetic (float products are exact in double) so the oracle can
+    //    reproduce it bit-for-bit.
+    "dedup_embed" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("sim", aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")))
+        .filter(col("sim") > 0.4)
+        .select(col("vec_a"), col("vec_b"),
+          floor(col("sim") * 1000000).cast("long").as("sim_e6"))
+        .orderBy("vec_a", "vec_b")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_md5,
+         MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+         FROM documents
+         GROUP BY 1 ORDER BY canonical_id""",
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [nt] END AS sh
+           FROM w),
+         ex AS (SELECT doc_id, unnest(sh) AS sng FROM sh),
+         rare AS (SELECT sng FROM ex GROUP BY sng HAVING COUNT(*) <= 50),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ex a JOIN rare r ON a.sng = r.sng JOIN ex b ON b.sng = a.sng
+           WHERE a.doc_id < b.doc_id),
+         v AS (SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                       JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b,
+           CAST(FLOOR(inter * 1000000.0 / un) AS BIGINT) AS jac_e6
+         FROM v WHERE inter * 10 >= un * 8
+         ORDER BY doc_a, doc_b""",
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           FROM e),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
+         FROM p WHERE sim > 0.4 ORDER BY vec_a, vec_b""")
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (builder brief, SURVEY.md
+  * §2.4): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane-LSH bucketed variant as the 100 TB scale path.
+  *
+  * Numerics: vectors are widened float->double before any arithmetic
+  * (float products are exactly representable in double), dot products fold
+  * left-to-right, norms are precomputed per vector — so results are
+  * deterministic and the DuckDB oracle reproduces them bit-for-bit.
+  * Similarities surface as floor(sim*1e6) ints, never raw floats.
+  *
+  * Scale notes: the query side is broadcast (a handful of probe vectors
+  * against the corpus — the realistic ANN shape); the corpus side streams
+  * through a single scan, and top-k per query is a partial-aggregated
+  * window (rank <= k prunes before the final shuffle under AQE). The LSH
+  * variant cuts the scanned corpus to one bucket per query: at 1000
+  * executors the bucket join is a shuffle on (bucket), each bucket a few
+  * thousandths of the corpus.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(aggregate(
+      transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+
+  /** Deterministic random-hyperplane signs: plane p, dimension d ->
+    * sign(mix64(p*1024 + d)). 6 planes = 64 buckets. */
+  private def srpBucket(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x * signum(xxhash64(lit(p) * 1024 + i).cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // -- exact top-10 cosine neighbors for probe vectors vec_id < 4.
+    "sim_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorm(embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        .filter(col("qid") < 4)
+      val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+          floor(col("sim") * 1000000).cast("long").as("sim_e6"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // -- LSH-bucketed ANN: 6 random hyperplanes -> 64 buckets; each probe
+    //    searches only its own bucket (approximate by design -> rows-only
+    //    gate; PipelineSpec checks bucket determinism + containment in the
+    //    exact ranking).
+    "sim_ann_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorm(embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        .withColumn("bucket", srpBucket(col("v"), 6))
+      val q = e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket")).filter(col("qid") < 4)
+      val pairs = e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+          col("bucket"), floor(col("sim") * 1000000).cast("long").as("sim_e6"))
+        .orderBy("qid", "rnk")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           FROM e),
+         q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 4),
+         p AS (SELECT q.qid, n.vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])),
+               (acc, x) -> acc + x) / (q.qn * n.nrm) AS sim
+           FROM q, n WHERE n.vec_id <> q.qid),
+         r AS (SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+           FROM p)
+         SELECT qid, rnk, vec_id, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""")
+}

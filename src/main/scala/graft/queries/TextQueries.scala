@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Exprs
+import graft.Tables._
+import graft.functions.Fnv64
+
+/** Text-analysis operators over `documents` (builder brief, SURVEY.md
+  * §2.4): language ID (stopword-overlap heuristic), quality scoring,
+  * token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting via the native codegen'd `fnv64` expression.
+  *
+  * All scoring is integer-quantized (x1e4) before it leaves the engine:
+  * int/int division is exact IEEE double in both Spark and DuckDB, so the
+  * oracle hash-matches. Everything is built from codegen'd functions —
+  * no UDF appears in any plan (fingerprints use a native Catalyst
+  * Expression, which codegens into the scan stage).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+  private def toks(c: Column): Column = split(norm(c), " ")
+
+  private val STOP_EN = Seq("the", "and", "of", "to", "in", "is", "it", "for", "on", "with")
+  private val STOP_ES = Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los")
+  private val STOP_DE = Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "mit", "von")
+  private val STOP_FR = Seq("le", "les", "et", "des", "une", "dans", "est", "pour", "au", "sur")
+  private val STOP_ZH = Seq("de", "shi", "le", "zai", "he", "wo", "ni", "ta", "men", "bu")
+
+  private def litArray(ws: Seq[String]): Column = array(ws.map(lit): _*)
+
+  val queries: Map[String, Q] = Map(
+    // -- corpus rollup per (lang, source)
+    "text_stats" -> ((s, d) => {
+      documents(s, d)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tok")).as("sum_tokens"),
+          floor(sum(col("n_tok")) * 10000 / count(lit(1))).as("avg_tokens_e4"))
+        .orderBy("lang", "source")
+    }),
+
+    // -- per-doc quality scoring: type/token ratio, mean token length,
+    //    stopword density, length prior — integer-quantized blend.
+    "text_quality" -> ((s, d) => {
+      val t = toks(col("text"))
+      documents(s, d)
+        .select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_types"),
+          length(norm(col("text"))).cast("long").as("n_chars_norm"),
+          size(filter(t, x => array_contains(litArray(STOP_EN), x)))
+            .cast("long").as("stop_hits"))
+        .withColumn("ttr_e4", floor(col("n_types") * 10000 / col("n_tokens")))
+        .withColumn("avg_len_e4",
+          floor((col("n_chars_norm") - (col("n_tokens") - 1)) * 10000 / col("n_tokens")))
+        .withColumn("stop_e4", floor(col("stop_hits") * 10000 / col("n_tokens")))
+        .withColumn("score_e4",
+          floor((col("ttr_e4") + col("stop_e4") * 2
+            + least(col("n_tokens") * 100, lit(10000L))) / 4))
+        .select("doc_id", "n_tokens", "n_types", "ttr_e4", "avg_len_e4",
+          "stop_e4", "score_e4")
+        .orderBy("doc_id")
+    }),
+
+    // -- language ID: distinct-token overlap with per-language stopword
+    //    profiles; argmax with fixed priority en>es>de>fr>zh, 'und' when
+    //    no profile hits.
+    "lang_id" -> ((s, d) => {
+      val tset = array_distinct(toks(col("text")))
+      def score(ws: Seq[String]): Column = size(array_intersect(tset, litArray(ws)))
+      documents(s, d)
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          size(tset).as("n_types"),
+          score(STOP_EN).as("s_en"), score(STOP_ES).as("s_es"),
+          score(STOP_DE).as("s_de"), score(STOP_FR).as("s_fr"),
+          score(STOP_ZH).as("s_zh"))
+        .withColumn("best", greatest(col("s_en"), col("s_es"), col("s_de"),
+          col("s_fr"), col("s_zh")))
+        .withColumn("pred_lang",
+          when(col("best") === 0, lit("und"))
+            .when(col("s_en") === col("best"), lit("en"))
+            .when(col("s_es") === col("best"), lit("es"))
+            .when(col("s_de") === col("best"), lit("de"))
+            .when(col("s_fr") === col("best"), lit("fr"))
+            .otherwise(lit("zh")))
+        .select(col("doc_id"), col("declared_lang"), col("pred_lang"),
+          floor(col("best") * 10000 / col("n_types")).as("conf_e4"))
+        .orderBy("doc_id")
+    }),
+
+    // -- token counting: whitespace tokens vs BPE-ish regex pieces
+    //    (letter runs / digit runs / other symbols).
+    "token_count" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_bpe"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // -- document fingerprints via the native fnv64 Expression: whole-doc
+    //    rolling hash + min-shingle fingerprint (winnowing-style sketch).
+    //    Hash-dependent values -> rows-only gate; golden values pinned in
+    //    PipelineSpec.
+    "text_fingerprint" -> ((s, d) => {
+      def fnv(c: Column): Column = Exprs.toColumn(Fnv64(Exprs.toExpr(c)))
+      documents(s, d)
+        .select(col("doc_id"),
+          format_string("%016x", fnv(norm(col("text")))).as("doc_fp"),
+          format_string("%016x",
+            array_min(transform(DedupQueries.shingles(col("text")), x => fnv(x))))
+            .as("min_shingle_fp"))
+        .orderBy("doc_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS sum_tokens,
+         CAST(FLOOR(SUM(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) * 10000 / COUNT(*)) AS BIGINT) AS avg_tokens_e4
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+             len(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nc
+           FROM documents),
+         b AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_types, nc,
+             len(list_filter(w, x -> list_contains(
+               ['the','and','of','to','in','is','it','for','on','with'], x))) AS stop_hits
+           FROM t),
+         q AS (SELECT doc_id, n_tokens, n_types,
+             CAST(FLOOR(n_types * 10000 / n_tokens) AS BIGINT) AS ttr_e4,
+             CAST(FLOOR((nc - (n_tokens - 1)) * 10000 / n_tokens) AS BIGINT) AS avg_len_e4,
+             CAST(FLOOR(stop_hits * 10000 / n_tokens) AS BIGINT) AS stop_e4
+           FROM b)
+         SELECT doc_id, n_tokens, n_types, ttr_e4, avg_len_e4, stop_e4,
+           CAST(FLOOR((ttr_e4 + stop_e4 * 2 + least(n_tokens * 100, 10000)) / 4) AS BIGINT) AS score_e4
+         FROM q ORDER BY doc_id""",
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS declared_lang,
+             list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS ts
+           FROM documents),
+         sc AS (SELECT doc_id, declared_lang, len(ts) AS n_types,
+             len(list_intersect(ts, ['the','and','of','to','in','is','it','for','on','with'])) AS s_en,
+             len(list_intersect(ts, ['el','la','de','que','y','en','un','por','con','los'])) AS s_es,
+             len(list_intersect(ts, ['der','die','und','das','nicht','ist','ich','ein','mit','von'])) AS s_de,
+             len(list_intersect(ts, ['le','les','et','des','une','dans','est','pour','au','sur'])) AS s_fr,
+             len(list_intersect(ts, ['de','shi','le','zai','he','wo','ni','ta','men','bu'])) AS s_zh
+           FROM t),
+         g AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM sc)
+         SELECT doc_id, declared_lang,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_de = best THEN 'de'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           CAST(FLOOR(best * 10000 / n_types) AS BIGINT) AS conf_e4
+         FROM g ORDER BY doc_id""",
+    "token_count" ->
+      """SELECT doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_ws,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+         len(text) AS n_chars
+         FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Fnv64, SketchAggs}
+import graft.multimodal.Multimodal
+
+/** Tests for the training-data-pipeline operators (dedup, similarity,
+  * text analysis, multimodal plumbing). Value-level parity with DuckDB is
+  * the driver's gate; here we assert the algorithmic invariants that the
+  * oracle can't express (hash-dependent sketches, recall, batch shapes).
+  */
+class PipelineSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+
+  // ---- MinHash / LSH ------------------------------------------------------
+
+  test("dedup_minhash recovers the exact-jaccard pair set at sf0.001") {
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = SparkEntry.queries("dedup_minhash")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verified candidates can only be a subset of the exact pair set
+    assert(mh.subsetOf(exact), s"minhash produced non-pairs: ${mh -- exact}")
+    // b=32,r=4 at jaccard>=0.8 -> candidate probability ~1; demand full recall here
+    assert(mh == exact, s"missed pairs: ${exact -- mh}")
+  }
+
+  test("minhash signature estimates jaccard") {
+    val agg = new SketchAggs.MinHashSig(256)
+    def sig(xs: Seq[Long]): Array[Long] =
+      xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, (0L, x)))
+    val a = (1L to 100L).toSeq
+    val b = (21L to 120L).toSeq // true jaccard = 80/120 = 0.667
+    val est = sig(a).zip(sig(b)).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 0.667) < 0.1, s"estimate $est")
+    // merge == reduce-all (partial aggregation correctness)
+    val (l, r) = a.splitAt(50)
+    assert(agg.merge(sig(l), sig(r)).sameElements(sig(a)))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  test("simhash: near-dup docs land within hamming<=7 and share a band") {
+    val agg = new SketchAggs.SimHash64()
+    def simhash(tokens: Seq[String]): Long =
+      agg.finish(tokens.foldLeft(agg.zero)((b, t) =>
+        agg.reduce(b, (0L, Fnv64.hashBytes(t.getBytes("UTF-8"))))))
+    val base = (1 to 60).map(i => s"token$i")
+    val nearDup = base.drop(1) :+ "tokenNEW"
+    val (h1, h2) = (simhash(base), simhash(nearDup))
+    val dist = java.lang.Long.bitCount(h1 ^ h2)
+    assert(dist <= 7, s"hamming $dist")
+    val bandsEqual = (0 until 8).count(b => ((h1 >>> (b * 8)) & 0xff) == ((h2 >>> (b * 8)) & 0xff))
+    assert(bandsEqual >= 1) // pigeonhole: <=7 differing bits over 8 bands
+    // unrelated docs are far apart
+    val h3 = simhash((1 to 60).map(i => s"other$i"))
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 15)
+  }
+
+  test("dedup_simhash emits 8 band buckets per doc, consistent with the hex sketch") {
+    val rows = SparkEntry.queries("dedup_simhash")(spark, sf0001)
+      .collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty && rows.forall(_._2.length == 8))
+    rows.head._2.foreach { r =>
+      val sketch = java.lang.Long.parseUnsignedLong(r.getString(1), 16)
+      val (band, bucket) = (r.getInt(2), r.getLong(3))
+      assert(((sketch >>> (band * 8)) & 0xff) == bucket)
+    }
+  }
+
+  // ---- similarity ---------------------------------------------------------
+
+  test("sim_ann_lsh results are contained in the exact ranking's candidate pool") {
+    val exact = SparkEntry.queries("sim_topk")(spark, sf0001)
+      .select("qid", "vec_id", "sim_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf0001).collect()
+    assert(ann.nonEmpty)
+    // any ANN hit that IS in the exact top-10 must carry the same quantized sim
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exact.get(key).foreach(s => assert(s == r.getLong(4), s"sim mismatch at $key"))
+    }
+    // determinism: two runs produce identical buckets and rankings
+    val again = SparkEntry.queries("sim_ann_lsh")(spark, sf0001).collect()
+    assert(ann.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  // ---- fingerprints -------------------------------------------------------
+
+  test("fnv64 expression matches scalar implementation and is codegen-stable") {
+    import spark.implicits._
+    val df = Seq("", "a", "hello world", "the quick brown fox").toDF("s")
+    val viaExpr = df.select(
+      org.apache.spark.sql.graftbridge.Exprs.toColumn(
+        Fnv64(org.apache.spark.sql.graftbridge.Exprs.toExpr(col("s")))))
+      .collect().map(_.getLong(0))
+    val direct = Seq("", "a", "hello world", "the quick brown fox")
+      .map(s => Fnv64.hashBytes(s.getBytes("UTF-8")))
+    assert(viaExpr.toSeq == direct)
+    // golden pin: FNV-1a 64 of empty string is the offset basis
+    assert(Fnv64.hashBytes(Array.empty) == 0xcbf29ce484222325L)
+  }
+
+  test("fnv64 registers as a SQL function via GraftExtensions") {
+    // the fixture session was built with the extension installed
+    import spark.implicits._
+    val got = spark.sql("SELECT fnv64('abc')").head().getLong(0)
+    assert(got == Fnv64.hashBytes("abc".getBytes("UTF-8")))
+  }
+
+  test("text_fingerprint is deterministic and collision-free on distinct docs") {
+    val fps = SparkEntry.queries("text_fingerprint")(spark, sf0001).collect()
+    assert(fps.length == Tables.documents(spark, sf0001).count())
+    // sf0.001 has no duplicate texts -> whole-doc fingerprints are unique
+    assert(fps.map(_.getString(1)).distinct.length == fps.length)
+  }
+
+  // ---- multimodal ---------------------------------------------------------
+
+  test("multimodal batch plumbing: batch sizes, stub shapes, feature values") {
+    val batches = scala.collection.mutable.ArrayBuffer[Int]()
+    val recs = (0 until 150).map(i =>
+      Multimodal.MmRecord(i.toLong, "image", s"payload$i".getBytes, 8, 4))
+    recs.grouped(Multimodal.DECODE_BATCH).foreach { b =>
+      batches += b.length
+      val feats = Multimodal.extractBatch(b).toSeq
+      assert(feats.length == b.length)
+      feats.zip(b).foreach { case (f, r) =>
+        assert(f.payload_len == r.payload.length)
+        assert(f.byte_sum == r.payload.map(_ & 0xff).sum)
+      }
+    }
+    assert(batches.toSeq == Seq(64, 64, 22))
+    // stub decode expands to width*height deterministically
+    val px = Multimodal.decodeImageStub("ab".getBytes, 3, 2)
+    assert(px.toSeq == Seq('a', 'b', 'a', 'b', 'a', 'b').map(_.toByte))
+  }
+
+  test("multimodal features never shuffle the payload (narrow plan)") {
+    val df = Multimodal.features(spark, Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"payload crossed a shuffle:\n$plan")
+  }
+}
