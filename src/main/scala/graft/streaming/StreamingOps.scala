@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` schema (SURVEY.md §2.3
+  * "Streaming" row — absent in the reference, declared in the engine plan):
+  * watermarked tumbling/sliding window aggregation and stateful
+  * sessionization via `flatMapGroupsWithState`.
+  *
+  * Scale notes: both operators shuffle once on their grouping key
+  * (window x type, user_id) and hold bounded state — window state is
+  * dropped once the watermark passes, session state dies with its timeout.
+  * That bounded-state property is what lets the same code run against an
+  * unbounded 100 TB/day stream; sizing is state-per-key x active keys,
+  * independent of stream length.
+  */
+object StreamingOps {
+
+  case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long, sum_value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Tumbling (slide == width) or sliding event-time window counts with a
+    * watermark: late rows beyond `watermark` are dropped, window state is
+    * reclaimed as the watermark advances. */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes",
+      width: String = "5 minutes", slide: Option[String] = None): DataFrame = {
+    val w = slide.map(sl => window(col("ts"), width, sl))
+      .getOrElse(window(col("ts"), width))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization: events for a user belong to one session
+    * while consecutive gaps stay under `gapMs`; a session closes when the
+    * event-time watermark passes its end + gap (EventTimeTimeout), keeping
+    * per-user state O(1). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      (implicit s: SparkSession): Dataset[SessionOut] = {
+    import s.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(st.start),
+              new Timestamp(st.end), st.n, st.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.end <= gapMs =>
+                  cur = Some(SessionState(st.start, math.max(st.end, t),
+                    st.n + 1, st.total + e.value))
+                case Some(st) =>
+                  closed ::= SessionOut(userId, new Timestamp(st.start),
+                    new Timestamp(st.end), st.n, st.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-based streaming read of an events directory (the batch parquet
+    * becomes a stream source unchanged — same schema, same downstream
+    * operators). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // file stream sources take directories; point at the SF dir and
+    // glob-filter to the events file(s)
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+}
