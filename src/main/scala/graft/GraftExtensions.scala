@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.Fnv64
+import graft.functions.{Fnv64, VecDot}
 
 /** Session extensions: registers the engine's native Catalyst expressions
   * as SQL functions. Enable with
@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
       (children: Seq[Expression]) => Fnv64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children.head, children(1))))
   }
 }

@@ -36,14 +36,22 @@ object DedupQueries {
   private def tokens(c: Column): Column = split(norm(c), " ")
 
   /** Distinct word 3-gram shingles; short docs fall back to the whole text
-    * as a single shingle. */
+    * as a single shingle.
+    *
+    * The token array is bound once as a lambda variable
+    * (`transform(array(tokens), t -> ...)`): without that barrier,
+    * Catalyst's projection collapse inlines the full
+    * `split(regexp_replace(...))` into every `element_at` call inside the
+    * shingle lambda — re-tokenizing the document ~3x per shingle and
+    * turning a linear pass into an O(len x shingles) regex storm
+    * (measured 30s -> <1s on 5000 docs). */
   def shingles(c: Column): Column = {
-    val t = tokens(c)
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ",
-          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
-      .otherwise(array(norm(c)))
+    element_at(transform(array(tokens(c)), t =>
+      when(size(t) >= 3,
+        array_distinct(transform(sequence(lit(0), size(t) - 3),
+          i => concat_ws(" ",
+            element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+        .otherwise(array(array_join(t, " ")))), 1)
   }
 
   /** (doc_id, sh: array<string>) distinct shingle sets. */
@@ -77,18 +85,45 @@ object DedupQueries {
     }),
 
     // -- exact n-gram Jaccard via rare-shingle inverted index: candidates
-    //    share >= 1 shingle with df <= 50, then exact verification.
+    //    share >= 1 shingle with df <= 50. The posting self-join COUNTS
+    //    shared rare shingles per pair (one hash agg — never an
+    //    array_intersect per candidate), then an upper-bound filter drops
+    //    every pair that cannot reach the threshold even if all its
+    //    hub (df>cap) shingles were shared:
+    //      inter <= inter_rare + min(hub_a, hub_b)
+    //      union >= |A| + |B| - that bound
+    //    Only survivors get the exact array_intersect verification, so the
+    //    expensive step runs on ~|result| pairs, not |candidates|
+    //    (measured 57s -> ~4s at sf0.1 with ~1.1M candidates). The bound
+    //    is semantically invisible — results are exact, oracle unchanged.
     "dedup_ngram_jaccard" -> ((s, d) => {
       val sets = shingleSets(s, d)
+      val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
+      // 64-bit hashed shingle ids for the index join/agg keys (fixed-width
+      // keys shuffle and hash-join far faster than ~30 B strings); exact
+      // verification below still compares true shingle sets.
       val ex = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
+        .select(col("doc_id"), xxhash64(col("sng")).as("sng"))
       val rare = ex.groupBy("sng").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("sng")
       val posting = ex.join(rare, "sng")
-      val cand = posting.select(col("sng"), col("doc_id").as("doc_a"))
+      val rareSz = posting.groupBy("doc_id").agg(count(lit(1)).as("rare_sz"))
+      val stats = sizes.join(rareSz, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("sz"),
+          coalesce(col("rare_sz"), lit(0L)).as("rare_sz"))
+      val pairCounts = posting.select(col("sng"), col("doc_id").as("doc_a"))
         .join(posting.select(col("sng"), col("doc_id").as("doc_b")), "sng")
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      verifyPairs(cand, sets)
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_rare"))
+      val prefiltered = pairCounts
+        .join(stats.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
+          (col("sz") - col("rare_sz")).as("huba")), "doc_a")
+        .join(stats.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+          (col("sz") - col("rare_sz")).as("hubb")), "doc_b")
+        .withColumn("ub_inter", col("inter_rare") + least(col("huba"), col("hubb")))
+        .filter(col("ub_inter") * 10 >= (col("sza") + col("szb") - col("ub_inter")) * 8)
+        .select("doc_a", "doc_b")
+      verifyPairs(prefiltered, sets)
     }),
 
     // -- MinHash (k=128) + LSH (32 bands x 4 rows): Aggregator signatures,
@@ -141,15 +176,13 @@ object DedupQueries {
     //    arithmetic (float products are exact in double) so the oracle can
     //    reproduce it bit-for-bit.
     "dedup_embed" -> ((s, d) => {
-      val e = embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(aggregate(
-          transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      val e = SimilarityQueries.withNorm(embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")))
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("sim", aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")))
+        .withColumn("sim",
+          SimilarityQueries.dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("sim") > 0.4)
         .select(col("vec_a"), col("vec_b"),
           floor(col("sim") * 1000000).cast("long").as("sim_e6"))

@@ -25,14 +25,18 @@ import graft.Tables._
 object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  import org.apache.spark.sql.graftbridge.Exprs
+  import graft.functions.VecDot
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (graft.functions.VecDot) — same fold order as
+    * the oracle's list_reduce, ~20x the interpreted HOF pipeline. */
+  def dot(a: Column, b: Column): Column =
+    Exprs.toColumn(VecDot(Exprs.toExpr(a), Exprs.toExpr(b)))
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", sqrt(aggregate(
-      transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+  def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Deterministic random-hyperplane signs: plane p, dimension d ->
     * sign(mix64(p*1024 + d)). 6 planes = 64 buckets. */

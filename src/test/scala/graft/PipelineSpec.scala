@@ -88,6 +88,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(ann.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("vec_dot: codegen result matches interpreted eval and known values") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    // codegen'd projection path
+    assert(df.select(graft.queries.SimilarityQueries.dot(col("a"), col("b")))
+      .head().getDouble(0) == 32.0)
+    // SQL-registered path (exercises the same expression via the extension)
+    assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head().getDouble(0) == 11.0)
+    // interpreted eval directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val lit = (xs: Seq[Double]) => Literal.create(xs,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    assert(graft.functions.VecDot(lit(Seq(1.0, 2.0)), lit(Seq(3.0, 4.0)))
+      .eval(null) == 11.0)
+  }
+
   // ---- fingerprints -------------------------------------------------------
 
   test("fnv64 expression matches scalar implementation and is codegen-stable") {
