@@ -28,6 +28,28 @@ object GraphQueries {
   def edges(s: SparkSession, d: String): DataFrame =
     orders(s, d).select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
 
+  /** Encode the orders-derived adjacency as a BVGraph triple under the JVM
+    * temp dir (write-once per SF dir) and return the basename. BV
+    * compression is a sequential single-writer sink — same as upstream
+    * WebGraph's offline compressor — so the driver-side collect here is
+    * the sink's contract, not a scan anti-pattern; reads stay distributed. */
+  def bvFixture(s: SparkSession, d: String): String = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bv_${math.abs(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(base + ".properties"))) {
+      val pairs = edges(s, d)
+        .select(col("src").cast("int"), col("dst").cast("int"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      val n = if (pairs.isEmpty) 0
+        else math.max(pairs.map(_._1).max, pairs.map(_._2).max) + 1
+      val adj = {
+        val m = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+        Array.tabulate(n)(x => m.getOrElse(x, Array.empty[Int]))
+      }
+      new graft.bv.BvEncoder(graft.bv.BvProperties(0, 0)).write(base, adj)
+    }
+    base
+  }
+
   val queries: Map[String, Q] = Map(
     // -- Q1-equivalent: adjacency rows (id, successors). Successors surface
     //    as a comma-joined ascending string so the hash compare is
@@ -71,23 +93,23 @@ object GraphQueries {
     //    compressor — so the driver-side collect here is the sink's contract,
     //    not a scan anti-pattern; reads stay fully distributed.)
     "bv_roundtrip" -> ((s, d) => {
-      val pairs = edges(s, d)
-        .select(col("src").cast("int"), col("dst").cast("int"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)))
-      val n = if (pairs.isEmpty) 0
-        else math.max(pairs.map(_._1).max, pairs.map(_._2).max) + 1
-      val adj = {
-        val m = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
-        Array.tabulate(n)(x => m.getOrElse(x, Array.empty[Int]))
-      }
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bv_${math.abs(d.hashCode)}"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(base + ".properties")))
-        new graft.bv.BvEncoder(graft.bv.BvProperties(0, 0)).write(base, adj)
+      val base = bvFixture(s, d)
       s.read.format("bvgraph").option("basename", base).option("splits", 8).load()
         .select(col("id").cast("long").as("src"),
           explode(col("successors")).as("d"))
         .select(col("src"), col("d").cast("long").as("dst"))
         .orderBy("src", "dst")
+    }),
+
+    // -- degree-only BV scan: decodes the graph but projects only
+    //    (id, outdegree); all nodes appear, including sinks with degree 0
+    //    (the reference's D3 outdegree path, HdfsBVGraph.java:69-91).
+    "bv_degrees" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      s.read.format("bvgraph").option("basename", base).option("splits", 8).load()
+        .select(col("id").cast("long").as("id"),
+          size(col("successors")).cast("long").as("outdeg"))
+        .orderBy("id")
     }),
 
     // -- top-k by indegree (TakeOrderedAndProject — scales to 100 TB where
@@ -106,6 +128,14 @@ object GraphQueries {
     "bv_roundtrip" ->
       """SELECT o_custkey AS src, o_orderkey AS dst
          FROM orders ORDER BY src, dst""",
+    "bv_degrees" ->
+      """WITH ids AS (SELECT unnest(generate_series(0,
+             (SELECT greatest(max(o_custkey), max(o_orderkey)) FROM orders))) AS i)
+         SELECT ids.i AS id, COALESCE(c.cnt, 0) AS outdeg
+         FROM ids
+         LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt
+                    FROM orders GROUP BY o_custkey) c ON ids.i = c.o_custkey
+         ORDER BY id""",
     "adjacency_list" ->
       """SELECT o_custkey AS src,
          STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS successors,
