@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates (the 100 TB checklist from the builder
+  * brief): filters and projections must reach the parquet scan, small
+  * dimensions must broadcast, aggregates must partial-aggregate before the
+  * shuffle, global top-k must compile to TakeOrderedAndProject (not a
+  * global sort), and the hot path must stay inside WholeStageCodegen.
+  * Plan regressions — e.g. a filter that stops pushing down — fail here
+  * long before they would show up as a benchmark regression.
+  */
+class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  import SparkSessionFixture._
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def executed(df: DataFrame): String = {
+    df.collect() // drives THIS df's AdaptiveSparkPlanExec to its final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("proj_filter: predicate and projection pushed into the parquet scan") {
+    val p = planOf("proj_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed:\n$p")
+    // column pruning: the scan reads only the 4 needed of 16 lineitem cols
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:bigint," +
+      "l_quantity:double,l_extendedprice:double,l_discount:double>")
+      || p.contains("l_extendedprice") && !p.contains("l_comment"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("join_bhj: dimension side broadcasts (no shuffle of the fact table for the join)") {
+    val p = planOf("join_bhj")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("join_smj: fact-fact join shuffles on the key (sort-merge or shuffled-hash)") {
+    // at sf0.001 AQE correctly demotes this to broadcast; disable the
+    // thresholds to observe the shape this plan takes at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = executed(SparkEntry.queries("join_smj")(spark, sf0001))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected shuffle join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("q1_agg: partial aggregation runs before the exchange, inside codegen") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf0001)
+    val p = executed(df) // AQE final plan exposes codegen spans
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx > 0, "no hash exchange found")
+    assert(p.indexOf("partial_sum", exchangeIdx) > 0,
+      s"partial agg did not run before the shuffle:\n$p")
+    val spans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, s"agg fell out of codegen:\n$p")
+  }
+
+  test("top_revenue: global top-k is TakeOrderedAndProject, never a global sort") {
+    val p = planOf("top_revenue")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k compiled to a sort:\n$p")
+  }
+
+  test("sim_topk: probe side is broadcast; corpus is scanned once") {
+    val p = planOf("sim_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"probe vectors not broadcast:\n$p")
+  }
+
+  test("dedup_exact groups on the fixed-width digest, not the raw text") {
+    val p = planOf("dedup_exact")
+    assert(p.contains("md5"), s"expected md5 digest grouping:\n$p")
+    val ex = p.linesIterator.find(_.contains("Exchange hashpartitioning"))
+    // the digest is aliased to _groupingexpression before the exchange;
+    // the raw text column must not be a shuffle key
+    assert(ex.isDefined && !ex.get.contains("text#"),
+      s"raw text crossed the shuffle as a key:\n$p")
+  }
+
+  test("bv scan reports stats so Catalyst can plan broadcasts against it") {
+    val base = graft.queries.GraphQueries.bvFixture(spark, sf0001)
+    val df = spark.read.format("bvgraph").option("basename", base).load()
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.isDefined && stats.rowCount.get.toLong > 0)
+  }
+}
