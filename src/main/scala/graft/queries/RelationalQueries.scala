@@ -124,6 +124,40 @@ object RelationalQueries {
         .orderBy("region", "nation")
     }),
 
+    // -- full cube over two low-cardinality dims (grouping-sets engine,
+    //    4 grouping sets expanded map-side)
+    "agg_cube" -> ((s, d) => {
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("vol_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("vol_cents"))
+        .orderBy("status", "priority")
+    }),
+
+    // -- offset window functions: lag/lead over each customer's order
+    //    history (inter-order gap in days)
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // -- set op: INTERSECT (customers active in both order statuses)
+    "setops_intersect" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+
     // -- multi-distinct aggregation (expand + two-phase agg under the hood)
     "agg_distinct" -> ((s, d) => {
       lineitem(s, d)
@@ -286,6 +320,27 @@ object RelationalQueries {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
          ORDER BY region, nation""",
+    "agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+         COALESCE(o_orderpriority, '(all)') AS priority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS vol_cents
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day',
+           LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS BIGINT) AS days_since_prev,
+         LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "setops_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
     "agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
          COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
