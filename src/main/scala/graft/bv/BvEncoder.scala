@@ -137,25 +137,26 @@ final class BvEncoder(props: BvProperties) {
     counter.writtenBits
   }
 
-  /** Encode the whole graph. `adjacency(x)` must be strictly ascending,
-    * duplicate-free, values in [0, n). Returns (graphBytes, offsetsBytes,
-    * propertiesText) with `arcs` filled in.
-    */
-  def encode(adjacency: Array[Array[Int]]): (Array[Byte], Array[Byte], String) = {
-    val n = adjacency.length
-    val graphBos = new java.io.ByteArrayOutputStream()
-    val out = new BitOutput(graphBos)
-    val offsets = new Array[Long](n + 1)
-    // window of recent lists + each one's reference-chain length
-    val cyclic = windowSize + 1
-    val window = new Array[Array[Int]](math.max(cyclic, 1))
-    val refCounts = new Array[Int](math.max(cyclic, 1))
-    var arcs = 0L
+  /** Stateful one-node-at-a-time encoder: nodes are appended in ascending
+    * id order and the bit stream grows incrementally — this is what lets a
+    * Spark `DataWriter` encode its partition's node range without
+    * buffering the whole adjacency (the distributed BV sink,
+    * graft.sources write path). */
+  final class Stream(graphOut: java.io.OutputStream) {
+    private val out = new BitOutput(graphOut)
+    private val cyclic = math.max(windowSize + 1, 1)
+    private val window = new Array[Array[Int]](cyclic)
+    private val refCounts = new Array[Int](cyclic)
+    private val offsetsBuf = new scala.collection.mutable.ArrayBuffer[Long]
+    private var x = 0
+    private var arcs = 0L
 
-    var x = 0
-    while (x < n) {
-      offsets(x) = out.writtenBits
-      val succ = adjacency(x)
+    def nodeCount: Int = x
+    def arcCount: Long = arcs
+
+    /** Append node `x` (implicit: call order defines ids 0,1,2,…). */
+    def append(succ: Array[Int]): Unit = {
+      offsetsBuf += out.writtenBits
       arcs += succ.length
       var bestRef = 0
       var bestCost = Long.MaxValue
@@ -180,29 +181,40 @@ final class BvEncoder(props: BvProperties) {
       }
       x += 1
     }
-    offsets(n) = out.writtenBits
-    out.flush()
 
-    val offBos = new java.io.ByteArrayOutputStream()
-    val offOut = new BitOutput(offBos)
-    var prev = 0L
-    var i = 0
-    while (i <= n) {
-      val gap = offsets(i) - prev
-      props.codings.offset match {
-        case Coding.GAMMA => offOut.writeGamma(gap)
-        case Coding.DELTA => offOut.writeDelta(gap)
-        case Coding.ZETA => offOut.writeZeta(gap, zetaK)
-        case Coding.UNARY => offOut.writeUnary(gap.toInt)
-        case c => throw new IllegalStateException(s"offset coding $c unsupported")
+    /** Flush the graph stream; returns (offsetsBytes, propertiesText). */
+    def finish(): (Array[Byte], String) = {
+      offsetsBuf += out.writtenBits
+      out.flush()
+      val offBos = new java.io.ByteArrayOutputStream()
+      val offOut = new BitOutput(offBos)
+      var prev = 0L
+      offsetsBuf.foreach { o =>
+        val gap = o - prev
+        props.codings.offset match {
+          case Coding.GAMMA => offOut.writeGamma(gap)
+          case Coding.DELTA => offOut.writeDelta(gap)
+          case Coding.ZETA => offOut.writeZeta(gap, zetaK)
+          case Coding.UNARY => offOut.writeUnary(gap.toInt)
+          case c => throw new IllegalStateException(s"offset coding $c unsupported")
+        }
+        prev = o
       }
-      prev = offsets(i)
-      i += 1
+      offOut.flush()
+      (offBos.toByteArray, props.copy(nodes = x, arcs = arcs).render)
     }
-    offOut.flush()
+  }
 
-    val finalProps = props.copy(nodes = n, arcs = arcs)
-    (graphBos.toByteArray, offBos.toByteArray, finalProps.render)
+  /** Encode the whole graph. `adjacency(x)` must be strictly ascending,
+    * duplicate-free, values in [0, n). Returns (graphBytes, offsetsBytes,
+    * propertiesText) with `arcs` filled in.
+    */
+  def encode(adjacency: Array[Array[Int]]): (Array[Byte], Array[Byte], String) = {
+    val graphBos = new java.io.ByteArrayOutputStream()
+    val st = new Stream(graphBos)
+    adjacency.foreach(st.append)
+    val (offsets, propsText) = st.finish()
+    (graphBos.toByteArray, offsets, propsText)
   }
 
   /** Encode and write the `.graph`/`.offsets`/`.properties` triple. */

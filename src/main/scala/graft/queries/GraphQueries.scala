@@ -28,24 +28,24 @@ object GraphQueries {
   def edges(s: SparkSession, d: String): DataFrame =
     orders(s, d).select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
 
-  /** Encode the orders-derived adjacency as a BVGraph triple under the JVM
-    * temp dir (write-once per SF dir) and return the basename. BV
-    * compression is a sequential single-writer sink — same as upstream
-    * WebGraph's offline compressor — so the driver-side collect here is
-    * the sink's contract, not a scan anti-pattern; reads stay distributed. */
+  /** Compress the orders-derived adjacency to a sharded BVGraph under the
+    * JVM temp dir (write-once per SF dir) via the fully distributed DSv2
+    * sink — range shuffle on id, one stream-encoded shard per task, no
+    * data ever passes through the driver — and return the basename. */
   def bvFixture(s: SparkSession, d: String): String = {
     val base = s"${sys.props("java.io.tmpdir")}/graft_bv_${math.abs(d.hashCode)}"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(base + ".properties"))) {
-      val pairs = edges(s, d)
-        .select(col("src").cast("int"), col("dst").cast("int"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)))
-      val n = if (pairs.isEmpty) 0
-        else math.max(pairs.map(_._1).max, pairs.map(_._2).max) + 1
-      val adj = {
-        val m = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
-        Array.tabulate(n)(x => m.getOrElse(x, Array.empty[Int]))
-      }
-      new graft.bv.BvEncoder(graft.bv.BvProperties(0, 0)).write(base, adj)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(base + ".shards"))) {
+      val e = edges(s, d).select(col("src").cast("int").as("src"),
+        col("dst").cast("int").as("dst"))
+      val n = e.agg(greatest(max(col("src")), max(col("dst")))).head().getInt(0) + 1
+      val adjacency = s.range(0, n).select(col("id").cast("int").as("id"))
+        .join(e.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("successors")),
+          col("id") === col("src"), "left")
+        .select(col("id"),
+          coalesce(col("successors"), array().cast("array<int>")).as("successors"))
+      adjacency.write.format("bvgraph").option("basename", base)
+        .option("shards", 8).mode("overwrite").save()
     }
     base
   }

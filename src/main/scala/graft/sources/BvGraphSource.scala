@@ -67,14 +67,21 @@ object BvGraphTable {
 }
 
 class BvGraphTable(basename: String, splits: Option[Int])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"bvgraph(`$basename`)"
   override def schema(): StructType = BvGraphTable.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BvGraphScanBuilder(basename, splits)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new BvWriteBuilder(basename, info)
 }
 
 class BvGraphScanBuilder(basename: String, splits: Option[Int])
@@ -96,20 +103,33 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType)
     s"BvGraphScan(basename=$basename, columns=${required.fieldNames.mkString(",")})"
 
   // Loaded lazily on the driver for planning (offsets for byte-balancing,
-  // properties for stats). The per-executor cache is separate.
+  // properties for stats). The per-executor cache is separate. Sharded
+  // graphs (written by the distributed sink) are planned from the
+  // manifest instead.
+  private lazy val manifest: Option[BvShards.Manifest] =
+    BvShards.readManifest(basename)
   private lazy val graph: BvGraph = BvGraphCache.get(basename)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): util.OptionalLong = {
-      // decompressed relational size: 4 B id + ~4 B per successor
-      val g = graph
-      util.OptionalLong.of(4L * g.n + 4L * g.m)
+    private val (n, m) = manifest match {
+      case Some(mf) => (mf.nodes.toLong, mf.arcs)
+      case None => (graph.n.toLong, graph.m)
     }
-    override def numRows(): util.OptionalLong =
-      util.OptionalLong.of(graph.n.toLong)
+    override def sizeInBytes(): util.OptionalLong =
+      // decompressed relational size: 4 B id + ~4 B per successor
+      util.OptionalLong.of(4L * n + 4L * m)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    manifest.foreach { mf =>
+      // one partition per shard: shards were sized by the writer's range
+      // shuffle, and each is an independently decodable graph
+      return mf.shards.map { sh =>
+        BvInputPartition(sh.base, 0, sh.until - sh.from, sh.from,
+          Array.empty): InputPartition
+      }.toArray
+    }
     val g = graph
     val n = g.n
     if (n == 0) return Array.empty
@@ -150,29 +170,31 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType)
         try fs.getFileBlockLocations(status, startByte,
           math.max(1L, endByte - startByte)).flatMap(_.getHosts).distinct
         catch { case _: Exception => Array.empty[String] }
-      BvInputPartition(from, until, hosts): InputPartition
+      BvInputPartition(basename, from, until, 0, hosts): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BvGraphReaderFactory(basename,
+    new BvGraphReaderFactory(
       needSuccessors = required.fieldNames.contains("successors"),
       needId = required.fieldNames.contains("id"))
 }
 
 /** Serialized driver→executor split descriptor (mirrors the reference's
-  * NodeIteratorInputSplit, io/NodeIteratorInputSplit.java:11-50). */
-case class BvInputPartition(from: Int, until: Int, hosts: Array[String])
-    extends InputPartition {
+  * NodeIteratorInputSplit, io/NodeIteratorInputSplit.java:11-50).
+  * `basename` points at the (shard) graph; local node range
+  * [from, until); global id = local id + idOffset (0 for unsharded). */
+case class BvInputPartition(basename: String, from: Int, until: Int,
+    idOffset: Int, hosts: Array[String]) extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
 }
 
-class BvGraphReaderFactory(basename: String, needSuccessors: Boolean,
+class BvGraphReaderFactory(needSuccessors: Boolean,
     needId: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BvInputPartition]
     if (!needSuccessors) new BvIdOnlyReader(p, needId)
-    else new BvGraphPartitionReader(basename, p, needId)
+    else new BvGraphPartitionReader(p, needId)
   }
 }
 
@@ -184,15 +206,15 @@ class BvIdOnlyReader(p: BvInputPartition, needId: Boolean)
   private val row = new GenericInternalRow(if (needId) 1 else 0)
   override def next(): Boolean = { curr += 1; curr < p.until }
   override def get(): InternalRow = {
-    if (needId) row.update(0, curr)
+    if (needId) row.update(0, curr + p.idOffset)
     row
   }
   override def close(): Unit = ()
 }
 
-class BvGraphPartitionReader(basename: String, p: BvInputPartition,
+class BvGraphPartitionReader(p: BvInputPartition,
     needId: Boolean) extends PartitionReader[InternalRow] {
-  private val graph = BvGraphCache.get(basename)
+  private val graph = BvGraphCache.get(p.basename)
   private val iter = graph.nodeIterator(p.from, p.until)
   private var curr: (Int, Array[Int]) = _
   private val nFields = if (needId) 2 else 1
@@ -206,7 +228,7 @@ class BvGraphPartitionReader(basename: String, p: BvInputPartition,
 
   override def get(): InternalRow = {
     val arr = UnsafeArrayData.fromPrimitiveArray(curr._2)
-    if (needId) { row.update(0, curr._1); row.update(1, arr) }
+    if (needId) { row.update(0, curr._1 + p.idOffset); row.update(1, arr) }
     else row.update(0, arr)
     row
   }

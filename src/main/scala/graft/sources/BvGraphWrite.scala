@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+import graft.bv.{BvEncoder, BvProperties}
+
+/** Distributed BVGraph sink: `df.write.format("bvgraph").option("basename", b)`.
+  *
+  * BV compression is sequential within a stream (reference windows +
+  * delta-coded offsets), so a single .graph file cannot be written by
+  * parallel tasks. The distributed design is the same one parquet uses —
+  * shards: the write declares `RequiresDistributionAndOrdering` (range
+  * partition by `id`, sorted ascending), each task stream-encodes its
+  * contiguous node range as a standalone BVGraph triple
+  * `<basename>.d/part-NNNNN.{graph,offsets,properties}` with LOCAL node
+  * ids 0..n_i (successor values stay global), and the driver commits a
+  * `<basename>.shards` manifest mapping shards to global id ranges. The
+  * bvgraph reader plans one partition per shard, so a sharded graph scans
+  * with full parallelism and zero decode coupling between shards.
+  *
+  * At 100 TB: encode is one range shuffle + embarrassingly parallel
+  * per-shard compression; no driver bottleneck, no global sort of
+  * anything but the shuffle's range boundaries.
+  *
+  * Ids absent from the input inside a shard's range become empty-successor
+  * nodes; ids absent at shard boundaries are not materialized (provide a
+  * dense id range upstream if degree-0 tails matter).
+  */
+class BvWriteBuilder(basename: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this // shards are always replaced
+  override def build(): Write = new BvWrite(basename, info.schema(),
+    Option(info.options.get("shards")).map(_.toInt).getOrElse(0))
+}
+
+class BvWrite(basename: String, schema: StructType, shards: Int)
+    extends Write with RequiresDistributionAndOrdering {
+  private val ordering: Array[SortOrder] =
+    Array(Expressions.sort(Expressions.column("id"), SortDirection.ASCENDING))
+  override def requiredDistribution(): Distribution = Distributions.ordered(ordering)
+  override def requiredOrdering(): Array[SortOrder] = ordering
+  /** 0 = planner/AQE decides (coalesces small writes); `shards` option
+    * pins the shard count. */
+  override def requiredNumPartitions(): Int = shards
+
+  override def toBatch: BatchWrite = new BvBatchWrite(basename, schema)
+}
+
+case class BvShardCommit(part: Int, from: Int, until: Int, arcs: Long,
+    nonEmpty: Boolean) extends WriterCommitMessage
+
+class BvBatchWrite(basename: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new BvWriterFactory(basename, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val shards = messages.collect { case m: BvShardCommit if m.nonEmpty => m }
+      .sortBy(_.from)
+    shards.sliding(2).foreach {
+      case Array(a, b) => require(a.until <= b.from,
+        s"overlapping shards: [${a.from},${a.until}) vs [${b.from},${b.until})")
+      case _ =>
+    }
+    val conf = new Configuration()
+    val manifest = new Path(basename + ".shards")
+    val fs = manifest.getFileSystem(conf)
+    val sb = new StringBuilder
+    sb.append(s"shards=${shards.length}\n")
+    sb.append(s"nodes=${if (shards.isEmpty) 0 else shards.map(_.until).max}\n")
+    sb.append(s"arcs=${shards.map(_.arcs).sum}\n")
+    shards.zipWithIndex.foreach { case (sh, i) =>
+      sb.append(s"shard.$i.file=${BvShards.shardBase(basename, sh.part)}\n")
+      sb.append(s"shard.$i.from=${sh.from}\n")
+      sb.append(s"shard.$i.until=${sh.until}\n")
+    }
+    val out = fs.create(manifest, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val dir = new Path(basename + ".d")
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+}
+
+object BvShards {
+  def shardBase(basename: String, part: Int): String =
+    f"$basename.d/part-$part%05d"
+
+  case class Shard(base: String, from: Int, until: Int)
+  case class Manifest(nodes: Int, arcs: Long, shards: Seq[Shard])
+
+  /** Read `<basename>.shards` if present. */
+  def readManifest(basename: String): Option[Manifest] = {
+    val conf = new Configuration()
+    val p = new Path(basename + ".shards")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val props = new java.util.Properties()
+    val in = fs.open(p)
+    try props.load(in) finally in.close()
+    val k = props.getProperty("shards").toInt
+    val shards = (0 until k).map { i =>
+      Shard(props.getProperty(s"shard.$i.file"),
+        props.getProperty(s"shard.$i.from").toInt,
+        props.getProperty(s"shard.$i.until").toInt)
+    }
+    Some(Manifest(props.getProperty("nodes").toInt,
+      props.getProperty("arcs").toLong, shards))
+  }
+}
+
+class BvWriterFactory(basename: String, schema: StructType)
+    extends DataWriterFactory {
+  private val idIdx = schema.fieldIndex("id")
+  private val succIdx = schema.fieldIndex("successors")
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BvShardWriter(basename, partitionId, taskId, idIdx, succIdx)
+}
+
+/** One task = one shard. Rows arrive id-ascending (RequiresDistributionAnd-
+  * Ordering); the shard is stream-encoded as it arrives — memory held is
+  * the reference window, not the partition. Output goes to an
+  * attempt-suffixed temp triple, renamed into place on task commit. */
+class BvShardWriter(basename: String, partitionId: Int, taskId: Long,
+    idIdx: Int, succIdx: Int) extends DataWriter[InternalRow] {
+  private val conf = new Configuration()
+  private val finalBase = BvShards.shardBase(basename, partitionId)
+  private val tmpBase = s"$finalBase.attempt-$taskId"
+  private val fs = new Path(finalBase + ".graph").getFileSystem(conf)
+
+  private var enc: BvEncoder#Stream = _
+  private var graphOut: org.apache.hadoop.fs.FSDataOutputStream = _
+  private var from = -1
+  private var nextId = -1
+
+  override def write(row: InternalRow): Unit = {
+    val id = row.getInt(idIdx)
+    if (enc == null) {
+      graphOut = fs.create(new Path(tmpBase + ".graph"), true)
+      val encoder = new BvEncoder(BvProperties(0, 0))
+      enc = new encoder.Stream(graphOut)
+      from = id
+      nextId = id
+    }
+    require(id >= nextId, s"ids must be ascending: got $id after ${nextId - 1}")
+    while (nextId < id) { enc.append(Array.empty[Int]); nextId += 1 } // gap nodes
+    val succ = row.getArray(succIdx).toIntArray()
+    enc.append(succ)
+    nextId += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (enc == null) return BvShardCommit(partitionId, 0, 0, 0L, nonEmpty = false)
+    val (offsets, propsText) = enc.finish()
+    graphOut.close()
+    def put(suffix: String, bytes: Array[Byte]): Unit = {
+      val out = fs.create(new Path(tmpBase + suffix), true)
+      try out.write(bytes) finally out.close()
+    }
+    put(".offsets", offsets)
+    put(".properties", propsText.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    Seq(".graph", ".offsets", ".properties").foreach { sfx =>
+      val dst = new Path(finalBase + sfx)
+      if (fs.exists(dst)) fs.delete(dst, false)
+      require(fs.rename(new Path(tmpBase + sfx), dst), s"rename failed: $dst")
+    }
+    BvShardCommit(partitionId, from, nextId, enc.arcCount, nonEmpty = true)
+  }
+
+  override def abort(): Unit = {
+    if (graphOut != null) graphOut.close()
+    Seq(".graph", ".offsets", ".properties").foreach { sfx =>
+      val p = new Path(tmpBase + sfx)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+/** Distributed BV sink: df.write.format("bvgraph") range-shuffles by id,
+  * stream-encodes one shard per task, commits a manifest; the reader plans
+  * one partition per shard. Round-trip equality is the gate. */
+class BvWriteSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+
+  private def adjDf(adj: Array[Array[Int]]) = {
+    import spark.implicits._
+    adj.zipWithIndex.map { case (succ, id) => (id, succ) }
+      .toSeq.toDF("id", "successors")
+      .select(col("id").cast("int").as("id"),
+        col("successors").cast("array<int>").as("successors"))
+  }
+
+  private def randomAdj(n: Int, seed: Long): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(n) { _ =>
+      val d = rnd.nextInt(10)
+      val s = scala.collection.mutable.SortedSet.empty[Int]
+      while (s.size < d) s += rnd.nextInt(n)
+      s.toArray
+    }
+  }
+
+  test("distributed write -> sharded read round-trips") {
+    val adj = randomAdj(2000, 77L)
+    val base = java.nio.file.Files.createTempDirectory("bvw").toString + "/g"
+    adjDf(adj)
+      .write.format("bvgraph").option("basename", base).option("shards", 7)
+      .mode("overwrite").save()
+
+    val mf = BvShards.readManifest(base)
+    assert(mf.isDefined && mf.get.shards.length > 1, s"expected shards: $mf")
+    assert(mf.get.nodes == 2000)
+    assert(mf.get.arcs == adj.map(_.length.toLong).sum)
+    // shards tile [0, 2000) contiguously
+    val ranges = mf.get.shards.map(sh => (sh.from, sh.until)).sortBy(_._1)
+    assert(ranges.head._1 == 0 && ranges.last._2 == 2000)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 == b._1, s"gap between $a and $b")
+      case _ =>
+    }
+
+    val back = spark.read.format("bvgraph").option("basename", base).load()
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(back.size == 2000)
+    adj.indices.foreach(x => assert(back(x).sameElements(adj(x)), s"node $x"))
+  }
+
+  test("sharded read: scan parallelism equals shard count; pruned id scan works") {
+    val adj = randomAdj(600, 5L)
+    val base = java.nio.file.Files.createTempDirectory("bvw").toString + "/g"
+    adjDf(adj).write.format("bvgraph").option("basename", base).mode("overwrite").save()
+    val df = spark.read.format("bvgraph").option("basename", base).load()
+    val nShards = BvShards.readManifest(base).get.shards.length
+    assert(df.rdd.getNumPartitions == nShards)
+    assert(df.select("id").count() == 600)
+    assert(df.agg(sum(size(col("successors")))).head().getLong(0)
+      == adj.map(_.length.toLong).sum)
+  }
+
+  test("write fills interior id gaps with empty nodes") {
+    import spark.implicits._
+    val df = Seq((0, Array(2, 5)), (2, Array(0)), (5, Array(0, 2)))
+      .toDF("id", "successors")
+      .select(col("id").cast("int"), col("successors").cast("array<int>"))
+    val base = java.nio.file.Files.createTempDirectory("bvw").toString + "/g"
+    df.write.format("bvgraph").option("basename", base).mode("overwrite").save()
+    val back = spark.read.format("bvgraph").option("basename", base).load()
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(back.keySet == Set(0, 1, 2, 3, 4, 5))
+    assert(back(1).isEmpty && back(3).isEmpty && back(4).isEmpty)
+    assert(back(5).sameElements(Array(0, 2)))
+  }
+}
