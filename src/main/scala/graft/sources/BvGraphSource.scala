@@ -85,22 +85,62 @@ class BvGraphTable(basename: String, splits: Option[Int])
 }
 
 class BvGraphScanBuilder(basename: String, splits: Option[Int])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = BvGraphTable.SCHEMA
+  private var lo: Long = Int.MinValue.toLong // inclusive id lower bound
+  private var hi: Long = Int.MaxValue.toLong // exclusive id upper bound
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new BvGraphScan(basename, splits, required)
+  /** Range predicates on `id` prune node ranges at planning time (offsets
+    * make any id range directly addressable — zero I/O for skipped
+    * nodes). All filters are also left as residuals for Spark to
+    * re-evaluate, so partial/overlapping predicates stay correct. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def num(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    accepted = filters.filter {
+      case GreaterThan("id", v) => num(v).exists { x => lo = math.max(lo, x + 1); true }
+      case GreaterThanOrEqual("id", v) => num(v).exists { x => lo = math.max(lo, x); true }
+      case LessThan("id", v) => num(v).exists { x => hi = math.min(hi, x); true }
+      case LessThanOrEqual("id", v) => num(v).exists { x => hi = math.min(hi, x + 1); true }
+      case EqualTo("id", v) =>
+        num(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, x + 1); true }
+      case _ => false
+    }
+    filters // every filter is re-evaluated post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new BvGraphScan(basename, splits, required, lo, hi)
 }
 
-class BvGraphScan(basename: String, splits: Option[Int], required: StructType)
+class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
+    idLo: Long = Int.MinValue.toLong, idHi: Long = Int.MaxValue.toLong)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"BvGraphScan(basename=$basename, columns=${required.fieldNames.mkString(",")})"
+    s"BvGraphScan(basename=$basename, columns=${required.fieldNames.mkString(",")}" +
+      (if (idLo > Int.MinValue || idHi < Int.MaxValue) s", id in [$idLo,$idHi)" else "") + ")"
+
+  /** Clamp a node range to the pushed id bounds. */
+  private def clamp(from: Int, until: Int): (Int, Int) = {
+    val f = math.max(from.toLong, idLo)
+    val u = math.min(until.toLong, idHi)
+    if (f >= u) (0, 0) else (f.toInt, u.toInt)
+  }
 
   // Loaded lazily on the driver for planning (offsets for byte-balancing,
   // properties for stats). The per-executor cache is separate. Sharded
@@ -124,16 +164,20 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     manifest.foreach { mf =>
       // one partition per shard: shards were sized by the writer's range
-      // shuffle, and each is an independently decodable graph
-      return mf.shards.map { sh =>
-        BvInputPartition(sh.base, 0, sh.until - sh.from, sh.from,
-          Array.empty): InputPartition
+      // shuffle, and each is an independently decodable graph; pushed id
+      // bounds drop/narrow shards entirely at planning time
+      return mf.shards.flatMap { sh =>
+        val (gf, gu) = clamp(sh.from, sh.until)
+        if (gf >= gu) None
+        else Some(BvInputPartition(sh.base, gf - sh.from, gu - sh.from,
+          sh.from, Array.empty): InputPartition)
       }.toArray
     }
     val g = graph
     val n = g.n
-    if (n == 0) return Array.empty
-    val totalBits = g.offsets(n)
+    val (scanFrom, scanUntil) = clamp(0, n)
+    if (scanFrom >= scanUntil) return Array.empty
+    val totalBits = g.offsets(scanUntil) - g.offsets(scanFrom)
     val numSplits = splits.getOrElse(
       math.max(1, math.ceil((totalBits / 8.0) / BvGraphTable.TARGET_SPLIT_BYTES).toInt))
 
@@ -141,21 +185,21 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType)
     // exceeds the per-split target (the reference slices the *node* space
     // uniformly — WebGraphInputFormat.java:100 — which straggles on skew).
     val targetBits = math.max(1L, totalBits / numSplits)
-    val cuts = scala.collection.mutable.ArrayBuffer(0)
-    var x = 0
-    while (x < n && cuts.length < numSplits) {
+    val cuts = scala.collection.mutable.ArrayBuffer(scanFrom)
+    var x = scanFrom
+    while (x < scanUntil && cuts.length < numSplits) {
       val startBit = g.offsets(cuts.last)
       // binary-search the first node whose offset passes startBit+targetBits
-      var lo = x + 1; var hi = n
+      var lo = x + 1; var hi = scanUntil
       val limit = startBit + targetBits
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
         if (g.offsets(mid) < limit) lo = mid + 1 else hi = mid
       }
-      if (lo < n) cuts += lo
+      if (lo < scanUntil) cuts += lo
       x = lo
     }
-    cuts += n
+    cuts += scanUntil
 
     val conf = new Configuration()
     val graphPath = new Path(basename + ".graph")
@@ -251,24 +295,31 @@ class HadoopBytes(path: Path, conf: Configuration) extends SeekableBytes {
 
 /** Executor-wide cache: one decoded `BvGraph` (properties + offsets index)
   * per basename per JVM, shared by all tasks — fixes the reference's
-  * per-task `.offsets` reload (SURVEY.md §2.1 notes). */
+  * per-task `.offsets` reload (SURVEY.md §2.1 notes). Entries invalidate
+  * when the `.properties` mtime changes (graph rewritten in place). */
 object BvGraphCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, BvGraph]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, BvGraph)]()
 
-  def get(basename: String): BvGraph =
-    cache.computeIfAbsent(basename, { b =>
-      val conf = new Configuration()
-      val propsPath = new Path(b + ".properties")
-      val fs = propsPath.getFileSystem(conf)
-      val propsText = {
-        val in = fs.open(propsPath)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.ISO_8859_1)
-        finally in.close()
+  def get(basename: String): BvGraph = {
+    val conf = new Configuration()
+    val propsPath = new Path(basename + ".properties")
+    val fs = propsPath.getFileSystem(conf)
+    val mtime = fs.getFileStatus(propsPath).getModificationTime
+    cache.compute(basename, (b, cached) => {
+      if (cached != null && cached._1 == mtime) cached
+      else {
+        val propsText = {
+          val in = fs.open(propsPath)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          finally in.close()
+        }
+        val props = BvProperties.parse(propsText)
+        (mtime, new BvGraph(props,
+          new HadoopBytes(new Path(b + ".graph"), conf),
+          new HadoopBytes(new Path(b + ".offsets"), conf)))
       }
-      val props = BvProperties.parse(propsText)
-      new BvGraph(props,
-        new HadoopBytes(new Path(b + ".graph"), conf),
-        new HadoopBytes(new Path(b + ".offsets"), conf))
-    })
+    })._2
+  }
 }

@@ -77,6 +77,46 @@ class BvSourceSpec extends AnyFunSuite {
     assert(edges.sameElements(want))
   }
 
+  test("id-range predicate pushdown prunes node ranges at planning time") {
+    val (base, adj) = fixture(400, 21L)
+    val df = spark.read.format("bvgraph")
+      .option("basename", base).option("splits", 8).load()
+      .filter(col("id") >= 100 && col("id") < 150)
+    // values: only the requested range, correct successors
+    val got = df.collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(got.keySet == (100 until 150).toSet)
+    (100 until 150).foreach(x => assert(got(x).sameElements(adj(x))))
+    // planning: the scan's partitions cover only the pushed range
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val parts = scans.head.partitions.flatten.collect { case p: BvInputPartition => p }
+    assert(parts.nonEmpty)
+    assert(parts.map(p => p.until - p.from).sum == 50,
+      s"partitions not pruned: ${parts.mkString(",")}")
+    assert(scans.head.scan.description().contains("id in [100,150)"))
+  }
+
+  test("id pushdown on a sharded graph drops whole shards") {
+    import spark.implicits._
+    val adj = Array.tabulate(300)(x => Array((x + 1) % 300))
+    val base = java.nio.file.Files.createTempDirectory("bvpd").toString + "/g"
+    adj.zipWithIndex.map { case (s, i) => (i, s) }.toSeq.toDF("id", "successors")
+      .select(col("id").cast("int"), col("successors").cast("array<int>"))
+      .write.format("bvgraph").option("basename", base).option("shards", 6)
+      .mode("overwrite").save()
+    val df = spark.read.format("bvgraph").option("basename", base).load()
+      .filter(col("id") === 250)
+    val got = df.collect()
+    assert(got.length == 1 && got.head.getInt(0) == 250
+      && got.head.getSeq[Int](1) == Seq(251))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val parts = scans.head.partitions.flatten.collect { case p: BvInputPartition => p }
+    assert(parts.length == 1 && parts.head.until - parts.head.from == 1)
+  }
+
   test("stats are reported from .properties") {
     val (base, adj) = fixture(100, 5L)
     val scan = new BvGraphScan(base, None, BvGraphTable.SCHEMA)
