@@ -16,7 +16,8 @@ import ZigZag.nat2int
 final class BvGraph(
     val props: BvProperties,
     graph: SeekableBytes,
-    offsetsSrc: SeekableBytes) {
+    offsetsSrc: SeekableBytes,
+    efOffsets: Option[Boolean] = None) {
 
   val n: Int = props.nodes
   val m: Long = props.arcs
@@ -29,11 +30,18 @@ final class BvGraph(
   /** Bit offsets of each node's record, plus the end-of-stream sentinel
     * (n+1 entries). Decoded once per `BvGraph` instance — executors share
     * one instance per (basename, task) via [[BvGraph.load]]'s caller.
-    * Plain Array[Long]: 8 B/node; the reference's Elias–Fano succinct list
-    * is a memory optimization we trade for O(1) unencoded access (SURVEY.md
-    * §1.5).
+    * Representation follows the reference (patched/HdfsBVGraph.java:378):
+    * small graphs keep a plain Array[Long] (8 B/node, zero decode cost);
+    * past [[BvGraph.EF_THRESHOLD]] nodes the index switches to the
+    * succinct Elias–Fano form (~2+log2(bits/node) bits per node — a
+    * 7-10x executor-memory reduction on web-scale graphs).
     */
-  val offsets: Array[Long] = BvGraph.decodeOffsets(offsetsSrc, props)
+  val offsets: BvGraph.Offsets = {
+    val raw = BvGraph.decodeOffsets(offsetsSrc, props)
+    val useEf = efOffsets.getOrElse(raw.length > BvGraph.EF_THRESHOLD)
+    if (useEf) new BvGraph.EfOffsets(EliasFanoLongList(raw))
+    else new BvGraph.PlainOffsets(raw)
+  }
 
   private def readCoded(in: BitInput, coding: Int): Int = coding match {
     case Coding.GAMMA => in.readGamma()
@@ -196,6 +204,22 @@ final class BvGraph(
 
 object BvGraph {
   private val EMPTY = new Array[Int](0)
+
+  /** Node count past which the offsets index switches to Elias–Fano. */
+  val EF_THRESHOLD: Int = 1 << 22
+
+  sealed trait Offsets {
+    def apply(i: Int): Long
+    def length: Int
+  }
+  final class PlainOffsets(a: Array[Long]) extends Offsets {
+    def apply(i: Int): Long = a(i)
+    def length: Int = a.length
+  }
+  final class EfOffsets(ef: EliasFanoLongList) extends Offsets {
+    def apply(i: Int): Long = ef(i)
+    def length: Int = ef.length
+  }
 
   /** Load from a local directory basename (test/fixture path; the Spark
     * source supplies Hadoop-backed SeekableBytes instead).
