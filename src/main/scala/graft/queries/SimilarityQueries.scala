@@ -51,7 +51,54 @@ object SimilarityQueries {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
+    * cells (centroids = per-label mean vectors — the stand-in for k-means
+    * in this environment), then each probe searches only its `nprobe`
+    * nearest cells. With nprobe = nlist this degenerates to exact search
+    * (asserted in PipelineSpec); with nprobe << nlist each probe scans
+    * ~nprobe/nlist of the corpus — the production ANN shape at 100 TB,
+    * where the cell assignment is a one-off batch job and the probe-side
+    * join touches only matching cells. */
+  def ivf(s: SparkSession, d: String, nprobe: Int, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")))
+    val centroids = e.select(col("label").as("cell"), posexplode(col("v")))
+      .groupBy("cell", "pos").agg(avg(col("col")).as("c"))
+      .groupBy("cell").agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    def nearestCells(df: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cell"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= n)
+    }
+    val corpus = nearestCells(e.select(col("vec_id"), col("v"), col("nrm")), 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val probes = nearestCells(
+      e.filter(col("vec_id") < 4).select(col("vec_id"), col("v"), col("nrm")), nprobe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+        col("cell"), floor(col("sim") * 1000000).cast("long").as("sim_e6"))
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    // -- IVF ANN with nprobe=2 of 10 cells (approximate by design ->
+    //    rows-only gate; exactness at nprobe=nlist asserted in tests)
+    "sim_ann_ivf" -> ((s, d) => ivf(s, d, nprobe = 2)),
+
     // -- exact top-10 cosine neighbors for probe vectors vec_id < 4.
     "sim_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window

@@ -88,6 +88,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(ann.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("sim_ann_ivf: full-probe IVF equals exact brute-force top-k") {
+    val exact = SparkEntry.queries("sim_topk")(spark, sf0001)
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "vec_id", "sim_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ivfFull = graft.queries.SimilarityQueries.ivf(spark, sf0001, nprobe = 10)
+      .select("qid", "rnk", "vec_id", "sim_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ivfFull == exact, "IVF with nprobe=nlist must be exact search")
+    // nprobe=2 results are a subset of the corpus with correct sim values
+    val exactSims = SparkEntry.queries("sim_topk")(spark, sf0001)
+      .select("qid", "vec_id", "sim_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = SparkEntry.queries("sim_ann_ivf")(spark, sf0001).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      exactSims.get((r.getLong(0), r.getLong(2)))
+        .foreach(s => assert(s == r.getLong(4)))
+    }
+  }
+
   test("vec_dot: codegen result matches interpreted eval and known values") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
