@@ -44,6 +44,7 @@ object GraphQueries {
           col("id") === col("src"), "left")
         .select(col("id"),
           coalesce(col("successors"), array().cast("array<int>")).as("successors"))
+        .withColumn("outdegree", size(col("successors")))
       adjacency.write.format("bvgraph").option("basename", base)
         .option("shards", 8).mode("overwrite").save()
     }
@@ -85,13 +86,10 @@ object GraphQueries {
     }),
 
     // -- BV sink + DSv2 source end-to-end: derive adjacency from orders,
-    //    compress it to a BVGraph triple, scan it back with
-    //    spark.read.format("bvgraph"), explode to edges. The oracle is the
-    //    original orders table — so the encoder AND the splittable decoder
-    //    are both value-gated by DuckDB. (BV compression is inherently a
-    //    sequential single-writer sink — same as upstream WebGraph's offline
-    //    compressor — so the driver-side collect here is the sink's contract,
-    //    not a scan anti-pattern; reads stay fully distributed.)
+    //    compress it through the distributed sharded sink, scan it back
+    //    with spark.read.format("bvgraph"), explode to edges. The oracle
+    //    is the original orders table — so the distributed encoder AND the
+    //    splittable decoder are both value-gated by DuckDB.
     "bv_roundtrip" -> ((s, d) => {
       val base = bvFixture(s, d)
       s.read.format("bvgraph").option("basename", base).option("splits", 8).load()
@@ -101,14 +99,16 @@ object GraphQueries {
         .orderBy("src", "dst")
     }),
 
-    // -- degree-only BV scan: decodes the graph but projects only
-    //    (id, outdegree); all nodes appear, including sinks with degree 0
-    //    (the reference's D3 outdegree path, HdfsBVGraph.java:69-91).
+    // -- degree-only BV scan: projects (id, outdegree), which prunes to
+    //    the random-access outdegree fast path — one γ decode per node,
+    //    successor data never touched (the reference's D3,
+    //    HdfsBVGraph.java:69-91). All nodes appear, including degree-0
+    //    sinks.
     "bv_degrees" -> ((s, d) => {
       val base = bvFixture(s, d)
       s.read.format("bvgraph").option("basename", base).option("splits", 8).load()
         .select(col("id").cast("long").as("id"),
-          size(col("successors")).cast("long").as("outdeg"))
+          col("outdegree").cast("long").as("outdeg"))
         .orderBy("id")
     }),
 

@@ -58,10 +58,15 @@ class BvGraphTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object BvGraphTable {
+  /** `outdegree` is derivable from `successors` but exists as a first-class
+    * column because an outdegree-only scan has a dedicated fast path: the
+    * reference's random-access D3 read (HdfsBVGraph.java:69-91) — position
+    * at offsets(x), decode one γ value, never touch successor data. */
   val SCHEMA: StructType = StructType(Seq(
     StructField("id", IntegerType, nullable = false),
     StructField("successors", ArrayType(IntegerType, containsNull = false),
-      nullable = false)))
+      nullable = false),
+    StructField("outdegree", IntegerType, nullable = false)))
   /** Default bytes of compressed graph per input partition. */
   val TARGET_SPLIT_BYTES: Long = 32L * 1024 * 1024
 }
@@ -219,9 +224,7 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BvGraphReaderFactory(
-      needSuccessors = required.fieldNames.contains("successors"),
-      needId = required.fieldNames.contains("id"))
+    new BvGraphReaderFactory(required.fieldNames)
 }
 
 /** Serialized driver→executor split descriptor (mirrors the reference's
@@ -233,36 +236,64 @@ case class BvInputPartition(basename: String, from: Int, until: Int,
   override def preferredLocations(): Array[String] = hosts
 }
 
-class BvGraphReaderFactory(needSuccessors: Boolean,
-    needId: Boolean) extends PartitionReaderFactory {
+/** `fields` is the pruned read schema in output order. Reader selection:
+  *  - `successors` required → full sequential decode (D1/D2);
+  *  - only `outdegree` (+`id`) → random-access outdegree walk (D3): one γ
+  *    per node via the offsets index, successor data never decoded;
+  *  - only `id` / nothing → ids synthesized from the range, zero graph I/O.
+  */
+class BvGraphReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BvInputPartition]
-    if (!needSuccessors) new BvIdOnlyReader(p, needId)
-    else new BvGraphPartitionReader(p, needId)
+    if (fields.contains("successors")) new BvGraphPartitionReader(p, fields)
+    else if (fields.contains("outdegree")) new BvOutdegreeReader(p, fields)
+    else new BvIdOnlyReader(p, fields.length)
   }
 }
 
-/** Pruned scan: `successors` not required ⇒ ids are synthesized from the
-  * range with zero graph I/O (the scan collapses to a counter). */
-class BvIdOnlyReader(p: BvInputPartition, needId: Boolean)
+/** Pruned scan: ids synthesized from the range (the scan collapses to a
+  * counter). */
+class BvIdOnlyReader(p: BvInputPartition, nFields: Int)
     extends PartitionReader[InternalRow] {
   private var curr = p.from - 1
-  private val row = new GenericInternalRow(if (needId) 1 else 0)
+  private val row = new GenericInternalRow(nFields)
   override def next(): Boolean = { curr += 1; curr < p.until }
   override def get(): InternalRow = {
-    if (needId) row.update(0, curr + p.idOffset)
+    if (nFields > 0) row.update(0, curr + p.idOffset)
     row
   }
   override def close(): Unit = ()
 }
 
-class BvGraphPartitionReader(p: BvInputPartition,
-    needId: Boolean) extends PartitionReader[InternalRow] {
+/** Degree-only scan: per node, seek offsets(x) and decode a single
+  * outdegree value (the reference's D3 fast path). */
+class BvOutdegreeReader(p: BvInputPartition, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val graph = BvGraphCache.get(p.basename)
+  private val in = graph.newBitInput()
+  private val idIdx = fields.indexOf("id")
+  private val outIdx = fields.indexOf("outdegree")
+  private var curr = p.from - 1
+  private val row = new GenericInternalRow(fields.length)
+
+  override def next(): Boolean = { curr += 1; curr < p.until }
+  override def get(): InternalRow = {
+    if (idIdx >= 0) row.update(idIdx, curr + p.idOffset)
+    row.update(outIdx, graph.outdegree(curr, in))
+    row
+  }
+  override def close(): Unit = ()
+}
+
+class BvGraphPartitionReader(p: BvInputPartition, fields: Array[String])
+    extends PartitionReader[InternalRow] {
   private val graph = BvGraphCache.get(p.basename)
   private val iter = graph.nodeIterator(p.from, p.until)
+  private val idIdx = fields.indexOf("id")
+  private val succIdx = fields.indexOf("successors")
+  private val outIdx = fields.indexOf("outdegree")
   private var curr: (Int, Array[Int]) = _
-  private val nFields = if (needId) 2 else 1
-  private val row = new GenericInternalRow(nFields)
+  private val row = new GenericInternalRow(fields.length)
 
   override def next(): Boolean = {
     if (!iter.hasNext) return false
@@ -271,9 +302,9 @@ class BvGraphPartitionReader(p: BvInputPartition,
   }
 
   override def get(): InternalRow = {
-    val arr = UnsafeArrayData.fromPrimitiveArray(curr._2)
-    if (needId) { row.update(0, curr._1 + p.idOffset); row.update(1, arr) }
-    else row.update(0, arr)
+    if (idIdx >= 0) row.update(idIdx, curr._1 + p.idOffset)
+    if (succIdx >= 0) row.update(succIdx, UnsafeArrayData.fromPrimitiveArray(curr._2))
+    if (outIdx >= 0) row.update(outIdx, curr._2.length)
     row
   }
 

@@ -77,6 +77,23 @@ class BvSourceSpec extends AnyFunSuite {
     assert(edges.sameElements(want))
   }
 
+  test("outdegree column: values correct via both the fast path and full decode") {
+    val (base, adj) = fixture(250, 33L)
+    val df = spark.read.format("bvgraph")
+      .option("basename", base).option("splits", 5).load()
+    // degree-only projection -> BvOutdegreeReader (no successor decode)
+    val fast = df.select("id", "outdegree")
+    val scans = fast.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("id", "outdegree"))
+    val got = fast.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    adj.indices.foreach(x => assert(got(x) == adj(x).length, s"node $x"))
+    // full projection: outdegree consistent with size(successors)
+    val mism = df.filter(col("outdegree") =!= size(col("successors"))).count()
+    assert(mism == 0)
+  }
+
   test("id-range predicate pushdown prunes node ranges at planning time") {
     val (base, adj) = fixture(400, 21L)
     val df = spark.read.format("bvgraph")
@@ -103,6 +120,7 @@ class BvSourceSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("bvpd").toString + "/g"
     adj.zipWithIndex.map { case (s, i) => (i, s) }.toSeq.toDF("id", "successors")
       .select(col("id").cast("int"), col("successors").cast("array<int>"))
+      .withColumn("outdegree", size(col("successors")))
       .write.format("bvgraph").option("basename", base).option("shards", 6)
       .mode("overwrite").save()
     val df = spark.read.format("bvgraph").option("basename", base).load()

@@ -17,6 +17,7 @@ class BvWriteSpec extends AnyFunSuite {
       .toSeq.toDF("id", "successors")
       .select(col("id").cast("int").as("id"),
         col("successors").cast("array<int>").as("successors"))
+      .withColumn("outdegree", size(col("successors")))
   }
 
   private def randomAdj(n: Int, seed: Long): Array[Array[Int]] = {
@@ -71,6 +72,7 @@ class BvWriteSpec extends AnyFunSuite {
     val df = Seq((0, Array(2, 5)), (2, Array(0)), (5, Array(0, 2)))
       .toDF("id", "successors")
       .select(col("id").cast("int"), col("successors").cast("array<int>"))
+      .withColumn("outdegree", size(col("successors")))
     val base = java.nio.file.Files.createTempDirectory("bvw").toString + "/g"
     df.write.format("bvgraph").option("basename", base).mode("overwrite").save()
     val back = spark.read.format("bvgraph").option("basename", base).load()
