@@ -42,6 +42,38 @@ object Multimodal {
     out
   }
 
+  /** Nearest-neighbor resize over a (stub-)decoded pixel buffer — the
+    * resize math is real; only the pixels are fake. */
+  def resizeStub(pixels: Array[Byte], w: Int, h: Int,
+      newW: Int, newH: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"pixel buffer ${pixels.length} != $w x $h")
+    val out = new Array[Byte](newW * newH)
+    var y = 0
+    while (y < newH) {
+      val sy = y.toLong * h / newH
+      var x = 0
+      while (x < newW) {
+        val sx = x.toLong * w / newW
+        out(y * newW + x) = pixels((sy * w + sx).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th fixed-size
+    * frame, deterministic. Mirrors how a real sampler would slice a
+    * container's frame stream. */
+  def frameSampleStub(payload: Array[Byte], frameSize: Int,
+      stride: Int): Seq[Array[Byte]] = {
+    require(frameSize > 0 && stride > 0)
+    val nFrames = payload.length / frameSize
+    (0 until nFrames by stride).map { f =>
+      java.util.Arrays.copyOfRange(payload, f * frameSize, (f + 1) * frameSize)
+    }
+  }
+
   /** One decoder batch -> feature rows. Features are defined on the raw
     * payload (length, byte sum, frame-sample count) so they are exactly
     * reproducible by the oracle; the stub decode is still exercised to

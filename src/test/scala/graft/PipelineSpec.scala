@@ -178,6 +178,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(px.toSeq == Seq('a', 'b', 'a', 'b', 'a', 'b').map(_.toByte))
   }
 
+  test("multimodal resize + frame-sample stubs: real math on fake media") {
+    // resize: identity, downscale, upscale
+    val px = Array.tabulate(12)(_.toByte) // 4x3
+    assert(Multimodal.resizeStub(px, 4, 3, 4, 3).sameElements(px))
+    val down = Multimodal.resizeStub(px, 4, 3, 2, 1)
+    assert(down.length == 2 && down.sameElements(Array[Byte](0, 2)))
+    val up = Multimodal.resizeStub(px, 4, 3, 8, 6)
+    assert(up.length == 48 && up(0) == 0 && up(47) == px(11))
+    // frame sampling: every 2nd 4-byte frame of a 20-byte "video"
+    val video = Array.tabulate(20)(_.toByte)
+    val frames = Multimodal.frameSampleStub(video, frameSize = 4, stride = 2)
+    assert(frames.length == 3)
+    assert(frames(0).sameElements(Array[Byte](0, 1, 2, 3)))
+    assert(frames(1).sameElements(Array[Byte](8, 9, 10, 11)))
+    assert(frames(2).sameElements(Array[Byte](16, 17, 18, 19)))
+    // trailing partial frame is dropped
+    assert(Multimodal.frameSampleStub(video, 6, 1).length == 3)
+  }
+
   test("multimodal features never shuffle the payload (narrow plan)") {
     val df = Multimodal.features(spark, Tables.documents(spark, sf0001))
     val plan = df.queryExecution.executedPlan.toString

@@ -92,6 +92,38 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"raw text crossed the shuffle as a key:\n$p")
   }
 
+  test("bucketed tables join with zero shuffle (the co-location strategy at scale)") {
+    import org.apache.spark.sql.functions.col
+    // bucket both fact tables on the join key — at 100 TB this is done once
+    // at ingest and every subsequent key-join skips its exchange entirely
+    Tables.orders(spark, sf0001).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_bkt")
+    Tables.lineitem(spark, sf0001).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_bkt")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_bkt")
+        .join(spark.table("lineitem_bkt"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = executed(j)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(p.contains("Bucketed: true"), s"scans not bucketed:\n$p")
+      // the only exchange allowed is the groupBy's (on o_orderpriority);
+      // the join keys must never be shuffled — that is what bucketing buys
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey")
+        && !p.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join still shuffled its inputs:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("bv scan reports stats so Catalyst can plan broadcasts against it") {
     val base = graft.queries.GraphQueries.bvFixture(spark, sf0001)
     val df = spark.read.format("bvgraph").option("basename", base).load()
