@@ -158,6 +158,49 @@ object RelationalQueries {
         .orderBy("o_custkey")
     }),
 
+    // -- skew-safe two-stage aggregation: l_returnflag has 3 hot values,
+    //    so a naive groupBy funnels 100 TB into 3 reducers; salting by a
+    //    hash of the row key spreads stage 1 over 16x the partitions and
+    //    stage 2 reduces 48 tiny partials. Values are integer sums —
+    //    identical to the direct aggregation (the oracle computes it
+    //    directly).
+    "agg_skew_salted" -> ((s, d) => {
+      lineitem(s, d)
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_part"),
+          count(lit(1)).as("n_part"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("rev_part")).as("revenue_cents"), sum(col("n_part")).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- TPC-H Q3 shape: 3-way join + filter + top-10 by computed revenue
+    "q3_shipping" -> ((s, d) => {
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(c4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // -- TPC-H Q5 shape: 5-way join through the region->nation hierarchy
+    "q5_region_volume" -> ((s, d) => {
+      region(s, d).filter(col("r_name") === "ASIA")
+        .join(broadcast(nation(s, d)), col("r_regionkey") === col("n_regionkey"))
+        .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(c4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c4"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_c4").desc, col("n_name"))
+    }),
+
     // -- multi-distinct aggregation (expand + two-phase agg under the hood)
     "agg_distinct" -> ((s, d) => {
       lineitem(s, d)
@@ -341,6 +384,33 @@ object RelationalQueries {
          INTERSECT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          ORDER BY o_custkey""",
+    "agg_skew_salted" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""",
+    "q5_region_volume" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4,
+         COUNT(*) AS n_items
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue_c4 DESC, n_name""",
     "agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
          COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
