@@ -201,6 +201,21 @@ object RelationalQueries {
         .orderBy(col("revenue_c4").desc, col("n_name"))
     }),
 
+    // -- exact median/quantiles over integer cents (percentile is exact in
+    //    Spark; 0.5/0.25 interpolation on ints is (a+b)/2 -- exact doubles
+    //    in both engines)
+    "agg_median" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderpriority"), cents(col("o_totalprice")).as("pc"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          floor(expr("percentile(pc, 0.5)")).as("median_cents"),
+          floor(expr("percentile(pc, 0.25)")).as("p25_cents"),
+          floor(expr("percentile(pc, 0.75)")).as("p75_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // -- multi-distinct aggregation (expand + two-phase agg under the hood)
     "agg_distinct" -> ((s, d) => {
       lineitem(s, d)
@@ -411,6 +426,13 @@ object RelationalQueries {
          JOIN lineitem ON o_orderkey = l_orderkey
          WHERE r_name = 'ASIA'
          GROUP BY n_name ORDER BY revenue_c4 DESC, n_name""",
+    "agg_median" ->
+      """SELECT o_orderpriority,
+         CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.5)) AS BIGINT) AS median_cents,
+         CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.25)) AS BIGINT) AS p25_cents,
+         CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.75)) AS BIGINT) AS p75_cents,
+         COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
          COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
