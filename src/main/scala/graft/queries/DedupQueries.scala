@@ -97,13 +97,18 @@ object DedupQueries {
     //    (measured 57s -> ~4s at sf0.1 with ~1.1M candidates). The bound
     //    is semantically invisible — results are exact, oracle unchanged.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sets = shingleSets(s, d)
+      // shingle sets feed 5 subtrees (both self-join arms, sizes, and both
+      // verify arms); persist so tokenization runs once — the 100 TB
+      // equivalent is checkpointing the shingle table to parquet once and
+      // reusing it across the pipeline
+      val sets = shingleSets(s, d).persist()
       val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
       // 64-bit hashed shingle ids for the index join/agg keys (fixed-width
       // keys shuffle and hash-join far faster than ~30 B strings); exact
       // verification below still compares true shingle sets.
       val ex = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
         .select(col("doc_id"), xxhash64(col("sng")).as("sng"))
+        .persist()
       val rare = ex.groupBy("sng").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("sng")
       val posting = ex.join(rare, "sng")
@@ -134,7 +139,7 @@ object DedupQueries {
     "dedup_minhash" -> ((s, d) => {
       import s.implicits._
       val k = 128; val bands = 32; val rows = 4
-      val sets = shingleSets(s, d)
+      val sets = shingleSets(s, d).persist()
       val feats = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
         .select(col("doc_id"), xxhash64(col("sng")).as("h"))
         .as[(Long, Long)]
