@@ -27,6 +27,23 @@ class QuerySurfaceSpec extends AnyFunSuite {
     assert(empty.isEmpty, s"queries with empty results: $empty")
   }
 
+  test("Graft SQL surface: tables and graphs register as temp views") {
+    Graft.registerTables(spark, sf0001)
+    val r = spark.sql(
+      "SELECT o_orderpriority, count(*) n FROM orders GROUP BY 1 ORDER BY 1")
+    assert(r.count() == 5)
+    val joined = spark.sql(
+      """SELECT n_name, count(*) FROM customer
+         JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""").count()
+    assert(joined > 0)
+    val base = graft.queries.GraphQueries.bvFixture(spark, sf0001)
+    Graft.registerGraph(spark, "g", base)
+    val deg = spark.sql("SELECT sum(outdegree) FROM g").head().getLong(0)
+    assert(deg == Tables.orders(spark, sf0001).count())
+    // custom expressions reachable from SQL through the extension
+    assert(spark.sql("SELECT fnv64(text) FROM documents LIMIT 1").count() == 1)
+  }
+
   test("q1_agg counts partition the filtered lineitem") {
     val li = Tables.lineitem(spark, sf0001)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
