@@ -294,6 +294,39 @@ object RelationalQueries {
         .orderBy("yr", "qtr")
     }),
 
+    // -- event-time tumbling window aggregation as a batch operator (the
+    //    same window() the streaming path uses, oracle-able here)
+    "time_window_agg" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100)).as("value_cents"))
+        .select(col("win.start").as("win_start"), col("event_type"),
+          col("n"), col("value_cents"))
+        .orderBy("win_start", "event_type")
+    }),
+
+    // -- batch sessionization (gaps-and-islands): lag over event time per
+    //    user, session break at >30 min, running-sum session numbers —
+    //    the batch twin of graft.streaming.sessionize. All arithmetic on
+    //    integer epoch-microseconds.
+    "sessionize_batch" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_no", sum(col("new_sess")).over(wcum))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          sum(floor(col("value") * 100)).as("value_cents"))
+        .orderBy("user_id", "sess_no")
+    }),
+
     // -- JSON extraction from the events.props payload
     "json_extract" -> ((s, d) => {
       events(s, d)
@@ -480,6 +513,21 @@ object RelationalQueries {
          COUNT(*) AS n_orders,
          CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS volume_cents
          FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""",
+    "time_window_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "sessionize_batch" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+         l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+         sx AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess_no FROM n)
+         SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, COUNT(*) AS n_events,
+           MIN(event_id) AS first_event,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM sx GROUP BY user_id, sess_no ORDER BY user_id, sess_no""",
     "json_extract" ->
       """SELECT event_id, event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
