@@ -190,6 +190,14 @@ final class BvGraph(
       def hasNext: Boolean = curr < hi
       def next(): (Int, Array[Int]) = {
         val succ = decodeNode(curr, in, y => window(y % cyclicBufferSize))
+        // Integrity: node x's record must end exactly where offsets says
+        // node x+1 begins. A truncated/corrupt stream zero-pads, and zeros
+        // decode as plausible empty nodes — without this check a damaged
+        // split would SILENTLY feed wrong adjacency downstream.
+        if (in.bitPosition != offsets(curr + 1))
+          throw new java.io.EOFException(
+            s"decode desync at node $curr: ended at bit ${in.bitPosition}, " +
+              s"offsets say ${offsets(curr + 1)} (truncated or corrupt .graph?)")
         if (windowSize > 0) window(curr % cyclicBufferSize) = succ
         val r = (curr, succ)
         curr += 1

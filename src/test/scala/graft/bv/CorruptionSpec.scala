@@ -28,6 +28,22 @@ class CorruptionSpec extends AnyFunSuite {
     }
   }
 
+  test("truncation at a node boundary cannot yield silent empty nodes") {
+    // adversarial case: cut the graph exactly at a node's byte-aligned
+    // start — the zero padding would decode as outdegree-0 nodes forever;
+    // the per-node offsets desync check must catch it
+    val (g, o, props, adj) = fixture()
+    val graph0 = new BvGraph(props, new ArrayBytes(g), new ArrayBytes(o))
+    val cutBit = graph0.offsets(props.nodes / 2)
+    val cut = java.util.Arrays.copyOf(g, ((cutBit + 7) / 8).toInt)
+    val graph = new BvGraph(props, new ArrayBytes(cut), new ArrayBytes(o))
+    val e = intercept[Exception] {
+      val it = graph.iterator
+      while (it.hasNext) it.next()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("truncated offsets stream fails at load") {
     val (g, o, props, _) = fixture()
     val cut = java.util.Arrays.copyOf(o, math.max(1, o.length / 4))
