@@ -166,30 +166,14 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
     override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    manifest.foreach { mf =>
-      // one partition per shard: shards were sized by the writer's range
-      // shuffle, and each is an independently decodable graph; pushed id
-      // bounds drop/narrow shards entirely at planning time
-      return mf.shards.flatMap { sh =>
-        val (gf, gu) = clamp(sh.from, sh.until)
-        if (gf >= gu) None
-        else Some(BvInputPartition(sh.base, gf - sh.from, gu - sh.from,
-          sh.from, Array.empty): InputPartition)
-      }.toArray
-    }
-    val g = graph
-    val n = g.n
-    val (scanFrom, scanUntil) = clamp(0, n)
-    if (scanFrom >= scanUntil) return Array.empty
+  /** Byte-balanced node-range cuts over [scanFrom, scanUntil): walk the
+    * offsets index, cut when the running byte span exceeds the per-split
+    * target (the reference slices the *node* space uniformly —
+    * WebGraphInputFormat.java:100 — which straggles on skew). */
+  private def byteBalancedCuts(g: BvGraph, scanFrom: Int, scanUntil: Int,
+      numSplits: Int): Seq[(Int, Int)] = {
     val totalBits = g.offsets(scanUntil) - g.offsets(scanFrom)
-    val numSplits = splits.getOrElse(
-      math.max(1, math.ceil((totalBits / 8.0) / BvGraphTable.TARGET_SPLIT_BYTES).toInt))
-
-    // Byte-balanced ranges: walk offsets, cut when the running byte span
-    // exceeds the per-split target (the reference slices the *node* space
-    // uniformly — WebGraphInputFormat.java:100 — which straggles on skew).
-    val targetBits = math.max(1L, totalBits / numSplits)
+    val targetBits = math.max(1L, totalBits / math.max(1, numSplits))
     val cuts = scala.collection.mutable.ArrayBuffer(scanFrom)
     var x = scanFrom
     while (x < scanUntil && cuts.length < numSplits) {
@@ -205,14 +189,50 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
       x = lo
     }
     cuts += scanUntil
+    (0 until cuts.length - 1).map(i => (cuts(i), cuts(i + 1)))
+  }
 
+  override def planInputPartitions(): Array[InputPartition] = {
+    manifest.foreach { mf =>
+      // one partition per shard (each is an independently decodable
+      // graph); pushed id bounds drop/narrow shards at planning time, and
+      // a shard written oversized (misconfigured write) is sub-split on
+      // its own offsets index so no single task scans it alone
+      return mf.shards.flatMap { sh =>
+        val (gf, gu) = clamp(sh.from, sh.until)
+        if (gf >= gu) Nil
+        else {
+          val graphBytes =
+            try {
+              val p = new Path(sh.base + ".graph")
+              p.getFileSystem(new Configuration()).getFileStatus(p).getLen
+            } catch { case _: Exception => 0L }
+          if (graphBytes <= 2 * BvGraphTable.TARGET_SPLIT_BYTES)
+            Seq(BvInputPartition(sh.base, gf - sh.from, gu - sh.from,
+              sh.from, Array.empty): InputPartition)
+          else {
+            val sub = math.ceil(graphBytes.toDouble / BvGraphTable.TARGET_SPLIT_BYTES).toInt
+            byteBalancedCuts(BvGraphCache.get(sh.base),
+              gf - sh.from, gu - sh.from, sub).map { case (a, b) =>
+              BvInputPartition(sh.base, a, b, sh.from, Array.empty): InputPartition
+            }
+          }
+        }
+      }.toArray
+    }
+    val g = graph
+    val n = g.n
+    val (scanFrom, scanUntil) = clamp(0, n)
+    if (scanFrom >= scanUntil) return Array.empty
+    val totalBits = g.offsets(scanUntil) - g.offsets(scanFrom)
+    val numSplits = splits.getOrElse(
+      math.max(1, math.ceil((totalBits / 8.0) / BvGraphTable.TARGET_SPLIT_BYTES).toInt))
     val conf = new Configuration()
     val graphPath = new Path(basename + ".graph")
     val fs = graphPath.getFileSystem(conf)
     val status = fs.getFileStatus(graphPath)
 
-    (0 until cuts.length - 1).map { i =>
-      val from = cuts(i); val until = cuts(i + 1)
+    byteBalancedCuts(g, scanFrom, scanUntil, numSplits).map { case (from, until) =>
       val startByte = g.offsets(from) >>> 3
       val endByte = (g.offsets(until) >>> 3) + 1
       val hosts =
