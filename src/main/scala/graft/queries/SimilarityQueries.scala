@@ -39,14 +39,15 @@ object SimilarityQueries {
     df.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Deterministic random-hyperplane signs: plane p, dimension d ->
-    * sign(mix64(p*1024 + d)). 6 planes = 64 buckets. */
-  private def srpBucket(v: Column, planes: Int): Column = {
+    * sign(mix64(p*1024 + d)). 6 planes = 64 buckets. Sign vectors are
+    * computed once at plan time and embedded as array literals, so the
+    * per-row work is `planes` codegen'd dot products — not per-element
+    * hashing. */
+  private def srpBucket(v: Column, planes: Int, dims: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x * signum(xxhash64(lit(p) * 1024 + i).cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+      val signs = Array.tabulate(dims)(d =>
+        if (graft.functions.SketchAggs.mix64(p * 1024L + d) >= 0) 1.0 else -1.0)
+      when(dot(v, typedLit(signs)) >= 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }

@@ -347,10 +347,17 @@ class HadoopBytes(path: Path, conf: Configuration) extends SeekableBytes {
 /** Executor-wide cache: one decoded `BvGraph` (properties + offsets index)
   * per basename per JVM, shared by all tasks — fixes the reference's
   * per-task `.offsets` reload (SURVEY.md §2.1 notes). Entries invalidate
-  * when the `.properties` mtime changes (graph rewritten in place). */
+  * when the `.properties` mtime changes (graph rewritten in place) and
+  * the cache is LRU-bounded so scans over many shards/graphs can't pin
+  * unbounded offsets indexes in executor memory. */
 object BvGraphCache {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, BvGraph)]()
+  private val MAX_ENTRIES = 64
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, BvGraph)](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, BvGraph)]): Boolean =
+        size() > MAX_ENTRIES
+    })
 
   def get(basename: String): BvGraph = {
     val conf = new Configuration()
