@@ -91,16 +91,62 @@ class BvGraphTable(basename: String, splits: Option[Int])
 
 class BvGraphScanBuilder(basename: String, splits: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
 
   private var required: StructType = BvGraphTable.SCHEMA
   private var lo: Long = Int.MinValue.toLong // inclusive id lower bound
   private var hi: Long = Int.MaxValue.toLong // exclusive id upper bound
   private var accepted: Array[Filter] = Array.empty
+  private var pushedAggs: Option[Seq[BvGraphScan.PushedAgg]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Metadata-answerable aggregates never scan: COUNT(*) is the (id-
+    * clamped) node-range size, SUM(outdegree) is `arcs` from the
+    * properties/manifest, MIN/MAX(id) are the range bounds. Only pushed
+    * when no grouping and every aggregate in the query is answerable
+    * (SUM(outdegree) additionally requires an unfiltered scan — arcs is
+    * a whole-graph stat). At 100 TB, `SELECT count(*) FROM graph` is
+    * O(1) instead of a full decode. */
+  private def resolve(agg: Aggregation): Option[Seq[BvGraphScan.PushedAgg]] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val unfiltered = lo == Int.MinValue.toLong && hi == Int.MaxValue.toLong
+    val resolved = agg.aggregateExpressions().map {
+      case _: CountStar => Some(BvGraphScan.CountStar)
+      case s: Sum if !s.isDistinct => s.column() match {
+        case f: NamedReference if f.fieldNames().sameElements(Array("outdegree"))
+          && unfiltered => Some(BvGraphScan.SumOutdegree)
+        case _ => None
+      }
+      case m: Min => m.column() match {
+        case f: NamedReference if f.fieldNames().sameElements(Array("id")) =>
+          Some(BvGraphScan.MinId)
+        case _ => None
+      }
+      case m: Max => m.column() match {
+        case f: NamedReference if f.fieldNames().sameElements(Array("id")) =>
+          Some(BvGraphScan.MaxId)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (resolved.forall(_.isDefined)) Some(resolved.map(_.get).toSeq) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    resolve(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    resolve(agg) match {
+      case some @ Some(_) => pushedAggs = some; true
+      case None => false
+    }
+  }
 
   /** Range predicates on `id` prune node ranges at planning time (offsets
     * make any id range directly addressable — zero I/O for skipped
@@ -127,18 +173,27 @@ class BvGraphScanBuilder(basename: String, splits: Option[Int])
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new BvGraphScan(basename, splits, required, lo, hi)
+  override def build(): Scan =
+    new BvGraphScan(basename, splits, required, lo, hi, pushedAggs)
 }
 
 class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
-    idLo: Long = Int.MinValue.toLong, idHi: Long = Int.MaxValue.toLong)
+    idLo: Long = Int.MinValue.toLong, idHi: Long = Int.MaxValue.toLong,
+    pushedAggs: Option[Seq[BvGraphScan.PushedAgg]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = pushedAggs match {
+    case Some(aggs) => StructType(aggs.zipWithIndex.map { case (a, i) =>
+      // COUNT(*) of an empty range is 0; SUM/MIN/MAX over zero rows is NULL
+      StructField(s"agg_$i", LongType, nullable = a != BvGraphScan.CountStar)
+    })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"BvGraphScan(basename=$basename, columns=${required.fieldNames.mkString(",")}" +
-      (if (idLo > Int.MinValue || idHi < Int.MaxValue) s", id in [$idLo,$idHi)" else "") + ")"
+      (if (idLo > Int.MinValue || idHi < Int.MaxValue) s", id in [$idLo,$idHi)" else "") +
+      pushedAggs.map(a => s", PushedAggregates: ${a.mkString(",")}").getOrElse("") + ")"
 
   /** Clamp a node range to the pushed id bounds. */
   private def clamp(from: Int, until: Int): (Int, Int) = {
@@ -193,6 +248,23 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    pushedAggs.foreach { aggs =>
+      // metadata-only answer: one synthetic partition carrying the values
+      val (n, m) = manifest match {
+        case Some(mf) => (mf.nodes.toLong, mf.arcs)
+        case None => (graph.n.toLong, graph.m)
+      }
+      val (f, u) = (math.max(0L, idLo), math.min(n, idHi))
+      val count = math.max(0L, u - f)
+      val values: Array[java.lang.Long] = aggs.map {
+        case BvGraphScan.CountStar => java.lang.Long.valueOf(count)
+        case _ if count == 0L => null // SUM/MIN/MAX over zero rows
+        case BvGraphScan.SumOutdegree => java.lang.Long.valueOf(m)
+        case BvGraphScan.MinId => java.lang.Long.valueOf(f)
+        case BvGraphScan.MaxId => java.lang.Long.valueOf(u - 1)
+      }.toArray
+      return Array(BvAggResultPartition(values))
+    }
     manifest.foreach { mf =>
       // one partition per shard (each is an independently decodable
       // graph); pushed id bounds drop/narrow shards at planning time, and
@@ -244,7 +316,41 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BvGraphReaderFactory(required.fieldNames)
+    if (pushedAggs.isDefined) new BvAggReaderFactory
+    else new BvGraphReaderFactory(required.fieldNames)
+}
+
+object BvGraphScan {
+  sealed trait PushedAgg
+  case object CountStar extends PushedAgg { override def toString = "COUNT(*)" }
+  case object SumOutdegree extends PushedAgg { override def toString = "SUM(outdegree)" }
+  case object MinId extends PushedAgg { override def toString = "MIN(id)" }
+  case object MaxId extends PushedAgg { override def toString = "MAX(id)" }
+}
+
+/** Single synthetic partition carrying metadata-derived aggregate values
+  * (null = SQL NULL for empty-range SUM/MIN/MAX). */
+case class BvAggResultPartition(values: Array[java.lang.Long])
+    extends InputPartition
+
+class BvAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val vs = partition.asInstanceOf[BvAggResultPartition].values
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(vs.length)
+        var i = 0
+        while (i < vs.length) {
+          if (vs(i) == null) row.setNullAt(i) else row.update(i, vs(i).longValue())
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Serialized driver→executor split descriptor (mirrors the reference's

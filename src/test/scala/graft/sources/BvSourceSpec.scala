@@ -135,6 +135,49 @@ class BvSourceSpec extends AnyFunSuite {
     assert(parts.length == 1 && parts.head.until - parts.head.from == 1)
   }
 
+  test("aggregate pushdown: count/sum(outdegree)/min/max answered from metadata") {
+    val (base, adj) = fixture(300, 44L)
+    val df = spark.read.format("bvgraph").option("basename", base).load()
+    // count(*) — no scan at all: the plan's scan must carry the pushed agg
+    val cnt = df.groupBy().count()
+    val scans = cnt.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.scan.description().contains("PushedAggregates: COUNT(*)"),
+      s"agg not pushed:\n${scans.head.scan.description()}")
+    assert(cnt.head().getLong(0) == 300)
+    // sum(outdegree) == arcs from properties
+    assert(df.agg(sum(col("outdegree"))).head().getLong(0)
+      == adj.map(_.length.toLong).sum)
+    // min/max id from the range
+    val mm = df.agg(min(col("id")), max(col("id"))).head()
+    assert(mm.getInt(0) == 0 && mm.getInt(1) == 299)
+    // count with pushed id bounds = clamped range size, still metadata-only
+    val bounded = df.filter(col("id") >= 50 && col("id") < 120).groupBy().count()
+    assert(bounded.head().getLong(0) == 70)
+    // SUM(outdegree) must NOT push under an id filter (arcs is global)
+    val filteredSum = df.filter(col("id") < 100).agg(sum(col("outdegree")))
+    assert(filteredSum.head().getLong(0) == adj.take(100).map(_.length.toLong).sum)
+    // grouped aggregation is not pushed and stays correct
+    val grouped = df.groupBy((col("id") % 2).as("p")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(grouped(0) == 150 && grouped(1) == 150)
+  }
+
+  test("aggregate pushdown works on sharded graphs from the manifest") {
+    import spark.implicits._
+    val adj = Array.tabulate(400)(x => Array((x + 7) % 400))
+    val base = java.nio.file.Files.createTempDirectory("bvagg").toString + "/g"
+    adj.zipWithIndex.map { case (s, i) => (i, s) }.toSeq.toDF("id", "successors")
+      .select(col("id").cast("int"), col("successors").cast("array<int>"))
+      .withColumn("outdegree", size(col("successors")))
+      .write.format("bvgraph").option("basename", base).option("shards", 4)
+      .mode("overwrite").save()
+    val df = spark.read.format("bvgraph").option("basename", base).load()
+    assert(df.groupBy().count().head().getLong(0) == 400)
+    assert(df.agg(sum(col("outdegree"))).head().getLong(0) == 400)
+  }
+
   test("stats are reported from .properties") {
     val (base, adj) = fixture(100, 5L)
     val scan = new BvGraphScan(base, None, BvGraphTable.SCHEMA)
