@@ -204,7 +204,7 @@ class BvCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("round-trip: scalacheck random graphs, default params") {
+  test("round-trip: seeded random graphs, default params") {
     val rnd = new scala.util.Random(11)
     (1 to 40).foreach { _ =>
       val n = rnd.nextInt(81)
