@@ -25,9 +25,14 @@ object Tables {
     * rejects outright. We read it as raw nanos (legacy nanosAsLong) and
     * convert to a microsecond TimestampType with integer arithmetic (a
     * double division would lose precision at 1.7e18 ns).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
+    * construction (set by Verify/Bench/test builders); this loader is
+    * side-effect-free — it must not flip a session-global conf that
+    * changes how every later parquet read in a shared session decodes
+    * TIMESTAMP(NANOS) columns.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -12,6 +12,10 @@ trait SeekableBytes {
   /** Read up to `len` bytes at absolute position `pos`; returns bytes read,
     * -1 at EOF. */
   def readAt(pos: Long, buf: Array[Byte], off: Int, len: Int): Int
+  /** Release any underlying OS handle (file channel / HDFS stream).
+    * Long-lived executors scanning many graphs would otherwise leak two
+    * fds per evicted cache entry. */
+  def close(): Unit = ()
 }
 
 final class ArrayBytes(data: Array[Byte]) extends SeekableBytes {
@@ -30,7 +34,7 @@ final class FileBytes(path: java.nio.file.Path) extends SeekableBytes {
   def length: Long = ch.size()
   def readAt(pos: Long, buf: Array[Byte], off: Int, len: Int): Int =
     ch.read(java.nio.ByteBuffer.wrap(buf, off, len), pos)
-  def close(): Unit = ch.close()
+  override def close(): Unit = ch.close()
 }
 
 /** MSB-first bit input with γ/δ/ζ_k/unary/minimal-binary decoders, matching
@@ -44,6 +48,7 @@ final class FileBytes(path: java.nio.file.Path) extends SeekableBytes {
   */
 final class BitInput(bytes: SeekableBytes, bufferSize: Int = 1 << 16) {
   private val buf = new Array[Byte](bufferSize)
+  private lazy val maxUnaryBits = 8L * bytes.length
   private var bufStart: Long = 0L // absolute byte pos of buf(0)
   private var bufLen: Int = 0 // valid bytes in buf
   private var ptr: Int = 0 // next byte index within buf
@@ -119,8 +124,12 @@ final class BitInput(bytes: SeekableBytes, bufferSize: Int = 1 << 16) {
       if (chunk == 0L) {
         count += fill
         fill = 0
-        if (count > (1 << 20)) // runaway zero-run ⇒ read past logical EOF
-          throw new EOFException(s"unary run exceeded 2^20 at bit $bitPosition")
+        // runaway zero-run ⇒ read past logical EOF. Bounded by the stream's
+        // total bit length (not a fixed constant): a legal unary value can
+        // exceed any fixed guard — e.g. OFFSETS_UNARY with one node record
+        // longer than the guard — but can never exceed the stream itself.
+        if (count > maxUnaryBits)
+          throw new EOFException(s"unary run exceeded stream length at bit $bitPosition")
       } else {
         val top = 63 - java.lang.Long.numberOfLeadingZeros(chunk)
         count += fill - 1 - top

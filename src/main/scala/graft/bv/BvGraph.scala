@@ -42,6 +42,9 @@ final class BvGraph(
     if (useEf) new BvGraph.EfOffsets(EliasFanoLongList(raw))
     else new BvGraph.PlainOffsets(raw)
   }
+  // the offsets stream is fully decoded above — release its handle now
+  // (close() is idempotent on both FileChannel and FSDataInputStream)
+  offsetsSrc.close()
 
   private def readCoded(in: BitInput, coding: Int): Int = coding match {
     case Coding.GAMMA => in.readGamma()
@@ -61,6 +64,14 @@ final class BvGraph(
 
   def newBitInput(bufferSize: Int = 1 << 16): BitInput =
     new BitInput(graph, bufferSize)
+
+  /** Close the underlying byte sources (two OS handles). Called by
+    * [[graft.sources.BvGraphCache]] on LRU eviction / mtime replacement so
+    * executors scanning many graphs don't accumulate fds. */
+  def close(): Unit = {
+    graph.close()
+    offsetsSrc.close()
+  }
 
   /** Random-access outdegree: position at offsets(x), read one value
     * (mirrors D3, /root/reference/.../patched/HdfsBVGraph.java:69-91).

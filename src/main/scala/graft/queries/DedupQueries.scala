@@ -176,20 +176,88 @@ object DedupQueries {
         .orderBy("doc_id", "band")
     }),
 
-    // -- embedding-cosine near-dup pairs (exact; quantized to e6 ints).
-    //    Norms precomputed per vector; sim = dot/(na*nb) in pure double
-    //    arithmetic (float products are exact in double) so the oracle can
-    //    reproduce it bit-for-bit.
+    // -- embedding-cosine pair similarity, exact, at a LOW threshold (0.4).
+    //    On this corpus the embeddings are near-isotropic (measured at
+    //    sf0.01: within-label median sim ~0, max pair sim 0.51, and 92% of
+    //    qualifying pairs are cross-label), so NO candidate pruning —
+    //    probabilistic LSH or lossless centroid/triangle bounds — can cut
+    //    the pair space at t=0.4 without losing pairs: the exact answer is
+    //    inherently Θ(n²) work. What CAN be fixed is the execution shape:
+    //    the naive plan is a BroadcastNestedLoopJoin (broadcasts the whole
+    //    table to every executor — OOM at scale). Instead: a block-
+    //    partitioned equi-join. Vectors land in B id-blocks; a tiny local
+    //    relation enumerates the B(B+1)/2 unordered block pairs; two hash
+    //    equi-joins materialize exactly the candidate pairs with bounded
+    //    per-task memory (2·n/B vectors) and shuffle-level parallelism.
+    //    At 100 TB, B scales as n/rowsPerBlock — task memory stays flat
+    //    and the n² dot products spread evenly over the cluster. For
+    //    genuine near-dup thresholds where pruning IS sound, see
+    //    dedup_embed_lsh below.
     "dedup_embed" -> ((s, d) => {
+      import s.implicits._
+      val blocks = 8 // ~n/64 rows per block at this SF; n/rowsPerBlock at scale
       val e = SimilarityQueries.withNorm(embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v")))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+      val blockPairs = (for { a <- 0 until blocks; b <- a until blocks }
+        yield (a, b)).toDF("ka", "kb") // LocalRelation — no join builds it
+      val lhs = e.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("nrm").as("na"), col("blk").as("blka"))
+      val rhs = e.select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("nrm").as("nb"), col("blk").as("blkb"))
+      // an unordered id pair {x,y} in blocks (p,q), p<q appears exactly once
+      // (via key (p,q)); diagonal blocks dedupe on ida<idb
+      lhs.join(broadcast(blockPairs), col("blka") === col("ka"))
+        .join(rhs, col("kb") === col("blkb"))
+        .filter(col("ka") < col("kb") || col("ida") < col("idb"))
         .withColumn("sim",
           SimilarityQueries.dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("sim") > 0.4)
-        .select(col("vec_a"), col("vec_b"),
+        .select(least(col("ida"), col("idb")).as("vec_a"),
+          greatest(col("ida"), col("idb")).as("vec_b"),
+          floor(col("sim") * 1000000).cast("long").as("sim_e6"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // -- embedding near-dup dedup at a TRUE near-dup threshold (0.95),
+    //    where LSH pruning is sound: banded SRP candidate generation +
+    //    exact cosine verification. The corpus is the base table plus a
+    //    deterministic near-dup twin of every vector (vec_id+100000,
+    //    each dim scaled by 1 + 0.005·(((vec_id+i) mod 5) - 2) — pure
+    //    double arithmetic DuckDB reproduces bit-for-bit), so the oracle
+    //    computes the exact all-pairs answer and the hash-match PROVES the
+    //    LSH path's recall: planted twins sit at sim ≈ 0.99998 (per-plane
+    //    disagreement θ/π ≈ 0.002; the 8-band × 8-bit miss probability is
+    //    (1-(1-0.002)^8)^8 ≈ 4e-15), while the isotropic bulk (max sim
+    //    0.51) spreads across 256 buckets per band. At 100 TB this is one
+    //    narrow per-row signature pass, a self-join on (band, bucket)
+    //    keys touching ~n·bands·avg-bucket-size candidate rows, and exact
+    //    verification of survivors — never Θ(n²).
+    "dedup_embed_lsh" -> ((s, d) => {
+      val base = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * (lit(1.0) + lit(0.005) *
+            (pmod(col("vec_id") + i, lit(5)) - lit(2)).cast("double"))).as("v"))
+      val corpus = SimilarityQueries.withNorm(base.unionByName(planted))
+        .withColumn("bands", SimilarityQueries.srpBands(col("v"), 8, 8))
+      val sig = corpus.select(col("vec_id"), posexplode(col("bands")))
+        .select(col("vec_id"), col("pos").as("band"), col("col").as("bkt"))
+      val cand = sig.select(col("band"), col("bkt"), col("vec_id").as("ida"))
+        .join(sig.select(col("band"), col("bkt"), col("vec_id").as("idb")),
+          Seq("band", "bkt"))
+        .filter(col("ida") < col("idb"))
+        .select("ida", "idb").distinct()
+      val va = corpus.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("nrm").as("na"))
+      val vb = corpus.select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      cand.join(va, "ida").join(vb, "idb")
+        .withColumn("sim",
+          SimilarityQueries.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("sim") > 0.95)
+        .select(col("ida").as("vec_a"), col("idb").as("vec_b"),
           floor(col("sim") * 1000000).cast("long").as("sim_e6"))
         .orderBy("vec_a", "vec_b")
     }))
@@ -224,6 +292,26 @@ object DedupQueries {
            CAST(FLOOR(inter * 1000000.0 / un) AS BIGINT) AS jac_e6
          FROM v WHERE inter * 10 >= un * 8
          ORDER BY doc_a, doc_b""",
+    "dedup_embed_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         twin AS (SELECT vec_id + 100000 AS tid,
+             list_transform(range(1, len(v) + 1),
+               i -> v[i] * (1.0 + 0.005 *
+                 CAST((vec_id + i - 1) % 5 - 2 AS DOUBLE))) AS v
+           FROM e),
+         c AS (SELECT vec_id, v FROM e
+               UNION ALL SELECT tid AS vec_id, v FROM twin),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           FROM c),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
+         FROM p WHERE sim > 0.95 ORDER BY vec_a, vec_b""",
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,

@@ -33,7 +33,10 @@ object GraphQueries {
     * sink — range shuffle on id, one stream-encoded shard per task, no
     * data ever passes through the driver — and return the basename. */
   def bvFixture(s: SparkSession, d: String): String = {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_bv_${math.abs(d.hashCode)}"
+    // key the /tmp basename on the sanitized SF-dir path, not a hashCode
+    // (hashCodes collide across dirs, and math.abs(Int.MinValue) < 0)
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bv_$key"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(base + ".shards"))) {
       val e = edges(s, d).select(col("src").cast("int").as("src"),
         col("dst").cast("int").as("dst"))

@@ -43,14 +43,30 @@ object SimilarityQueries {
     * computed once at plan time and embedded as array literals, so the
     * per-row work is `planes` codegen'd dot products — not per-element
     * hashing. */
-  private def srpBucket(v: Column, planes: Int, dims: Int = 64): Column = {
-    val bits = (0 until planes).map { p =>
+  private def srpBucket(v: Column, planes: Int, dims: Int = 64): Column =
+    srpBandBucket(v, 0, planes, dims)
+
+  /** One SRP band bucket: `bits` sign bits from planes
+    * [firstPlane, firstPlane+bits). Same deterministic plane family as
+    * [[srpBucket]]. */
+  private def srpBandBucket(v: Column, firstPlane: Int, bits: Int,
+      dims: Int): Column =
+    (0 until bits).map { j =>
+      val p = firstPlane + j
       val signs = Array.tabulate(dims)(d =>
         if (graft.functions.SketchAggs.mix64(p * 1024L + d) >= 0) 1.0 else -1.0)
-      when(dot(v, typedLit(signs)) >= 0, lit(1 << p)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+      when(dot(v, typedLit(signs)) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Banded SRP signature: `bands` independent buckets of `bitsPerBand`
+    * sign bits each (array element b = band b's bucket). Two vectors at
+    * angle θ collide in one band with prob (1-θ/π)^bitsPerBand — near-dup
+    * pairs (θ→0) collide in essentially every band, while the isotropic
+    * bulk spreads over 2^bitsPerBand buckets per band. The LSH prefilter
+    * for [[graft.queries.DedupQueries]]'s embedding near-dup join. */
+  def srpBands(v: Column, bands: Int, bitsPerBand: Int, dims: Int = 64): Column =
+    array((0 until bands).map(b =>
+      srpBandBucket(v, b * bitsPerBand, bitsPerBand, dims)): _*)
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
     * cells (centroids = per-label mean vectors — the stand-in for k-means

@@ -448,6 +448,7 @@ class HadoopBytes(path: Path, conf: Configuration) extends SeekableBytes {
   def length: Long = len
   def readAt(pos: Long, buf: Array[Byte], off: Int, n: Int): Int =
     if (pos >= len) -1 else in.read(pos, buf, off, n)
+  override def close(): Unit = in.close()
 }
 
 /** Executor-wide cache: one decoded `BvGraph` (properties + offsets index)
@@ -461,8 +462,15 @@ object BvGraphCache {
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, (Long, BvGraph)](32, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, BvGraph)]): Boolean =
-        size() > MAX_ENTRIES
+          e: java.util.Map.Entry[String, (Long, BvGraph)]): Boolean = {
+        val evict = size() > MAX_ENTRIES
+        // close the evicted graph's stream handles — otherwise a long-lived
+        // executor scanning many shards leaks two fds per eviction.
+        // MAX_ENTRIES (64) is far above the concurrent task count, so an
+        // evicted (least-recently-used) entry has no active reader.
+        if (evict) try e.getValue._2.close() catch { case _: Exception => }
+        evict
+      }
     })
 
   def get(basename: String): BvGraph = {
@@ -473,6 +481,8 @@ object BvGraphCache {
     cache.compute(basename, (b, cached) => {
       if (cached != null && cached._1 == mtime) cached
       else {
+        // stale entry (graph rewritten in place): release its handles
+        if (cached != null) try cached._2.close() catch { case _: Exception => }
         val propsText = {
           val in = fs.open(propsPath)
           try new String(in.readAllBytes(),

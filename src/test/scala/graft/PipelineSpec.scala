@@ -40,6 +40,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(agg.merge(sig(l), sig(r)).sameElements(sig(a)))
   }
 
+  // ---- Embedding dedup ----------------------------------------------------
+
+  test("dedup_embed block join reproduces the brute-force all-pairs result") {
+    import SimilarityTestHelper._
+    val blocked = SparkEntry.queries("dedup_embed")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = bruteForcePairs(spark, sf0001, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(blocked.sameElements(brute),
+      s"block join diverged: ${blocked.length} vs ${brute.length} pairs")
+  }
+
+  test("dedup_embed_lsh finds every planted near-dup twin (full recall)") {
+    val ids = Tables.embeddings(spark, sf0001).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val pairs = SparkEntry.queries("dedup_embed_lsh")(spark, sf0001)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = ids.map(i => (i, i + 100000L))
+    // every planted twin pair must survive the banded-SRP prefilter —
+    // this is the recall gate on the LSH candidate generation (the
+    // DuckDB oracle additionally proves it value-exactly at sf0.01)
+    assert(planted.subsetOf(pairs),
+      s"LSH missed planted twins: ${(planted -- pairs).take(5)}")
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   test("simhash: near-dup docs land within hamming<=7 and share a band") {
@@ -201,5 +227,26 @@ class PipelineSpec extends AnyFunSuite {
     val df = Multimodal.features(spark, Tables.documents(spark, sf0001))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"payload crossed a shuffle:\n$plan")
+  }
+}
+
+/** Test-only brute-force cosine all-pairs (the naive nested-loop shape the
+  * production block join must reproduce value-for-value). */
+object SimilarityTestHelper {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import graft.queries.SimilarityQueries
+
+  def bruteForcePairs(s: SparkSession, d: String, t: Double): DataFrame = {
+    val e = SimilarityQueries.withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim",
+        SimilarityQueries.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") > t)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("sim") * 1000000).cast("long").as("sim_e6"))
+      .orderBy("vec_a", "vec_b")
   }
 }

@@ -124,6 +124,36 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("dedup_embed: block-partitioned equi-join — no nested-loop/cartesian all-pairs") {
+    // the exact pair query is inherently Θ(n²) compute at its low
+    // threshold, but the PLAN must distribute it: hash equi-joins on
+    // block-pair keys (bounded task memory), never a BroadcastNestedLoop
+    // join that ships the whole table to every executor
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = executed(SparkEntry.queries("dedup_embed")(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), s"cartesian all-pairs:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ all-pairs:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("dedup_embed_lsh: banded candidate join, no all-pairs operator") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = executed(SparkEntry.queries("dedup_embed_lsh")(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), s"cartesian all-pairs:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ all-pairs:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bv scan reports stats so Catalyst can plan broadcasts against it") {
     val base = graft.queries.GraphQueries.bvFixture(spark, sf0001)
     val df = spark.read.format("bvgraph").option("basename", base).load()
