@@ -41,15 +41,16 @@ object GraphQueries {
       val e = edges(s, d).select(col("src").cast("int").as("src"),
         col("dst").cast("int").as("dst"))
       val n = e.agg(greatest(max(col("src")), max(col("dst")))).head().getInt(0) + 1
-      val adjacency = s.range(0, n).select(col("id").cast("int").as("id"))
-        .join(e.groupBy(col("src"))
-          .agg(sort_array(collect_list(col("dst"))).as("successors")),
-          col("id") === col("src"), "left")
-        .select(col("id"),
-          coalesce(col("successors"), array().cast("array<int>")).as("successors"))
+      // only ids WITH successors are written; the `nodes` option densifies
+      // to [0, n) at commit via metadata-only empty shards — no dense
+      // range join (at 100 TB that join would shuffle n rows just to
+      // materialize degree-0 sinks the sink can pad for free)
+      val adjacency = e.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("successors"))
+        .select(col("src").as("id"), col("successors"))
         .withColumn("outdegree", size(col("successors")))
       adjacency.write.format("bvgraph").option("basename", base)
-        .option("shards", 8).mode("overwrite").save()
+        .option("shards", 8).option("nodes", n).mode("overwrite").save()
     }
     base
   }

@@ -98,8 +98,10 @@ class BvGraphScanBuilder(basename: String, splits: Option[Int])
   import org.apache.spark.sql.connector.expressions.NamedReference
 
   private var required: StructType = BvGraphTable.SCHEMA
-  private var lo: Long = Int.MinValue.toLong // inclusive id lower bound
-  private var hi: Long = Int.MaxValue.toLong // exclusive id upper bound
+  // Long sentinels: "no bound" must not clamp away manifest shards whose
+  // global id ranges sit past 2^31 (the Long-id escape hatch)
+  private var lo: Long = Long.MinValue // inclusive id lower bound
+  private var hi: Long = Long.MaxValue // exclusive id upper bound
   private var accepted: Array[Filter] = Array.empty
   private var pushedAggs: Option[Seq[BvGraphScan.PushedAgg]] = None
 
@@ -115,7 +117,7 @@ class BvGraphScanBuilder(basename: String, splits: Option[Int])
     * O(1) instead of a full decode. */
   private def resolve(agg: Aggregation): Option[Seq[BvGraphScan.PushedAgg]] = {
     if (agg.groupByExpressions().nonEmpty) return None
-    val unfiltered = lo == Int.MinValue.toLong && hi == Int.MaxValue.toLong
+    val unfiltered = lo == Long.MinValue && hi == Long.MaxValue
     val resolved = agg.aggregateExpressions().map {
       case _: CountStar => Some(BvGraphScan.CountStar)
       case s: Sum if !s.isDistinct => s.column() match {
@@ -178,7 +180,7 @@ class BvGraphScanBuilder(basename: String, splits: Option[Int])
 }
 
 class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
-    idLo: Long = Int.MinValue.toLong, idHi: Long = Int.MaxValue.toLong,
+    idLo: Long = Long.MinValue, idHi: Long = Long.MaxValue,
     pushedAggs: Option[Seq[BvGraphScan.PushedAgg]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
@@ -192,7 +194,7 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"BvGraphScan(basename=$basename, columns=${required.fieldNames.mkString(",")}" +
-      (if (idLo > Int.MinValue || idHi < Int.MaxValue) s", id in [$idLo,$idHi)" else "") +
+      (if (idLo > Long.MinValue || idHi < Long.MaxValue) s", id in [$idLo,$idHi)" else "") +
       pushedAggs.map(a => s", PushedAggregates: ${a.mkString(",")}").getOrElse("") + ")"
 
   /** Clamp a node range to the pushed id bounds. */
@@ -201,6 +203,19 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
     val u = math.min(until.toLong, idHi)
     if (f >= u) (0, 0) else (f.toInt, u.toInt)
   }
+
+  /** The ACTUAL materialized global id ranges after pushed-filter clamping.
+    * Sharded graphs are not required to tile [0, nodes) — leading and
+    * inter-shard gaps are legal unless the write used the `nodes` pad
+    * option — so row-count/min/max questions must be answered from the
+    * shard ranges, never from a dense [0, nodes) assumption (a graph whose
+    * ids start at 1000 would otherwise report COUNT(*) = nodes and
+    * MIN(id) = 0, silently diverging from the unpushed scan). */
+  private def clampedRanges(): Seq[(Long, Long)] = (manifest match {
+    case Some(mf) => mf.shards.map(sh => (sh.from, sh.until))
+    case None => Seq((0L, graph.n.toLong))
+  }).map { case (f, u) => (math.max(f, idLo), math.min(u, idHi)) }
+    .filter { case (f, u) => f < u }
 
   // Loaded lazily on the driver for planning (offsets for byte-balancing,
   // properties for stats). The per-executor cache is separate. Sharded
@@ -212,7 +227,7 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val (n, m) = manifest match {
-      case Some(mf) => (mf.nodes.toLong, mf.arcs)
+      case Some(mf) => (mf.shards.map(s => s.until - s.from).sum, mf.arcs)
       case None => (graph.n.toLong, graph.m)
     }
     override def sizeInBytes(): util.OptionalLong =
@@ -249,44 +264,82 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     pushedAggs.foreach { aggs =>
-      // metadata-only answer: one synthetic partition carrying the values
-      val (n, m) = manifest match {
-        case Some(mf) => (mf.nodes.toLong, mf.arcs)
-        case None => (graph.n.toLong, graph.m)
-      }
-      val (f, u) = (math.max(0L, idLo), math.min(n, idHi))
-      val count = math.max(0L, u - f)
+      // metadata-only answer from the ACTUAL shard id ranges (see
+      // clampedRanges — dense [0, nodes) is not assumed)
+      val ranges = clampedRanges()
+      val count = ranges.map { case (f, u) => u - f }.sum
+      val m = manifest.map(_.arcs).getOrElse(graph.m)
       val values: Array[java.lang.Long] = aggs.map {
         case BvGraphScan.CountStar => java.lang.Long.valueOf(count)
         case _ if count == 0L => null // SUM/MIN/MAX over zero rows
         case BvGraphScan.SumOutdegree => java.lang.Long.valueOf(m)
-        case BvGraphScan.MinId => java.lang.Long.valueOf(f)
-        case BvGraphScan.MaxId => java.lang.Long.valueOf(u - 1)
+        case BvGraphScan.MinId => java.lang.Long.valueOf(ranges.map(_._1).min)
+        case BvGraphScan.MaxId => java.lang.Long.valueOf(ranges.map(_._2).max - 1)
       }.toArray
       return Array(BvAggResultPartition(values))
     }
     manifest.foreach { mf =>
-      // one partition per shard (each is an independently decodable
+      // One partition per shard (each is an independently decodable
       // graph); pushed id bounds drop/narrow shards at planning time, and
       // a shard written oversized (misconfigured write) is sub-split on
-      // its own offsets index so no single task scans it alone
+      // its own offsets index so no single task scans it alone.
+      //
+      // Planning I/O: shard byte sizes come from the manifest (recorded
+      // at commit); block-location hosts come from ONE batched
+      // listLocatedStatus of the shard directory. Total filesystem calls
+      // are O(1) in the shard count — never a per-shard getFileStatus
+      // loop (10k shards would mean 10k serial NameNode RPCs before the
+      // first task launches).
+      val conf = new Configuration()
+      val dir = new Path(basename + ".d")
+      val fs = dir.getFileSystem(conf)
+      val located: Map[String, org.apache.hadoop.fs.LocatedFileStatus] =
+        try {
+          val it = fs.listLocatedStatus(dir)
+          val b = Map.newBuilder[String, org.apache.hadoop.fs.LocatedFileStatus]
+          while (it.hasNext) {
+            val st = it.next()
+            b += st.getPath.toUri.getPath -> st
+          }
+          b.result()
+        } catch { case _: Exception => Map.empty }
+      def statusFor(base: String) =
+        located.get(new Path(base + ".graph").toUri.getPath)
+      // hosts of the blocks overlapping [startByte, endByte) — same
+      // locality contract as the reference's NodeIteratorInputSplit
+      // (io/NodeIteratorInputSplit.java:48-50) and our unsharded path
+      def hostsFor(base: String, startByte: Long, endByte: Long): Array[String] =
+        statusFor(base).map(_.getBlockLocations
+          .filter(b => b.getOffset < endByte && b.getOffset + b.getLength > startByte)
+          .flatMap(_.getHosts).distinct).getOrElse(Array.empty)
+
       return mf.shards.flatMap { sh =>
-        val (gf, gu) = clamp(sh.from, sh.until)
+        val gf = math.max(sh.from, idLo)
+        val gu = math.min(sh.until, idHi)
         if (gf >= gu) Nil
         else {
+          // int-schema ceiling: a scanned shard's global ids must fit the
+          // INT id column. Shards beyond 2^31 are plannable metadata (Long
+          // ranges) and prune away under id filters; actually SCANNING one
+          // is an explicit error, not silent overflow.
+          require(gu - 1 <= Int.MaxValue.toLong,
+            s"shard [${sh.from},${sh.until}) holds ids beyond Int.MaxValue; " +
+              "push an id range filter to scan only in-range shards " +
+              "(the id column is INT — see SCALE.md §1 Ceilings)")
+          val localFrom = (gf - sh.from).toInt
+          val localUntil = (gu - sh.from).toInt
           val graphBytes =
-            try {
-              val p = new Path(sh.base + ".graph")
-              p.getFileSystem(new Configuration()).getFileStatus(p).getLen
-            } catch { case _: Exception => 0L }
+            if (sh.bytes >= 0) sh.bytes // recorded at commit — no I/O
+            else statusFor(sh.base).map(_.getLen).getOrElse(0L)
           if (graphBytes <= 2 * BvGraphTable.TARGET_SPLIT_BYTES)
-            Seq(BvInputPartition(sh.base, gf - sh.from, gu - sh.from,
-              sh.from, Array.empty): InputPartition)
+            Seq(BvInputPartition(sh.base, localFrom, localUntil,
+              sh.from, hostsFor(sh.base, 0L, Long.MaxValue)): InputPartition)
           else {
             val sub = math.ceil(graphBytes.toDouble / BvGraphTable.TARGET_SPLIT_BYTES).toInt
-            byteBalancedCuts(BvGraphCache.get(sh.base),
-              gf - sh.from, gu - sh.from, sub).map { case (a, b) =>
-              BvInputPartition(sh.base, a, b, sh.from, Array.empty): InputPartition
+            val g = BvGraphCache.get(sh.base)
+            byteBalancedCuts(g, localFrom, localUntil, sub).map { case (a, b) =>
+              BvInputPartition(sh.base, a, b, sh.from,
+                hostsFor(sh.base, g.offsets(a) >>> 3, (g.offsets(b) >>> 3) + 1)): InputPartition
             }
           }
         }
@@ -356,9 +409,12 @@ class BvAggReaderFactory extends PartitionReaderFactory {
 /** Serialized driver→executor split descriptor (mirrors the reference's
   * NodeIteratorInputSplit, io/NodeIteratorInputSplit.java:11-50).
   * `basename` points at the (shard) graph; local node range
-  * [from, until); global id = local id + idOffset (0 for unsharded). */
+  * [from, until); global id = local id + idOffset (0 for unsharded).
+  * `idOffset` is Long so sharded manifests can address a global id space
+  * past 2^31 (per-shard LOCAL ids stay int — the codec ceiling); planning
+  * guarantees every scanned partition's global ids fit the INT column. */
 case class BvInputPartition(basename: String, from: Int, until: Int,
-    idOffset: Int, hosts: Array[String]) extends InputPartition {
+    idOffset: Long, hosts: Array[String]) extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
 }
 
@@ -385,7 +441,7 @@ class BvIdOnlyReader(p: BvInputPartition, nFields: Int)
   private val row = new GenericInternalRow(nFields)
   override def next(): Boolean = { curr += 1; curr < p.until }
   override def get(): InternalRow = {
-    if (nFields > 0) row.update(0, curr + p.idOffset)
+    if (nFields > 0) row.update(0, (curr + p.idOffset).toInt)
     row
   }
   override def close(): Unit = ()
@@ -404,7 +460,7 @@ class BvOutdegreeReader(p: BvInputPartition, fields: Array[String])
 
   override def next(): Boolean = { curr += 1; curr < p.until }
   override def get(): InternalRow = {
-    if (idIdx >= 0) row.update(idIdx, curr + p.idOffset)
+    if (idIdx >= 0) row.update(idIdx, (curr + p.idOffset).toInt)
     row.update(outIdx, graph.outdegree(curr, in))
     row
   }
@@ -428,7 +484,7 @@ class BvGraphPartitionReader(p: BvInputPartition, fields: Array[String])
   }
 
   override def get(): InternalRow = {
-    if (idIdx >= 0) row.update(idIdx, curr._1 + p.idOffset)
+    if (idIdx >= 0) row.update(idIdx, (curr._1 + p.idOffset).toInt)
     if (succIdx >= 0) row.update(succIdx, UnsafeArrayData.fromPrimitiveArray(curr._2))
     if (outIdx >= 0) row.update(outIdx, curr._2.length)
     row

@@ -29,17 +29,23 @@ import graft.bv.{BvEncoder, BvProperties}
   * anything but the shuffle's range boundaries.
   *
   * Ids absent from the input inside a shard's range become empty-successor
-  * nodes; ids absent at shard boundaries are not materialized (provide a
-  * dense id range upstream if degree-0 tails matter).
+  * nodes. Ids absent at shard boundaries (leading / trailing / between
+  * shards) are not materialized by default; `.option("nodes", n)` requests
+  * a dense [0, n) graph — commit() fills every boundary gap with
+  * driver-encoded empty shards (an empty node is one γ(0) ≈ 1 bit, so even
+  * multi-million-node gaps are a few hundred KB encoded metadata, never a
+  * data path through the driver).
   */
 class BvWriteBuilder(basename: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder = this // shards are always replaced
   override def build(): Write = new BvWrite(basename, info.schema(),
-    Option(info.options.get("shards")).map(_.toInt).getOrElse(0))
+    Option(info.options.get("shards")).map(_.toInt).getOrElse(0),
+    Option(info.options.get("nodes")).map(_.toInt))
 }
 
-class BvWrite(basename: String, schema: StructType, shards: Int)
+class BvWrite(basename: String, schema: StructType, shards: Int,
+    padNodes: Option[Int])
     extends Write with RequiresDistributionAndOrdering {
   private val ordering: Array[SortOrder] =
     Array(Expressions.sort(Expressions.column("id"), SortDirection.ASCENDING))
@@ -49,20 +55,21 @@ class BvWrite(basename: String, schema: StructType, shards: Int)
     * pins the shard count. */
   override def requiredNumPartitions(): Int = shards
 
-  override def toBatch: BatchWrite = new BvBatchWrite(basename, schema)
+  override def toBatch: BatchWrite = new BvBatchWrite(basename, schema, padNodes)
 }
 
 case class BvShardCommit(part: Int, from: Int, until: Int, arcs: Long,
-    nonEmpty: Boolean) extends WriterCommitMessage
+    graphBytes: Long, nonEmpty: Boolean) extends WriterCommitMessage
 
-class BvBatchWrite(basename: String, schema: StructType) extends BatchWrite {
+class BvBatchWrite(basename: String, schema: StructType, padNodes: Option[Int])
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new BvWriterFactory(basename, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val shards = messages.collect { case m: BvShardCommit if m.nonEmpty => m }
+    val written = messages.collect { case m: BvShardCommit if m.nonEmpty => m }
       .sortBy(_.from)
-    shards.sliding(2).foreach {
+    written.sliding(2).foreach {
       case Array(a, b) => require(a.until <= b.from,
         s"overlapping shards: [${a.from},${a.until}) vs [${b.from},${b.until})")
       case _ =>
@@ -70,6 +77,27 @@ class BvBatchWrite(basename: String, schema: StructType) extends BatchWrite {
     val conf = new Configuration()
     val manifest = new Path(basename + ".shards")
     val fs = manifest.getFileSystem(conf)
+    // `nodes` option: fill every boundary gap (leading, inter-shard,
+    // trailing) with empty shards so the graph round-trips as dense [0, n)
+    val shards: Seq[BvShardCommit] = padNodes match {
+      case None => written.toSeq
+      case Some(n) =>
+        val maxUntil = if (written.isEmpty) 0 else written.map(_.until).max
+        require(n >= maxUntil,
+          s"nodes option ($n) below the max written id range end ($maxUntil)")
+        var nextPart = (written.map(_.part).maxOption.getOrElse(-1)) + 1
+        val bounds = (0 +: written.flatMap(s => Seq(s.from, s.until)).toSeq :+ n)
+        val gaps = bounds.grouped(2).collect {
+          case Seq(a, b) if a < b => (a, b)
+        }.toSeq
+        val padded = gaps.map { case (gFrom, gUntil) =>
+          val base = BvShards.shardBase(basename, nextPart)
+          nextPart += 1
+          val bytes = BvShards.writeEmptyShard(fs, base, gUntil - gFrom)
+          BvShardCommit(nextPart - 1, gFrom, gUntil, 0L, bytes, nonEmpty = true)
+        }
+        (written.toSeq ++ padded).sortBy(_.from)
+    }
     val sb = new StringBuilder
     sb.append(s"shards=${shards.length}\n")
     sb.append(s"nodes=${if (shards.isEmpty) 0 else shards.map(_.until).max}\n")
@@ -78,6 +106,9 @@ class BvBatchWrite(basename: String, schema: StructType) extends BatchWrite {
       sb.append(s"shard.$i.file=${BvShards.shardBase(basename, sh.part)}\n")
       sb.append(s"shard.$i.from=${sh.from}\n")
       sb.append(s"shard.$i.until=${sh.until}\n")
+      // .graph byte size recorded at commit so scan planning needs ZERO
+      // per-shard filesystem calls (the writer already knows the size)
+      sb.append(s"shard.$i.bytes=${sh.graphBytes}\n")
     }
     val out = fs.create(manifest, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -96,8 +127,15 @@ object BvShards {
   def shardBase(basename: String, part: Int): String =
     f"$basename.d/part-$part%05d"
 
-  case class Shard(base: String, from: Int, until: Int)
-  case class Manifest(nodes: Int, arcs: Long, shards: Seq[Shard])
+  /** Global id ranges are Long: the BV codec caps a single shard at 2^31
+    * nodes (and successor VALUES at 2^31 — the remaining format ceiling,
+    * see SCALE.md §1 "Ceilings"), but the sharded layout itself addresses
+    * an unbounded global id space. `bytes` is the shard's `.graph` size
+    * recorded at commit (-1 when absent — manifests written before the
+    * field existed); planning falls back to one batched directory listing,
+    * never per-shard RPCs. */
+  case class Shard(base: String, from: Long, until: Long, bytes: Long = -1L)
+  case class Manifest(nodes: Long, arcs: Long, shards: Seq[Shard])
 
   /** Read `<basename>.shards` if present. */
   def readManifest(basename: String): Option[Manifest] = {
@@ -111,11 +149,34 @@ object BvShards {
     val k = props.getProperty("shards").toInt
     val shards = (0 until k).map { i =>
       Shard(props.getProperty(s"shard.$i.file"),
-        props.getProperty(s"shard.$i.from").toInt,
-        props.getProperty(s"shard.$i.until").toInt)
+        props.getProperty(s"shard.$i.from").toLong,
+        props.getProperty(s"shard.$i.until").toLong,
+        Option(props.getProperty(s"shard.$i.bytes")).map(_.toLong).getOrElse(-1L))
     }
-    Some(Manifest(props.getProperty("nodes").toInt,
+    Some(Manifest(props.getProperty("nodes").toLong,
       props.getProperty("arcs").toLong, shards))
+  }
+
+  /** Driver-side encode of `count` empty (degree-0) nodes as a standalone
+    * shard triple — the gap filler for the `nodes` write option. Cost is
+    * ~1 bit per node; no row data flows through the driver. */
+  def writeEmptyShard(fs: FileSystem, base: String, count: Long): Long = {
+    require(count <= Int.MaxValue, s"gap shard too large: $count nodes")
+    val graphOut = fs.create(new Path(base + ".graph"), true)
+    val encoder = new BvEncoder(BvProperties(0, 0))
+    val enc = new encoder.Stream(graphOut)
+    var i = 0L
+    while (i < count) { enc.append(Array.empty[Int]); i += 1 }
+    val (offsets, propsText) = enc.finish()
+    val graphBytes = graphOut.getPos
+    graphOut.close()
+    def put(suffix: String, bytes: Array[Byte]): Unit = {
+      val out = fs.create(new Path(base + suffix), true)
+      try out.write(bytes) finally out.close()
+    }
+    put(".offsets", offsets)
+    put(".properties", propsText.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    graphBytes
   }
 }
 
@@ -161,9 +222,11 @@ class BvShardWriter(basename: String, partitionId: Int, taskId: Long,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (enc == null) return BvShardCommit(partitionId, 0, 0, 0L, nonEmpty = false)
+    if (enc == null)
+      return BvShardCommit(partitionId, 0, 0, 0L, 0L, nonEmpty = false)
     val (offsets, propsText) = enc.finish()
-    graphOut.close()
+    val graphBytes = graphOut.getPos // size known here — recorded in the
+    graphOut.close()                 // manifest so planning needs no RPCs
     def put(suffix: String, bytes: Array[Byte]): Unit = {
       val out = fs.create(new Path(tmpBase + suffix), true)
       try out.write(bytes) finally out.close()
@@ -175,7 +238,8 @@ class BvShardWriter(basename: String, partitionId: Int, taskId: Long,
       if (fs.exists(dst)) fs.delete(dst, false)
       require(fs.rename(new Path(tmpBase + sfx), dst), s"rename failed: $dst")
     }
-    BvShardCommit(partitionId, from, nextId, enc.arcCount, nonEmpty = true)
+    BvShardCommit(partitionId, from, nextId, enc.arcCount, graphBytes,
+      nonEmpty = true)
   }
 
   override def abort(): Unit = {

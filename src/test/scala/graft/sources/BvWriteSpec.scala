@@ -90,6 +90,127 @@ class BvWriteSpec extends AnyFunSuite {
       == adj.map(_.length.toLong).sum)
   }
 
+  test("nodes option pads leading/interior/trailing gaps to a dense [0, n)") {
+    import spark.implicits._
+    // ids 3,4 and 100..102 present; ids 0-2 (leading), 5-99 (inter-shard)
+    // and 103-149 (trailing degree-0 sinks) must be materialized by commit
+    val df = Seq((3, Array(4)), (4, Array(3)), (100, Array(3)),
+      (101, Array(4)), (102, Array(3, 4)))
+      .toDF("id", "successors")
+      .select(col("id").cast("int"), col("successors").cast("array<int>"))
+      .withColumn("outdegree", size(col("successors")))
+    val base = java.nio.file.Files.createTempDirectory("bvw").toString + "/g"
+    df.write.format("bvgraph").option("basename", base)
+      .option("shards", 2).option("nodes", 150).mode("overwrite").save()
+    val mf = BvShards.readManifest(base).get
+    assert(mf.nodes == 150)
+    // shards now tile [0, 150) contiguously
+    val ranges = mf.shards.map(sh => (sh.from, sh.until)).sortBy(_._1)
+    assert(ranges.head._1 == 0 && ranges.last._2 == 150)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 == b._1, s"gap between $a and $b")
+      case _ =>
+    }
+    val back = spark.read.format("bvgraph").option("basename", base).load()
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(back.size == 150)
+    assert(back(3).sameElements(Array(4)) && back(102).sameElements(Array(3, 4)))
+    assert(back(0).isEmpty && back(50).isEmpty && back(149).isEmpty)
+    // degree-only fast path sees the padded sinks too
+    val degs = spark.read.format("bvgraph").option("basename", base).load()
+      .select("id", "outdegree").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(degs.size == 150 && degs(149) == 0 && degs(102) == 2)
+  }
+
+  test("manifest records shard byte sizes at commit (planning needs no RPCs)") {
+    val adj = randomAdj(500, 21L)
+    val base = java.nio.file.Files.createTempDirectory("bvw").toString + "/g"
+    adjDf(adj).write.format("bvgraph").option("basename", base)
+      .option("shards", 4).mode("overwrite").save()
+    val mf = BvShards.readManifest(base).get
+    assert(mf.shards.nonEmpty)
+    mf.shards.foreach { sh =>
+      assert(sh.bytes > 0, s"missing byte size for $sh")
+      val real = new java.io.File(sh.base + ".graph").length()
+      assert(sh.bytes == real, s"manifest bytes ${sh.bytes} != file $real")
+    }
+  }
+
+  test("sharded scan partitions carry locality hosts") {
+    val adj = randomAdj(400, 33L)
+    val base = java.nio.file.Files.createTempDirectory("bvw").toString + "/g"
+    adjDf(adj).write.format("bvgraph").option("basename", base)
+      .option("shards", 3).mode("overwrite").save()
+    val df = spark.read.format("bvgraph").option("basename", base).load()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val parts = scans.head.partitions.flatten.collect { case p: BvInputPartition => p }
+    assert(parts.nonEmpty)
+    // local FS reports localhost block hosts — the point is the sharded
+    // path populates preferredLocations like the unsharded path does
+    parts.foreach(p => assert(p.hosts.nonEmpty, s"no hosts on $p"))
+  }
+
+  test("aggregate pushdown is exact on non-tiled manifests (ids not from 0)") {
+    import spark.implicits._
+    // ids 1000..1299 — no leading [0,1000) materialization (no nodes opt)
+    val df = (1000 until 1300).map(i => (i, Array(1000 + (i + 1) % 300)))
+      .toDF("id", "successors")
+      .select(col("id").cast("int"), col("successors").cast("array<int>"))
+      .withColumn("outdegree", size(col("successors")))
+    val base = java.nio.file.Files.createTempDirectory("bvw").toString + "/g"
+    df.write.format("bvgraph").option("basename", base)
+      .option("shards", 3).mode("overwrite").save()
+    val back = spark.read.format("bvgraph").option("basename", base).load()
+    // pushed COUNT/MIN/MAX must agree with the unpushed scan, not report
+    // the dense [0, nodes) fiction (count=1300, min=0)
+    assert(back.groupBy().count().head().getLong(0) == 300)
+    val mm = back.agg(min(col("id")), max(col("id"))).head()
+    assert(mm.getInt(0) == 1000 && mm.getInt(1) == 1299)
+    // bounded count over a range straddling the leading gap
+    assert(back.filter(col("id") < 1100).groupBy().count().head().getLong(0) == 100)
+  }
+
+  test("Long manifest ranges: id-filtered scans of in-range shards work past 2^31") {
+    import spark.implicits._
+    // a real 10-node shard, referenced twice: once at [0,10), once at a
+    // global offset beyond Int.MaxValue — the escape-hatch layout from
+    // SCALE.md §1 (per-shard local ids stay int; global ids are Long)
+    val df = (0 until 10).map(i => (i, Array((i + 1) % 10)))
+      .toDF("id", "successors")
+      .select(col("id").cast("int"), col("successors").cast("array<int>"))
+      .withColumn("outdegree", size(col("successors")))
+    val dir = java.nio.file.Files.createTempDirectory("bvw").toString
+    df.write.format("bvgraph").option("basename", s"$dir/g")
+      .option("shards", 1).mode("overwrite").save()
+    val shard = BvShards.readManifest(s"$dir/g").get.shards.head
+    val hiFrom = Int.MaxValue.toLong + 6L
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/big.shards"),
+      s"""shards=2
+         |nodes=${hiFrom + 10}
+         |arcs=20
+         |shard.0.file=${shard.base}
+         |shard.0.from=0
+         |shard.0.until=10
+         |shard.0.bytes=${shard.bytes}
+         |shard.1.file=${shard.base}
+         |shard.1.from=$hiFrom
+         |shard.1.until=${hiFrom + 10}
+         |shard.1.bytes=${shard.bytes}
+         |""".stripMargin)
+    val big = spark.read.format("bvgraph").option("basename", s"$dir/big").load()
+    // metadata aggregates see the full Long id space
+    assert(big.groupBy().count().head().getLong(0) == 20)
+    // an id filter prunes to the in-int-range shard: correct global ids
+    val lo = big.filter(col("id") < 100).select("id")
+      .collect().map(_.getInt(0)).sorted
+    assert(lo.sameElements(0 until 10))
+    // actually scanning the beyond-2^31 shard is a loud error, not overflow
+    val err = intercept[Exception](big.select("id").collect())
+    assert(err.getMessage != null)
+  }
+
   test("write fills interior id gaps with empty nodes") {
     import spark.implicits._
     val df = Seq((0, Array(2, 5)), (2, Array(0)), (5, Array(0, 2)))
