@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSessionFixture
@@ -93,6 +94,106 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.contains((1L, "2026-01-01 10:35:00.0", 2L, 7.0)))
       assert(got.contains((2L, "2026-01-01 10:03:00.0", 1L, 9.0)))
     } finally q.stop()
+  }
+
+  test("windowedAgg: streaming result equals the batch result on real events") {
+    // the value gate for the streaming operator: the SAME events through
+    // the SAME windowedAgg code, once as a MemoryStream (flushed by a
+    // far-future sentinel) and once as a plain batch DataFrame
+    // (EliminateEventTimeWatermark makes the watermark a batch no-op),
+    // must agree window-for-window.
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = graft.Tables.events(spark, sf0001)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val sentinel = Event(Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "___flush", 0.0)
+    val in = MemoryStream[Event]
+    val q = StreamingOps.windowedAgg(in.toDF(), watermark = "10 minutes",
+      width = "1 hour")
+      .writeStream.format("memory").queryName("win_equiv")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        in.addData(evs)
+        q.processAllAvailable()
+        in.addData(sentinel) // advance the watermark past every real window
+        q.processAllAvailable()
+        spark.table("win_equiv").filter(col("event_type") =!= "___flush")
+          .collect()
+      } finally q.stop()
+    val batch = StreamingOps.windowedAgg(evs.toDF(), watermark = "10 minutes",
+      width = "1 hour").collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime, r.getString(2))
+    val sm = streamed.map(r => key(r) -> (r.getLong(3), r.getDouble(4))).toMap
+    val bm = batch.map(r => key(r) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(sm.keySet == bm.keySet,
+      s"window sets differ: ${(sm.keySet diff bm.keySet).take(3)} / ${(bm.keySet diff sm.keySet).take(3)}")
+    sm.foreach { case (k, (n, sv)) =>
+      assert(n == bm(k)._1, s"count mismatch at $k")
+      // double sums may differ in the last ulp across aggregation orders
+      assert(math.abs(sv - bm(k)._2) <= 1e-6 * math.max(1.0, math.abs(sv)),
+        s"sum mismatch at $k: $sv vs ${bm(k)._2}")
+    }
+    assert(sm.nonEmpty)
+  }
+
+  test("sessionize: streaming sessions equal the batch gaps-and-islands sessions") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapMs = 30 * 60 * 1000L
+    val evs = graft.Tables.events(spark, sf0001)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = StreamingOps.sessionize(in.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sess_equiv")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        in.addData(evs)
+        q.processAllAvailable()
+        // two sentinel batches: the first advances the watermark, the
+        // second lets every timed-out session flush in append mode
+        in.addData(Event(Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "z", 0.0))
+        q.processAllAvailable()
+        in.addData(Event(Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "z", 0.0))
+        q.processAllAvailable()
+        spark.table("sess_equiv").as[SessionOut].collect()
+          .filter(_.user_id >= 0)
+      } finally q.stop()
+    // batch twin: the sessionize_batch gaps-and-islands construction,
+    // aggregated to the streaming operator's output shape
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = evs.toDF()
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > gapMs * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(wcum))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .collect()
+    def skey(u: Long, st: Timestamp, en: Timestamp, n: Long) =
+      (u, st.getTime, en.getTime, n)
+    val sm = streamed.map(x =>
+      skey(x.user_id, x.start, x.end, x.n_events) -> x.sum_value).toMap
+    val bm = batch.map(r => skey(r.getLong(0), r.getTimestamp(2),
+      r.getTimestamp(3), r.getLong(4)) -> r.getDouble(5)).toMap
+    assert(sm.keySet == bm.keySet,
+      s"session sets differ: ${(sm.keySet diff bm.keySet).take(3)} / ${(bm.keySet diff sm.keySet).take(3)}")
+    sm.foreach { case (k, v) =>
+      assert(math.abs(v - bm(k)) <= 1e-6 * math.max(1.0, math.abs(v)),
+        s"session sum mismatch at $k")
+    }
+    assert(sm.nonEmpty)
   }
 
   test("batch parquet directory reads as a stream with the same operators") {
