@@ -166,6 +166,47 @@ final class BitInput(bytes: SeekableBytes, bufferSize: Int = 1 << 16) {
     if (m < left) m + left - 1
     else (m << 1) + readBit() - 1
   }
+
+  /** Minimal binary (truncated binary) code for values in [0, b):
+    * the first 2^(s+1)-b values take s bits, the rest s+1 (s = ⌊log2 b⌋) —
+    * the Golomb-family remainder code (dsiutils InputBitStream wire
+    * format). */
+  def readMinimalBinary(b: Int): Int = {
+    val log2b = 31 - Integer.numberOfLeadingZeros(b)
+    val m = (1 << (log2b + 1)) - b
+    val x = readInt(log2b)
+    if (x < m) x else (x << 1) + readBit() - m
+  }
+
+  /** Golomb code with modulus b: quotient unary, remainder minimal
+    * binary. */
+  def readGolomb(b: Int): Int = {
+    if (b == 0) return 0
+    readUnary() * b + readMinimalBinary(b)
+  }
+
+  /** Skewed Golomb: doubling windows [ (2^i - 1)b, (2^(i+1) - 1)b ) —
+    * window index unary, position-in-window minimal binary. */
+  def readSkewedGolomb(b: Int): Int = {
+    val big = ((1 << (readUnary() + 1)) - 1) * b
+    val m = (big / (2 * b)) * b
+    m + readMinimalBinary(big - m)
+  }
+
+  /** Variable-length nibble code: groups of 1 stop bit (1 = last) + 3 data
+    * bits, most-significant group first. */
+  def readNibble(): Int = readLongNibble().toInt
+
+  def readLongNibble(): Long = {
+    var x = 0L
+    var stop = 0
+    do {
+      x <<= 3
+      stop = readBit()
+      x |= readLong(3)
+    } while (stop == 0)
+    x
+  }
 }
 
 /** MSB-first bit output, symmetric to [[BitInput]]. Bit-at-a-time byte
@@ -230,6 +271,45 @@ final class BitOutput(out: java.io.OutputStream) {
     val left = 1L << (h * k)
     if (v - left < left) writeLong(v - left, h * k + k - 1)
     else writeLong(v, h * k + k)
+  }
+
+  /** Minimal binary for x in [0, b) — see [[BitInput.readMinimalBinary]]. */
+  def writeMinimalBinary(x: Int, b: Int): Unit = {
+    require(b > 0 && x >= 0 && x < b, s"minimal binary needs 0 <= $x < $b")
+    val log2b = 31 - Integer.numberOfLeadingZeros(b)
+    val m = (1 << (log2b + 1)) - b
+    if (x < m) writeLong(x.toLong, log2b)
+    else {
+      val y = x + m
+      writeLong((y >> 1).toLong, log2b)
+      writeBit(y & 1)
+    }
+  }
+
+  def writeGolomb(x: Int, b: Int): Unit = {
+    require(b > 0 && x >= 0)
+    writeUnary(x / b)
+    writeMinimalBinary(x % b, b)
+  }
+
+  def writeSkewedGolomb(x: Int, b: Int): Unit = {
+    require(b > 0 && x >= 0)
+    val i = 31 - Integer.numberOfLeadingZeros(x / b + 1)
+    writeUnary(i)
+    val big = ((1 << (i + 1)) - 1) * b
+    val m = (big / (2 * b)) * b
+    writeMinimalBinary(x - m, big - m)
+  }
+
+  def writeNibble(n: Long): Unit = {
+    require(n >= 0)
+    val msb = if (n == 0) 0 else 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var h = msb / 3
+    while (h >= 0) {
+      writeBit(if (h == 0) 1 else 0)
+      writeLong(n >>> (h * 3), 3)
+      h -= 1
+    }
   }
 
   /** Pad the final partial byte with zeros and flush. */

@@ -27,6 +27,7 @@ final class BvEncoder(props: BvProperties) {
     case Coding.DELTA => out.writeDelta(v)
     case Coding.ZETA => out.writeZeta(v, zetaK)
     case Coding.UNARY => out.writeUnary(v.toInt)
+    case Coding.NIBBLE => out.writeNibble(v)
     case c => throw new IllegalStateException(s"coding $c unsupported")
   }
 
@@ -196,6 +197,7 @@ final class BvEncoder(props: BvProperties) {
           case Coding.DELTA => offOut.writeDelta(gap)
           case Coding.ZETA => offOut.writeZeta(gap, zetaK)
           case Coding.UNARY => offOut.writeUnary(gap.toInt)
+          case Coding.NIBBLE => offOut.writeNibble(gap)
           case c => throw new IllegalStateException(s"offset coding $c unsupported")
         }
         prev = o

@@ -51,6 +51,7 @@ final class BvGraph(
     case Coding.DELTA => in.readDelta()
     case Coding.ZETA => in.readZeta(zetaK)
     case Coding.UNARY => in.readUnary()
+    case Coding.NIBBLE => in.readNibble()
     case c => throw new IllegalStateException(s"coding $c unsupported")
   }
 
@@ -59,6 +60,7 @@ final class BvGraph(
     case Coding.DELTA => in.readLongDelta()
     case Coding.ZETA => in.readLongZeta(zetaK)
     case Coding.UNARY => in.readUnary().toLong
+    case Coding.NIBBLE => in.readLongNibble()
     case c => throw new IllegalStateException(s"coding $c unsupported")
   }
 
@@ -269,6 +271,7 @@ object BvGraph {
         case Coding.DELTA => in.readLongDelta()
         case Coding.ZETA => in.readLongZeta(props.zetaK)
         case Coding.UNARY => in.readUnary().toLong
+        case Coding.NIBBLE => in.readLongNibble()
         case c => throw new IllegalStateException(s"offset coding $c unsupported")
       }
       off += gap

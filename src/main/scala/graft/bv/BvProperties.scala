@@ -4,19 +4,32 @@ package graft.bv
   * constants and `compressionflags` 4-bit fields
   * (/root/reference/.../patched/HdfsBVGraph.java:307-340). Upstream values:
   * GAMMA=1 DELTA=2 GOLOMB=3 SKEWED_GOLOMB=4 ARITH=5 INTERP=6 UNARY=7 ZETA=8
-  * NIBBLE=9; we support the four used by real-world BV graphs.
+  * NIBBLE=9. GAMMA/DELTA/UNARY/ZETA/NIBBLE decode and encode end-to-end;
+  * GOLOMB/SKEWED_GOLOMB exist as codec primitives ([[BitInput.readGolomb]]
+  * etc.) but are rejected as STREAM codings because BVGraph properties
+  * carry no modulus parameter — the same restriction upstream BVGraph's
+  * read paths enforce (its readOutdegree/readResidual switches throw
+  * UnsupportedOperationException for them). ARITH/INTERP are likewise
+  * parse-accepted upstream but undecodable; we reject them with a clear
+  * error at flag-parse time.
   */
 object Coding {
   val GAMMA = 1
   val DELTA = 2
+  val GOLOMB = 3
+  val SKEWED_GOLOMB = 4
   val UNARY = 7
   val ZETA = 8
+  val NIBBLE = 9
 
   def name(c: Int): String = c match {
     case GAMMA => "GAMMA"
     case DELTA => "DELTA"
+    case GOLOMB => "GOLOMB"
+    case SKEWED_GOLOMB => "SKEWED_GOLOMB"
     case UNARY => "UNARY"
     case ZETA => "ZETA"
+    case NIBBLE => "NIBBLE"
     case other => s"UNSUPPORTED($other)"
   }
 
@@ -25,6 +38,10 @@ object Coding {
     case "DELTA" => DELTA
     case "UNARY" => UNARY
     case "ZETA" => ZETA
+    case "NIBBLE" => NIBBLE
+    case "GOLOMB" | "SKEWED_GOLOMB" => throw new IllegalArgumentException(
+      s"Coding $s carries a modulus parameter BVGraph properties cannot " +
+        "express; unsupported as a stream coding (matches upstream BVGraph)")
     case other => throw new IllegalArgumentException(
       s"Compression flag coding $other unsupported")
   }

@@ -59,6 +59,58 @@ class BvCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("minimal-binary/golomb/skewed-golomb/nibble round-trip") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val bs = List.fill(100)(1 + rnd.nextInt(1000))
+      val xs = bs.map(b => rnd.nextInt(b))        // minimal binary needs x < b
+      val ys = List.fill(100)(rnd.nextInt(100000)) // unbounded values
+      val ns = List.fill(100)(rnd.nextLong(1L << 40) & Long.MaxValue)
+      val got = withBits { out =>
+        xs.zip(bs).foreach { case (x, b) => out.writeMinimalBinary(x, b) }
+        ys.zip(bs).foreach { case (y, b) =>
+          out.writeGolomb(y, b); out.writeSkewedGolomb(y, b)
+        }
+        ns.foreach(out.writeNibble)
+      } { in =>
+        val mb = bs.map(in.readMinimalBinary)
+        val g = bs.map(b => (in.readGolomb(b), in.readSkewedGolomb(b)))
+        val nb = ns.map(_ => in.readLongNibble())
+        (mb, g, nb)
+      }
+      assert(got._1 == xs)
+      assert(got._2 == ys.zip(ys).map(identity))
+      assert(got._3 == ns)
+    }
+  }
+
+  test("golden bit patterns: golomb/skewed-golomb/nibble/minimal-binary") {
+    def bytesOf(write: BitOutput => Unit): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new BitOutput(bos)
+      write(out); out.flush(); bos.toByteArray
+    }
+    // nibble(0) = stop-bit 1 + 000 -> 1000____
+    assert(bytesOf(_.writeNibble(0L)).sameElements(Array(0x80.toByte)))
+    // nibble(9 = 0b1001): groups 001,001 -> 0001 1001
+    assert(bytesOf(_.writeNibble(9L)).sameElements(Array(0x19.toByte)))
+    // golomb(4, b=3): q=1 unary '01'; r=1 minimal binary over 3 = '10'
+    assert(bytesOf(_.writeGolomb(4, 3)).sameElements(Array(0x60.toByte)))
+    // skewed golomb(5, b=2): window i=1 -> '01'; offset 3 over bound 4 = '11'
+    assert(bytesOf(_.writeSkewedGolomb(5, 2)).sameElements(Array(0x70.toByte)))
+    // minimal binary over b=5 (s=2, m=3): 3 -> '110'
+    assert(bytesOf(_.writeMinimalBinary(3, 5)).sameElements(Array(0xC0.toByte)))
+    // first 2^(s+1)-b values take s bits: 0 over b=5 -> '00'
+    assert(bytesOf(_.writeMinimalBinary(0, 5)).sameElements(Array(0x00.toByte)))
+  }
+
+  test("golomb-family stream flags rejected with a modulus explanation") {
+    val e = intercept[IllegalArgumentException] {
+      StreamCodings.fromFlagString("RESIDUALS_GOLOMB")
+    }
+    assert(e.getMessage.contains("modulus"))
+  }
+
   test("zigzag round-trip") {
     val rnd = new scala.util.Random(3)
     (List.fill(1000)(rnd.nextLong()) ++ List(0L, 1L, -1L, Long.MaxValue >> 1, Long.MinValue >> 1))
@@ -138,7 +190,11 @@ class BvCodecSpec extends AnyFunSuite {
     BvProperties(0, 0, codings = StreamCodings(
       outdegree = Coding.DELTA, residual = Coding.GAMMA, offset = Coding.DELTA)),
     BvProperties(0, 0, codings = StreamCodings(
-      block = Coding.DELTA, blockCount = Coding.DELTA, reference = Coding.GAMMA)))
+      block = Coding.DELTA, blockCount = Coding.DELTA, reference = Coding.GAMMA)),
+    BvProperties(0, 0, codings = StreamCodings( // every stream nibble-coded
+      outdegree = Coding.NIBBLE, block = Coding.NIBBLE,
+      residual = Coding.NIBBLE, reference = Coding.NIBBLE,
+      blockCount = Coding.NIBBLE, offset = Coding.NIBBLE)))
 
   private def roundTrip(adj: Array[Array[Int]], p: BvProperties): Unit = {
     val enc = new BvEncoder(p)
