@@ -29,11 +29,12 @@ object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Whitespace-normalized lowercased text (idempotent on the testdata,
-    * but the normalization pass is part of the operator contract). */
-  private def norm(c: Column): Column =
+    * but the normalization pass is part of the operator contract).
+    * Shared with [[CurationQueries]]. */
+  def norm(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  private def tokens(c: Column): Column = split(norm(c), " ")
+  def tokens(c: Column): Column = split(norm(c), " ")
 
   /** Distinct word 3-gram shingles; short docs fall back to the whole text
     * as a single shingle.
@@ -240,8 +241,13 @@ object DedupQueries {
         transform(col("v"), (x, i) =>
           x * (lit(1.0) + lit(0.005) *
             (pmod(col("vec_id") + i, lit(5)) - lit(2)).cast("double"))).as("v"))
+      // the corpus subtree feeds four consumers (both self-join arms and
+      // both verify arms); persist so the union + norms + 64 SRP dot
+      // products run once — at 100 TB this is the checkpointed signature
+      // table every LSH dedup pipeline materializes anyway
       val corpus = SimilarityQueries.withNorm(base.unionByName(planted))
         .withColumn("bands", SimilarityQueries.srpBands(col("v"), 8, 8))
+        .persist()
       val sig = corpus.select(col("vec_id"), posexplode(col("bands")))
         .select(col("vec_id"), col("pos").as("band"), col("col").as("bkt"))
       val cand = sig.select(col("band"), col("bkt"), col("vec_id").as("ida"))

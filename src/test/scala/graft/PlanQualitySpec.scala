@@ -154,6 +154,11 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("contamination: probe shingle set broadcasts; corpus shingles never shuffle for the join") {
+    val p = planOf("contamination")
+    assert(p.contains("BroadcastHashJoin"), s"probe set not broadcast:\n$p")
+  }
+
   test("bv scan reports stats so Catalyst can plan broadcasts against it") {
     val base = graft.queries.GraphQueries.bvFixture(spark, sf0001)
     val df = spark.read.format("bvgraph").option("basename", base).load()
