@@ -175,6 +175,28 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // -- salted SHUFFLE JOIN for hot keys: the fact side gets a
+    //    deterministic salt (hash of other columns — NEVER rand(), which
+    //    breaks retries/oracle parity); the dim side replicates once per
+    //    salt value via explode. The join key becomes (key, salt), so a
+    //    hot key's rows spread over R reducers instead of one straggler.
+    //    This is the manual fallback when AQE skew-join can't kick in
+    //    (e.g. a skewed key feeding a grouped agg in the same stage);
+    //    result is identical to the unsalted join (oracle-checked).
+    "join_skew_salted" -> ((s, d) => {
+      val r = 8
+      val fact = lineitem(s, d).withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(r)).cast("int"))
+      val dim = supplier(s, d).withColumn("s_salt",
+        explode(sequence(lit(0), lit(r - 1))))
+      fact.join(dim,
+        col("l_suppkey") === col("s_suppkey") && col("salt") === col("s_salt"))
+        .groupBy(col("s_nationkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("s_nationkey")
+    }),
+
     // -- TPC-H Q3 shape: 3-way join + filter + top-10 by computed revenue
     "q3_shipping" -> ((s, d) => {
       customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -437,6 +459,12 @@ object RelationalQueries {
          CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "join_skew_salted" ->
+      """SELECT s_nationkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         COUNT(*) AS n_rows
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
          CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4

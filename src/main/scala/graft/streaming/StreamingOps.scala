@@ -85,6 +85,19 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact deduplication — the ingestion-side twin of
+    * [[graft.queries.DedupQueries]]'s `dedup_exact`: keep the first
+    * arrival per key, dropping re-deliveries whose event time falls
+    * within the watermark window. State is one entry per key seen in the
+    * window and is reclaimed as the watermark advances — bounded by
+    * (arrival rate x window), independent of stream length, which is
+    * what makes it runnable against an unbounded 100 TB/day feed. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** File-based streaming read of an events directory (the batch parquet
     * becomes a stream source unchanged — same schema, same downstream
     * operators). */

@@ -154,6 +154,22 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("join_skew_salted: the shuffle keys include the salt (hot key spreads over reducers)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = executed(SparkEntry.queries("join_skew_salted")(spark, sf0001))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected shuffle join:\n$p")
+      val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+        .mkString("\n")
+      assert(ex.contains("salt"), s"salt not a shuffle key:\n$ex")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("contamination: probe shingle set broadcasts; corpus shingles never shuffle for the join") {
     val p = planOf("contamination")
     assert(p.contains("BroadcastHashJoin"), s"probe set not broadcast:\n$p")

@@ -196,6 +196,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(sm.nonEmpty)
   }
 
+  test("dedupStream keeps first arrivals, drops in-watermark re-deliveries") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(in.toDF(), Seq("user_id", "event_type"),
+      watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(ts(0), 1, "click", 1.0), Event(ts(1), 1, "click", 2.0),
+        Event(ts(2), 2, "view", 3.0))
+      q.processAllAvailable()
+      // same keys re-delivered in a later batch, still inside the window
+      in.addData(Event(ts(5), 1, "click", 4.0), Event(ts(6), 2, "view", 5.0),
+        Event(ts(7), 3, "click", 6.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .collect().map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+      // one row per key; the FIRST arrival's payload survives
+      assert(got.toSet == Set((1L, "click", 1.0), (2L, "view", 3.0),
+        (3L, "click", 6.0)), s"got ${got.mkString(",")}")
+      // streaming key set == batch dropDuplicates key set
+      val batchKeys = Seq(
+        Event(ts(0), 1, "click", 1.0), Event(ts(1), 1, "click", 2.0),
+        Event(ts(2), 2, "view", 3.0), Event(ts(5), 1, "click", 4.0),
+        Event(ts(6), 2, "view", 5.0), Event(ts(7), 3, "click", 6.0))
+        .toDF().dropDuplicates("user_id", "event_type")
+        .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(got.map(x => (x._1, x._2)).toSet == batchKeys)
+    } finally q.stop()
+  }
+
   test("batch parquet directory reads as a stream with the same operators") {
     implicit val s = spark
     import s.implicits._
