@@ -116,6 +116,30 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // -- connected components via GraphX (the reference README's GraphX
+    //    handoff, /root/reference/README.md:37-48, driving a real graph
+    //    algorithm end-to-end). Node space: customers as-is, orders
+    //    shifted past 1e6 so the two id ranges are provably disjoint —
+    //    every component is then a customer star whose min-id label is
+    //    the customer key, which is what makes the result exactly
+    //    SQL-expressible for the oracle (GraphX still has to DISCOVER
+    //    that structure; arbitrary-topology correctness is union-find
+    //    cross-checked in GraphXInteropSpec). Pregel iterations are
+    //    join-shuffles on the vertex partitioning; iteration count is
+    //    graph diameter (2 here, ~log n in practice at 100 TB).
+    "graph_cc" -> ((s, d) => {
+      import org.apache.spark.graphx._
+      import s.implicits._
+      val off = 1000000L
+      val edgeRdd = orders(s, d)
+        .select(col("o_custkey").cast("long"), col("o_orderkey").cast("long"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1) + off, ()))
+      Graph.fromEdges(edgeRdd, ()).connectedComponents()
+        .vertices.map { case (id, comp) => (id, comp) }
+        .toDF("id", "component")
+        .orderBy("id")
+    }),
+
     // -- top-k by indegree (TakeOrderedAndProject — scales to 100 TB where
     //    a global sort would not)
     "top_indegree" -> ((s, d) => {
@@ -155,5 +179,11 @@ object GraphQueries {
     "top_indegree" ->
       """SELECT l_partkey AS dst, COUNT(*) AS indeg
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         GROUP BY l_partkey ORDER BY indeg DESC, dst LIMIT 10""")
+         GROUP BY l_partkey ORDER BY indeg DESC, dst LIMIT 10""",
+    "graph_cc" ->
+      """SELECT o_custkey AS id, o_custkey AS component
+         FROM orders GROUP BY o_custkey
+         UNION ALL
+         SELECT o_orderkey + 1000000 AS id, o_custkey AS component FROM orders
+         ORDER BY id""")
 }

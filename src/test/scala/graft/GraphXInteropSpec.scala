@@ -50,4 +50,31 @@ class GraphXInteropSpec extends AnyFunSuite {
     val pr = g.staticPageRank(3).vertices.collect()
     assert(pr.nonEmpty && pr.forall(_._2 > 0))
   }
+
+  test("connectedComponents matches union-find on chains, cycles and isolated stars") {
+    // arbitrary topology (not the star shape graph_cc's oracle relies
+    // on): two chains bridged into one component, a cycle, a self-loop,
+    // and an isolated pair — cross-checked against a scala union-find
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),       // chain
+      (10L, 11L), (11L, 12L), (4L, 10L),  // second chain, bridged to first
+      (20L, 21L), (21L, 22L), (22L, 20L), // cycle
+      (30L, 30L),                          // self-loop
+      (40L, 41L))                          // isolated pair
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val rdd = spark.sparkContext.parallelize(edges.map { case (a, b) => Edge(a, b, ()) })
+    val got = Graph.fromEdges(rdd, ()).connectedComponents()
+      .vertices.collect().toMap
+    assert(got == expected, s"got $got want $expected")
+  }
 }
