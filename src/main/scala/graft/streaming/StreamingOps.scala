@@ -98,6 +98,25 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join (the attribution shape: each `click` is
+    * matched to the same user's `view`s within `horizonSec` after it).
+    * Both sides carry a watermark and the join condition bounds r.ts
+    * relative to l.ts, so each side's buffered state is watermark +
+    * horizon deep — bounded regardless of stream length (the condition
+    * Structured Streaming needs to reclaim join state at all). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "10 minutes", horizonSec: Long = 600L): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("l.event_type") === "click" && col("r.event_type") === "view" &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"interval $horizonSec seconds"))
+      .select(col("l.user_id").as("user_id"), col("l.ts").as("click_ts"),
+        col("r.ts").as("view_ts"), col("r.value").as("view_value"))
+  }
+
   /** File-based streaming read of an events directory (the batch parquet
     * becomes a stream source unchanged — same schema, same downstream
     * operators). */

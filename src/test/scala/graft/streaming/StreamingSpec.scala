@@ -229,6 +229,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join on real events") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = graft.Tables.events(spark, sf0001)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val inL = MemoryStream[Event]
+    val inR = MemoryStream[Event]
+    // sf0.001 events span a month over 15 users — a day-scale horizon is
+    // what actually pairs clicks with views in this data
+    val q = StreamingOps.intervalJoin(inL.toDF(), inR.toDF(),
+      watermark = "1 day", horizonSec = 86400L)
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        inL.addData(evs); inR.addData(evs)
+        q.processAllAvailable()
+        // sentinel advances both watermarks so every in-horizon pair emits
+        val flush = Event(Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "z", 0.0)
+        inL.addData(flush); inR.addData(flush)
+        q.processAllAvailable()
+        spark.table("ivj").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+            r.getTimestamp(2).getTime)).toSet
+      } finally q.stop()
+    val batch = StreamingOps.intervalJoin(evs.toDF(), evs.toDF(),
+      watermark = "1 day", horizonSec = 86400L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime)).toSet
+    assert(streamed == batch,
+      s"missing=${(batch diff streamed).take(3)} extra=${(streamed diff batch).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("batch parquet directory reads as a stream with the same operators") {
     implicit val s = spark
     import s.implicits._
