@@ -187,23 +187,8 @@ final class BvEncoder(props: BvProperties) {
     def finish(): (Array[Byte], String) = {
       offsetsBuf += out.writtenBits
       out.flush()
-      val offBos = new java.io.ByteArrayOutputStream()
-      val offOut = new BitOutput(offBos)
-      var prev = 0L
-      offsetsBuf.foreach { o =>
-        val gap = o - prev
-        props.codings.offset match {
-          case Coding.GAMMA => offOut.writeGamma(gap)
-          case Coding.DELTA => offOut.writeDelta(gap)
-          case Coding.ZETA => offOut.writeZeta(gap, zetaK)
-          case Coding.UNARY => offOut.writeUnary(gap.toInt)
-          case Coding.NIBBLE => offOut.writeNibble(gap)
-          case c => throw new IllegalStateException(s"offset coding $c unsupported")
-        }
-        prev = o
-      }
-      offOut.flush()
-      (offBos.toByteArray, props.copy(nodes = x, arcs = arcs).render)
+      (BvOffsets.encode(offsetsBuf.toSeq, props),
+        props.copy(nodes = x, arcs = arcs).render)
     }
   }
 

@@ -37,14 +37,22 @@ final class BvGraph(
     * 7-10x executor-memory reduction on web-scale graphs).
     */
   val offsets: BvGraph.Offsets = {
-    val raw = BvGraph.decodeOffsets(offsetsSrc, props)
-    val useEf = efOffsets.getOrElse(raw.length > BvGraph.EF_THRESHOLD)
-    if (useEf) new BvGraph.EfOffsets(EliasFanoLongList(raw))
-    else new BvGraph.PlainOffsets(raw)
+    if (offsetsSrc eq BvGraph.NoOffsets) null // sequential-only mode
+    else {
+      val raw = BvGraph.decodeOffsets(offsetsSrc, props)
+      val useEf = efOffsets.getOrElse(raw.length > BvGraph.EF_THRESHOLD)
+      if (useEf) new BvGraph.EfOffsets(EliasFanoLongList(raw))
+      else new BvGraph.PlainOffsets(raw)
+    }
   }
   // the offsets stream is fully decoded above — release its handle now
   // (close() is idempotent on both FileChannel and FSDataInputStream)
   offsetsSrc.close()
+
+  private def requireIndex(): Unit =
+    require(offsets != null,
+      "graph opened without an offsets index (sequential-only mode — " +
+        "regenerate the index with BvOffsets.regenerate)")
 
   private def readCoded(in: BitInput, coding: Int): Int = coding match {
     case Coding.GAMMA => in.readGamma()
@@ -81,6 +89,7 @@ final class BvGraph(
     */
   def outdegree(x: Int, in: BitInput): Int = {
     require(x >= 0 && x < n, s"Node index out of range: $x")
+    requireIndex()
     in.position(offsets(x))
     readCoded(in, codings.outdegree)
   }
@@ -90,6 +99,7 @@ final class BvGraph(
     * mirrors /root/reference/.../patched/HdfsBVGraph.java:238-243).
     */
   def successorArray(x: Int): Array[Int] = {
+    requireIndex()
     val in = newBitInput(4096)
     in.position(offsets(x))
     decodeNode(x, in, y => successorArray(y))
@@ -186,6 +196,7 @@ final class BvGraph(
   def nodeIterator(from: Int, until: Int,
       bufferSize: Int = 1 << 20): Iterator[(Int, Array[Int])] = {
     require(from >= 0 && from <= n, s"Node index out of range: $from")
+    if (from > 0) requireIndex() // mid-split warm-up needs random access
     val hi = math.min(until, n)
     if (from >= hi) return Iterator.empty
     val in = newBitInput(bufferSize)
@@ -197,7 +208,7 @@ final class BvGraph(
         i += 1
       }
     }
-    in.position(offsets(from))
+    in.position(if (from == 0) 0L else offsets(from))
     new Iterator[(Int, Array[Int])] {
       private var curr = from
       def hasNext: Boolean = curr < hi
@@ -206,8 +217,9 @@ final class BvGraph(
         // Integrity: node x's record must end exactly where offsets says
         // node x+1 begins. A truncated/corrupt stream zero-pads, and zeros
         // decode as plausible empty nodes — without this check a damaged
-        // split would SILENTLY feed wrong adjacency downstream.
-        if (in.bitPosition != offsets(curr + 1))
+        // split would SILENTLY feed wrong adjacency downstream. (Skipped
+        // in sequential-only mode — there is no index to check against.)
+        if (offsets != null && in.bitPosition != offsets(curr + 1))
           throw new java.io.EOFException(
             s"decode desync at node $curr: ended at bit ${in.bitPosition}, " +
               s"offsets say ${offsets(curr + 1)} (truncated or corrupt .graph?)")
@@ -219,12 +231,38 @@ final class BvGraph(
     }
   }
 
+  /** Re-derive the n+1 record bit-offsets by one sequential decode pass —
+    * the engine's version of the reference's ONLY sink, the offsets
+    * regeneration job (writeOffsets,
+    * /root/reference/.../patched/HdfsBVGraph.java:393-407). Works in
+    * sequential-only mode (no .offsets file needed). */
+  def rebuildOffsets(bufferSize: Int = 1 << 20): Array[Long] = {
+    val in = newBitInput(bufferSize)
+    in.position(0L)
+    val window = new Array[Array[Int]](cyclicBufferSize)
+    val out = new Array[Long](n + 1)
+    var x = 0
+    while (x < n) {
+      out(x) = in.bitPosition
+      val succ = decodeNode(x, in, y => window(y % cyclicBufferSize))
+      if (windowSize > 0) window(x % cyclicBufferSize) = succ
+      x += 1
+    }
+    out(n) = in.bitPosition
+    out
+  }
+
   /** Whole-graph scan. */
   def iterator: Iterator[(Int, Array[Int])] = nodeIterator(0, n)
 }
 
 object BvGraph {
   private val EMPTY = new Array[Int](0)
+
+  /** Sentinel offsets source: opens the graph in sequential-only mode (no
+    * index decoded; random access and mid-split starts throw). Used by
+    * [[BvOffsets.regenerate]] to rebuild a lost/corrupt `.offsets`. */
+  val NoOffsets: SeekableBytes = new ArrayBytes(Array.empty)
 
   /** Node count past which the offsets index switches to Elias–Fano. */
   val EF_THRESHOLD: Int = 1 << 22

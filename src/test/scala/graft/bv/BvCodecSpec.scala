@@ -268,6 +268,36 @@ class BvCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("offsets regeneration reproduces the encoder's offsets byte-for-byte") {
+    // the reference's only sink (writeOffsets, HdfsBVGraph.java:393-407):
+    // given just .graph + .properties, one sequential decode pass must
+    // rebuild .offsets identical to what the encoder emitted — across
+    // offset codings (γ/δ/nibble) and format parameters
+    for (p <- paramGrid; seed <- 1L to 2L) {
+      val adj = adjacency(70, randomList(70, 9), seed)
+      val (g, o, propsText) = new BvEncoder(p).encode(adj)
+      val props = BvProperties.parse(propsText)
+      val rebuilt = BvOffsets.regenerate(props, new ArrayBytes(g))
+      assert(rebuilt.sameElements(o),
+        s"offsets mismatch for params $p: ${rebuilt.length} vs ${o.length} bytes")
+      // the regenerated index drives a fully-functional random-access graph
+      val g2 = new BvGraph(props, new ArrayBytes(g), new ArrayBytes(rebuilt))
+      assert(g2.successorArray(35).sameElements(adj(35)))
+    }
+  }
+
+  test("sequential-only mode: full scan works, random access throws") {
+    val adj = adjacency(40, randomList(40, 6), 5L)
+    val (g, _, propsText) = new BvEncoder(BvProperties(0, 0)).encode(adj)
+    val props = BvProperties.parse(propsText)
+    val seq = new BvGraph(props, new ArrayBytes(g), BvGraph.NoOffsets)
+    val got = seq.iterator.toArray
+    assert(got.length == 40)
+    got.foreach { case (x, succ) => assert(succ.sameElements(adj(x))) }
+    intercept[IllegalArgumentException](seq.successorArray(3))
+    intercept[IllegalArgumentException](seq.nodeIterator(5, 10))
+  }
+
   test("properties render/parse round-trip incl. flag strings") {
     for (p <- paramGrid) {
       val r = BvProperties.parse(p.copy(nodes = 42, arcs = 99L).render)
