@@ -134,9 +134,12 @@ object DedupQueries {
 
     // -- MinHash (k=128) + LSH (32 bands x 4 rows): Aggregator signatures,
     //    banded bucket join for candidates, exact verification. At
-    //    Jaccard 0.8 the candidate probability is 1-(1-0.8^4)^32 ≈ 1.
-    //    Hash-dependent intermediate -> verified output equals a subset of
-    //    dedup_ngram_jaccard (recall asserted in PipelineSpec).
+    //    Jaccard 0.8 the candidate probability is 1-(1-0.8^4)^32 ≈ 1, so
+    //    the verified output EQUALS the exact dedup_ngram_jaccard result
+    //    (subset by construction; full recall asserted in PipelineSpec) —
+    //    which is why this hash-dependent operator still carries the
+    //    exact-jaccard oracle SQL below: the gate hash-checks the whole
+    //    sketch->band->verify path against the exact answer.
     "dedup_minhash" -> ((s, d) => {
       import s.implicits._
       val k = 128; val bands = 32; val rows = 4
@@ -268,36 +271,42 @@ object DedupQueries {
         .orderBy("vec_a", "vec_b")
     }))
 
+  /** dedup_minhash's banding (32x4 at J>=0.8 → candidate prob ≈ 1 minus
+    * (1-0.8^4)^32 ≈ 5e-8 worst case) plus exact verification makes its
+    * output equal the exact jaccard join's, so it shares that oracle. */
+  private val jaccardOracle: String =
+    """WITH w AS (SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+       FROM documents),
+     sh AS (SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [nt] END AS sh
+       FROM w),
+     ex AS (SELECT doc_id, unnest(sh) AS sng FROM sh),
+     rare AS (SELECT sng FROM ex GROUP BY sng HAVING COUNT(*) <= 50),
+     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM ex a JOIN rare r ON a.sng = r.sng JOIN ex b ON b.sng = a.sng
+       WHERE a.doc_id < b.doc_id),
+     v AS (SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
+       FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                   JOIN sh sb ON sb.doc_id = c.doc_b)
+     SELECT doc_a, doc_b,
+       CAST(FLOOR(inter * 1000000.0 / un) AS BIGINT) AS jac_e6
+     FROM v WHERE inter * 10 >= un * 8
+     ORDER BY doc_a, doc_b"""
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> jaccardOracle,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_md5,
          MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
          FROM documents
          GROUP BY 1 ORDER BY canonical_id""",
-    "dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
-           FROM documents),
-         sh AS (SELECT doc_id,
-             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
-                    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                  ELSE [nt] END AS sh
-           FROM w),
-         ex AS (SELECT doc_id, unnest(sh) AS sng FROM sh),
-         rare AS (SELECT sng FROM ex GROUP BY sng HAVING COUNT(*) <= 50),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM ex a JOIN rare r ON a.sng = r.sng JOIN ex b ON b.sng = a.sng
-           WHERE a.doc_id < b.doc_id),
-         v AS (SELECT c.doc_a, c.doc_b,
-             len(list_intersect(sa.sh, sb.sh)) AS inter,
-             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
-           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-                       JOIN sh sb ON sb.doc_id = c.doc_b)
-         SELECT doc_a, doc_b,
-           CAST(FLOOR(inter * 1000000.0 / un) AS BIGINT) AS jac_e6
-         FROM v WHERE inter * 10 >= un * 8
-         ORDER BY doc_a, doc_b""",
+    "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_embed_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          twin AS (SELECT vec_id + 100000 AS tid,
