@@ -164,12 +164,18 @@ object DedupQueries {
     // -- SimHash sketch index: one 64-bit sketch per doc + 8x8-bit band
     //    buckets (pair extraction from the buckets is exercised on
     //    controlled near-dups in PipelineSpec; on arbitrary corpora the
-    //    band guarantee covers Hamming distance <= 7).
+    //    band guarantee covers Hamming distance <= 7). Features are
+    //    fnv64-hashed tokens — the engine's own codegen'd fingerprint
+    //    primitive, which DuckDB reproduces in SQL, so this sketch is
+    //    value-gated end-to-end (not rows-only).
     "dedup_simhash" -> ((s, d) => {
       import s.implicits._
+      import org.apache.spark.sql.graftbridge.Exprs
+      import graft.functions.Fnv64
       val feats = documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .select(col("doc_id"),
+          Exprs.toColumn(Fnv64(Exprs.toExpr(col("tok")))).as("h"))
         .as[(Long, Long)]
       val simAgg = new SketchAggs.SimHash64().toColumn
       feats.groupByKey(_._1).agg(simAgg).toDF("doc_id", "simhash")
@@ -301,6 +307,33 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> jaccardOracle,
+    // SimHash reproduced in SQL: fnv64 per token (HUGEINT fold, see
+    // text_fingerprint's oracle), +/-1 votes per bit, bit set where the
+    // vote is strictly positive; bands are unsigned byte extracts.
+    "dedup_simhash" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+         hh AS (SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, len(t)+1), i -> CAST(ord(substr(t, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616) AS h
+           FROM tok),
+         bits AS (SELECT doc_id, j,
+             SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM hh, unnest(range(0, 64)) AS r(j) GROUP BY doc_id, j),
+         sh AS (SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS HUGEINT) END) AS u
+           FROM bits GROUP BY doc_id),
+         bands AS (SELECT doc_id, u, CAST(b AS INTEGER) AS band,
+             CAST((u >> CAST(b * 8 AS INTEGER)) & 255 AS BIGINT) AS bucket
+           FROM sh, unnest(range(0, 8)) AS r(b))
+         SELECT doc_id,
+           lower(lpad(to_hex(CAST(u AS UBIGINT)), 16, '0')) AS simhash_hex,
+           band, bucket
+         FROM bands ORDER BY doc_id, band""",
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_md5,
          MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

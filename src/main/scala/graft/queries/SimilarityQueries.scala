@@ -157,7 +157,70 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }))
 
+  /** DuckDB fold-left dot product (same ascending order as [[VecDot]]). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       list_transform(range(1, 65), i -> $a[i] * $b[i])),
+       (acc, x) -> acc + x)"""
+
+  /** The SRP bucket expression with the PLAN-TIME sign vectors baked in as
+    * SQL literals — the planes are deterministic (mix64), so the oracle
+    * can reproduce the "approximate" query exactly: approximation here is
+    * a deterministic function of the data, not randomness. */
+  private def srpBucketSql: String = (0 until 6).map { p =>
+    val signs = Array.tabulate(64)(d =>
+      if (graft.functions.SketchAggs.mix64(p * 1024L + d) >= 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+    s"(CASE WHEN ${dotSql("v", s"($signs)")} >= 0 THEN ${1 << p} ELSE 0 END)"
+  }.mkString("\n         + ")
+
   val oracleSql: Map[String, String] = Map(
+    "sim_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm FROM e),
+         cpos AS (SELECT label AS cell, i AS pos, AVG(v[i]) AS c
+           FROM n, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY label, i),
+         cent AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cpos GROUP BY cell),
+         centn AS (SELECT cell, cv,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cv, x -> x * x)), (acc, x) -> acc + x)) AS cn FROM cent),
+         csim AS (SELECT n.vec_id, n.v, n.nrm, c.cell,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])),
+               (acc, x) -> acc + x) / (n.nrm * c.cn) AS cs
+           FROM n, centn c),
+         corpus AS (SELECT vec_id, v, nrm, cell FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS crnk
+            FROM csim) WHERE crnk <= 1),
+         probes AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cell FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS crnk
+            FROM csim WHERE vec_id < 4) WHERE crnk <= 2),
+         pairs AS (SELECT p.qid, c.vec_id, c.cell,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * c.v[i])),
+               (acc, x) -> acc + x) / (p.qn * c.nrm) AS sim
+           FROM corpus c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.qid),
+         r AS (SELECT qid, vec_id, cell, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM pairs)
+         SELECT qid, rnk, vec_id, cell, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "sim_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm FROM e),
+         b AS (SELECT vec_id, v, nrm,
+           $srpBucketSql AS bucket FROM n),
+         q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM b WHERE vec_id < 4),
+         p AS (SELECT q.qid, b.vec_id, b.bucket,
+             ${dotSql("q.qv", "b.v")} / (q.qn * b.nrm) AS sim
+           FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.qid),
+         r AS (SELECT qid, vec_id, bucket, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM p)
+         SELECT qid, rnk, vec_id, bucket, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,

@@ -172,5 +172,38 @@ object TextQueries {
          len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_ws,
          len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
          len(text) AS n_chars
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    // FNV-1a 64 reproduced in SQL: fold (xor then * prime) over the chars
+    // in HUGEINT (the prime is 2^40.x, so products stay inside 128-bit)
+    // mod 2^64; min-shingle uses SIGNED ordering to match Spark's
+    // array_min over LongType; %016x == lpad(to_hex(unsigned)).
+    // ord() == UTF-8 byte holds because the corpus is ASCII.
+    "text_fingerprint" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+           FROM documents),
+         sh AS (SELECT doc_id, nt,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [nt] END AS sh
+           FROM w),
+         f AS (SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, len(nt)+1), i -> CAST(ord(substr(nt, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616) AS doc_f,
+             list_transform(sh, s -> list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, len(s)+1), i -> CAST(ord(substr(s, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616)) AS sh_f
+           FROM sh),
+         m AS (SELECT doc_id, doc_f,
+             list_min(list_transform(sh_f, x ->
+               CASE WHEN x >= 9223372036854775808 THEN x - 18446744073709551616 ELSE x END)) AS mn
+           FROM f)
+         SELECT doc_id,
+           lower(lpad(to_hex(CAST(doc_f AS UBIGINT)), 16, '0')) AS doc_fp,
+           lower(lpad(to_hex(CAST(CASE WHEN mn < 0 THEN mn + 18446744073709551616 ELSE mn END AS UBIGINT)), 16, '0')) AS min_shingle_fp
+         FROM m ORDER BY doc_id""")
 }
