@@ -116,6 +116,37 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // -- graph transposition THROUGH the engine's own sink: scan the BV
+    //    fixture, swap edge endpoints, re-compress the reversed adjacency
+    //    as a new sharded BVGraph (range shuffle + stream-encode), scan
+    //    it back. The WebGraph ecosystem's standard `transpose` job,
+    //    expressed as read -> explode -> swap -> sink -> read; the oracle
+    //    is the swapped edge list, so BOTH directions of the engine's
+    //    codec and the distributed sink are value-gated in one query.
+    //    At 100 TB this is exactly one range shuffle on the new source
+    //    id (the sort the BV format needs anyway) — same cost shape as
+    //    the original compression job.
+    "bv_transpose" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      val tbase = base + "_T"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tbase + ".shards"))) {
+        val g = s.read.format("bvgraph").option("basename", base).load()
+        val n = g.agg(max(col("id"))).head().getInt(0) + 1
+        g.select(col("id"), explode(col("successors")).as("dst"))
+          .groupBy(col("dst"))
+          .agg(sort_array(collect_list(col("id"))).as("successors"))
+          .select(col("dst").as("id"), col("successors"))
+          .withColumn("outdegree", size(col("successors")))
+          .write.format("bvgraph").option("basename", tbase)
+          .option("shards", 8).option("nodes", n).mode("overwrite").save()
+      }
+      s.read.format("bvgraph").option("basename", tbase).option("splits", 8).load()
+        .select(col("id").cast("long").as("src"),
+          explode(col("successors")).as("d"))
+        .select(col("src"), col("d").cast("long").as("dst"))
+        .orderBy("src", "dst")
+    }),
+
     // -- connected components via GraphX (the reference README's GraphX
     //    handoff, /root/reference/README.md:37-48, driving a real graph
     //    algorithm end-to-end). Node space: customers as-is, orders
@@ -185,5 +216,8 @@ object GraphQueries {
          FROM orders GROUP BY o_custkey
          UNION ALL
          SELECT o_orderkey + 1000000 AS id, o_custkey AS component FROM orders
-         ORDER BY id""")
+         ORDER BY id""",
+    "bv_transpose" ->
+      """SELECT o_orderkey AS src, o_custkey AS dst
+         FROM orders ORDER BY src, dst""")
 }
