@@ -147,6 +147,35 @@ object GraphQueries {
         .orderBy("src", "dst")
     }),
 
+    // -- symmetrization (the WebGraph-standard undirected closure: every
+    //    published graph ships a `-sym` variant): edges ∪ swapped edges,
+    //    dedup, re-compress through the sink, scan back. Self-loops from
+    //    ids that are both endpoints survive dedup; the oracle is the
+    //    UNION (set semantics) of both edge directions. Cost shape at
+    //    100 TB: one distinct-shuffle + the sink's range shuffle.
+    "bv_symmetrize" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      val sbase = base + "_S"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sbase + ".shards"))) {
+        val g = s.read.format("bvgraph").option("basename", base).load()
+        val n = g.agg(max(col("id"))).head().getInt(0) + 1
+        val e = g.select(col("id").as("src"), explode(col("successors")).as("dst"))
+        e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("successors"))
+          .select(col("src").as("id"), col("successors"))
+          .withColumn("outdegree", size(col("successors")))
+          .write.format("bvgraph").option("basename", sbase)
+          .option("shards", 8).option("nodes", n).mode("overwrite").save()
+      }
+      s.read.format("bvgraph").option("basename", sbase).option("splits", 8).load()
+        .select(col("id").cast("long").as("src"),
+          explode(col("successors")).as("d"))
+        .select(col("src"), col("d").cast("long").as("dst"))
+        .orderBy("src", "dst")
+    }),
+
     // -- connected components via GraphX (the reference README's GraphX
     //    handoff, /root/reference/README.md:37-48, driving a real graph
     //    algorithm end-to-end). Node space: customers as-is, orders
@@ -219,5 +248,11 @@ object GraphQueries {
          ORDER BY id""",
     "bv_transpose" ->
       """SELECT o_orderkey AS src, o_custkey AS dst
-         FROM orders ORDER BY src, dst""")
+         FROM orders ORDER BY src, dst""",
+    "bv_symmetrize" ->
+      """SELECT src, dst FROM (
+           SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+           UNION
+           SELECT o_orderkey AS src, o_custkey AS dst FROM orders)
+         ORDER BY src, dst""")
 }

@@ -197,6 +197,31 @@ object RelationalQueries {
         .orderBy("s_nationkey")
     }),
 
+    // -- AS-OF JOIN by composition (the canonical "operator Spark lacks"
+    //    — builder brief preference (a): compose built-ins when the
+    //    semantics allow, before reaching for a custom LogicalPlan).
+    //    Each purchase is matched to the same user's latest prior click:
+    //    tag-union the two event kinds, one window pass per user ordered
+    //    by (ts, event_id) carrying the running last click forward, then
+    //    keep the purchases. ONE hash shuffle on user_id and a sorted
+    //    window — never the O(rows x matches) range-condition
+    //    BroadcastNestedLoopJoin a naive t1.ts <= t2.ts join compiles to.
+    "join_asof" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("click_us",
+          when(col("event_type") === "click", col("us")))
+        .withColumn("asof_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+          col("asof_click_us"),
+          (col("us") - coalesce(col("asof_click_us"), col("us"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // -- TPC-H Q3 shape: 3-way join + filter + top-10 by computed revenue
     "q3_shipping" -> ((s, d) => {
       customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -459,6 +484,17 @@ object RelationalQueries {
          CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "join_asof" ->
+      """WITH t AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (SELECT *,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_us
+           FROM t)
+         SELECT event_id, user_id, us AS purchase_us, asof_click_us,
+           us - COALESCE(asof_click_us, us) AS gap_us
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
     "join_skew_salted" ->
       """SELECT s_nationkey,
          CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
