@@ -147,6 +147,42 @@ object GraphQueries {
         .orderBy("src", "dst")
     }),
 
+    // -- induced subgraph + dense renumbering (WebGraph's Transform.map
+    //    job): keep nodes with id % 3 == 0, relabel them densely by rank,
+    //    keep edges whose BOTH endpoints survive, re-compress through the
+    //    sink. The relabel is sort + zipWithIndex — the scalable dense
+    //    rank (a global row_number window would single-partition the
+    //    sort); edges then equi-join the rank table on each endpoint
+    //    (two hash shuffles). The oracle exploits that the fixture's node
+    //    space is dense, so rank(id) == id / 3 exactly.
+    "bv_subgraph" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      val gbase = base + "_G"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(gbase + ".shards"))) {
+        val g = s.read.format("bvgraph").option("basename", base).load()
+        val kept = g.select(col("id")).filter(col("id") % 3 === 0)
+        import s.implicits._
+        val ranks = kept.orderBy("id").rdd.map(_.getInt(0))
+          .zipWithIndex().toDF("old_id", "new_id")
+        val nNew = ranks.count().toInt
+        val e = g.select(col("id").as("src"), explode(col("successors")).as("dst"))
+          .filter(col("src") % 3 === 0 && col("dst") % 3 === 0)
+        e.join(ranks.select(col("old_id").as("src"), col("new_id").as("nsrc")), "src")
+          .join(ranks.select(col("old_id").as("dst"), col("new_id").as("ndst")), "dst")
+          .groupBy(col("nsrc"))
+          .agg(sort_array(collect_list(col("ndst").cast("int"))).as("successors"))
+          .select(col("nsrc").cast("int").as("id"), col("successors"))
+          .withColumn("outdegree", size(col("successors")))
+          .write.format("bvgraph").option("basename", gbase)
+          .option("shards", 4).option("nodes", nNew).mode("overwrite").save()
+      }
+      s.read.format("bvgraph").option("basename", gbase).load()
+        .select(col("id").cast("long").as("src"),
+          explode(col("successors")).as("d"))
+        .select(col("src"), col("d").cast("long").as("dst"))
+        .orderBy("src", "dst")
+    }),
+
     // -- symmetrization (the WebGraph-standard undirected closure: every
     //    published graph ships a `-sym` variant): edges ∪ swapped edges,
     //    dedup, re-compress through the sink, scan back. Self-loops from
@@ -254,5 +290,10 @@ object GraphQueries {
            SELECT o_custkey AS src, o_orderkey AS dst FROM orders
            UNION
            SELECT o_orderkey AS src, o_custkey AS dst FROM orders)
+         ORDER BY src, dst""",
+    "bv_subgraph" ->
+      """SELECT o_custkey // 3 AS src, o_orderkey // 3 AS dst
+         FROM orders
+         WHERE o_custkey % 3 = 0 AND o_orderkey % 3 = 0
          ORDER BY src, dst""")
 }
