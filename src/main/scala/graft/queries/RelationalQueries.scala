@@ -354,6 +354,24 @@ object RelationalQueries {
     }),
 
     // -- batch sessionization (gaps-and-islands): lag over event time per
+    // -- NATIVE session windows: Spark's built-in session_window operator
+    //    (the Spark-first counterpart of both sessionize_batch below and
+    //    the streaming flatMapGroupsWithState path — prefer the built-in
+    //    where one exists). Window bounds surface as epoch-microsecond
+    //    longs; end = last event + gap by definition, which the oracle's
+    //    gaps-and-islands SQL reproduces exactly.
+    "session_window_agg" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100)).as("value_cents"))
+        .select(col("user_id"),
+          unix_micros(col("win.start")).as("start_us"),
+          unix_micros(col("win.end")).as("end_us"),
+          col("n_events"), col("value_cents"))
+        .orderBy("user_id", "start_us")
+    }),
+
     //    user, session break at >30 min, running-sum session numbers —
     //    the batch twin of graft.streaming.sessionize. All arithmetic on
     //    integer epoch-microseconds.
@@ -582,6 +600,17 @@ object RelationalQueries {
          COUNT(*) AS n,
          CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "session_window_agg" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+         l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+         sx AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS UNBOUNDED PRECEDING) AS sess_no FROM n)
+         SELECT user_id, MIN(us) AS start_us,
+           MAX(us) + 1800000000 AS end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""",
     "sessionize_batch" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
          l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
