@@ -354,6 +354,41 @@ object RelationalQueries {
     }),
 
     // -- batch sessionization (gaps-and-islands): lag over event time per
+    // -- pivot (long -> wide): per-user event-type counts as columns. The
+    //    value list is EXPLICIT — with an inferred list Spark runs a
+    //    collect-distinct job at plan time and the column order becomes
+    //    data-dependent; pinning it keeps the plan one-pass and the
+    //    schema stable (and is the only sane form at 100 TB).
+    "agg_pivot" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+        .orderBy("user_id")
+    }),
+
+    // -- unpivot/melt (wide -> long): lineitem measures to (measure,
+    //    value) rows — a narrow per-row Expand, no shuffle before the
+    //    final sort. Values surface as integer cents.
+    "agg_unpivot" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          cents(col("l_quantity")).as("qty_e2"),
+          cents(col("l_discount")).as("disc_e2"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("price_cents"), col("qty_e2"), col("disc_e2")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
     // -- NATIVE session windows: Spark's built-in session_window operator
     //    (the Spark-first counterpart of both sessionize_batch below and
     //    the streaming flatMapGroupsWithState path — prefer the built-in
@@ -600,6 +635,25 @@ object RelationalQueries {
          COUNT(*) AS n,
          CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "agg_pivot" ->
+      """SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+           SELECT l_orderkey, l_linenumber, 'price_cents' AS measure,
+                  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'qty_e2',
+                  CAST(FLOOR(l_quantity * 100) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'disc_e2',
+                  CAST(FLOOR(l_discount * 100) AS BIGINT) FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, measure""",
     "session_window_agg" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
          l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),

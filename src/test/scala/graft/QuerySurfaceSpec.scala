@@ -19,6 +19,14 @@ class QuerySurfaceSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every declared query is oracle-gated (0 rows-only, locked in)") {
+    // round 2 reached full value-gating — even LSH/IVF/sketch operators
+    // reproduce their deterministic arithmetic in the oracle SQL. A new
+    // query without an oracle is a coverage regression, not a default.
+    val unGated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unGated.isEmpty, s"queries without oracle SQL: $unGated")
+  }
+
   test("all queries run and are non-empty at sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf0001).count()
