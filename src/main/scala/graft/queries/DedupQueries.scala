@@ -75,6 +75,36 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** All-pairs cosine similarity as a BLOCK-PARTITIONED equi-join: rows
+    * land in `blocks` id-blocks, a tiny local relation enumerates the
+    * blocks*(blocks+1)/2 unordered block pairs, and two hash equi-joins
+    * materialize every unordered id pair EXACTLY ONCE — a pair {x,y} in
+    * blocks (p,q) with p<q appears only via key (p,q); diagonal blocks
+    * dedupe on id order (property-tested across block counts incl. the
+    * degenerate blocks=1 and blocks>n in PipelineSpec). Per-task memory
+    * is 2·n/blocks vectors instead of the whole table a
+    * BroadcastNestedLoopJoin would ship to every executor.
+    * Returns (vec_a < vec_b, sim). */
+  def blockPairSim(s: SparkSession, emb: DataFrame, blocks: Int): DataFrame = {
+    import s.implicits._
+    val e = SimilarityQueries.withNorm(emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v")))
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    val blockPairs = (for { a <- 0 until blocks; b <- a until blocks }
+      yield (a, b)).toDF("ka", "kb") // LocalRelation — no join builds it
+    val lhs = e.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("blka"))
+    val rhs = e.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"), col("blk").as("blkb"))
+    lhs.join(broadcast(blockPairs), col("blka") === col("ka"))
+      .join(rhs, col("kb") === col("blkb"))
+      .filter(col("ka") < col("kb") || col("ida") < col("idb"))
+      .withColumn("sim",
+        SimilarityQueries.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"), col("sim"))
+  }
+
   val queries: Map[String, Q] = Map(
     // -- exact dedup: one hash shuffle on the normalized-text digest. At
     //    100 TB group on the md5 (fixed 32 bytes), never the raw text.
@@ -203,31 +233,13 @@ object DedupQueries {
     //    and the n² dot products spread evenly over the cluster. For
     //    genuine near-dup thresholds where pruning IS sound, see
     //    dedup_embed_lsh below.
-    "dedup_embed" -> ((s, d) => {
-      import s.implicits._
-      val blocks = 8 // ~n/64 rows per block at this SF; n/rowsPerBlock at scale
-      val e = SimilarityQueries.withNorm(embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v")))
-        .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
-      val blockPairs = (for { a <- 0 until blocks; b <- a until blocks }
-        yield (a, b)).toDF("ka", "kb") // LocalRelation — no join builds it
-      val lhs = e.select(col("vec_id").as("ida"), col("v").as("va"),
-        col("nrm").as("na"), col("blk").as("blka"))
-      val rhs = e.select(col("vec_id").as("idb"), col("v").as("vb"),
-        col("nrm").as("nb"), col("blk").as("blkb"))
-      // an unordered id pair {x,y} in blocks (p,q), p<q appears exactly once
-      // (via key (p,q)); diagonal blocks dedupe on ida<idb
-      lhs.join(broadcast(blockPairs), col("blka") === col("ka"))
-        .join(rhs, col("kb") === col("blkb"))
-        .filter(col("ka") < col("kb") || col("ida") < col("idb"))
-        .withColumn("sim",
-          SimilarityQueries.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    "dedup_embed" -> ((s, d) =>
+      // ~n/64 rows per block at this SF; blocks = n/rowsPerBlock at scale
+      blockPairSim(s, embeddings(s, d), blocks = 8)
         .filter(col("sim") > 0.4)
-        .select(least(col("ida"), col("idb")).as("vec_a"),
-          greatest(col("ida"), col("idb")).as("vec_b"),
+        .select(col("vec_a"), col("vec_b"),
           floor(col("sim") * 1000000).cast("long").as("sim_e6"))
-        .orderBy("vec_a", "vec_b")
-    }),
+        .orderBy("vec_a", "vec_b")),
 
     // -- embedding near-dup dedup at a TRUE near-dup threshold (0.95),
     //    where LSH pruning is sound: banded SRP candidate generation +

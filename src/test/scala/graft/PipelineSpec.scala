@@ -52,6 +52,26 @@ class PipelineSpec extends AnyFunSuite {
       s"block join diverged: ${blocked.length} vs ${brute.length} pairs")
   }
 
+  test("block-pair decomposition covers every unordered pair exactly once, for any block count") {
+    // the pairing argument (off-diagonal pairs via one (p,q) key, diagonal
+    // dedup on id order) must hold for ANY blocks value — including the
+    // degenerate single block and more blocks than rows
+    import spark.implicits._
+    val n = 60
+    val emb = (0 until n).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (1.0f + i + j)))).toDF("vec_id", "embedding")
+    val expected = n.toLong * (n - 1) / 2
+    for (blocks <- Seq(1, 2, 7, 64, 97)) {
+      val pairs = graft.queries.DedupQueries.blockPairSim(spark, emb, blocks)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.length == expected,
+        s"blocks=$blocks: ${pairs.length} pairs, want $expected (dups or misses)")
+      assert(pairs.distinct.length == pairs.length, s"blocks=$blocks: duplicate pairs")
+      assert(pairs.forall { case (a, b) => a < b }, s"blocks=$blocks: unordered output")
+    }
+  }
+
   test("dedup_embed_lsh finds every planted near-dup twin (full recall)") {
     val ids = Tables.embeddings(spark, sf0001).select("vec_id")
       .collect().map(_.getLong(0)).toSet
