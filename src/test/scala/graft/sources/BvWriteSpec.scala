@@ -172,6 +172,35 @@ class BvWriteSpec extends AnyFunSuite {
     assert(back.filter(col("id") < 1100).groupBy().count().head().getLong(0) == 100)
   }
 
+  test("manifests without byte sizes (round-1 format) still plan and scan") {
+    // planning must fall back to the batched directory listing when the
+    // manifest predates the shard.N.bytes field
+    val adj = randomAdj(300, 9L)
+    val base = java.nio.file.Files.createTempDirectory("bvw").toString + "/g"
+    adjDf(adj).write.format("bvgraph").option("basename", base)
+      .option("shards", 3).mode("overwrite").save()
+    val stripped = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(base + ".shards")).toArray.map(_.toString)
+      .filterNot(_.contains(".bytes=")).mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(base + ".shards"), stripped)
+    // the direct rewrite invalidates Hadoop LocalFileSystem's checksum sidecar
+    val dir = java.nio.file.Paths.get(base).getParent
+    java.nio.file.Files.deleteIfExists(dir.resolve(".g.shards.crc"))
+    val mf = BvShards.readManifest(base).get
+    assert(mf.shards.forall(_.bytes == -1L))
+    val df = spark.read.format("bvgraph").option("basename", base).load()
+    assert(df.count() == 300)
+    val back = df.collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap
+    adj.indices.foreach(x => assert(back(x).sameElements(adj(x)), s"node $x"))
+    // hosts still come from the directory listing
+    val scans = spark.read.format("bvgraph").option("basename", base).load()
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+    val parts = scans.head.partitions.flatten.collect { case p: BvInputPartition => p }
+    parts.foreach(p => assert(p.hosts.nonEmpty, s"no hosts on $p"))
+  }
+
   test("Long manifest ranges: id-filtered scans of in-range shards work past 2^31") {
     import spark.implicits._
     // a real 10-node shard, referenced twice: once at [0,10), once at a
