@@ -27,16 +27,12 @@ object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Word 3-grams WITHOUT dedup (repetition needs multiplicity); short
-    * docs fall back to the whole text, mirroring [[DedupQueries.shingles]].
-    * The token array is bound as a lambda variable for the same
-    * projection-collapse reason documented there. */
-  private def grams(c: Column): Column =
-    element_at(transform(array(DedupQueries.tokens(c)), t =>
-      when(size(t) >= 3,
-        transform(sequence(lit(0), size(t) - 3),
-          i => concat_ws(" ",
-            element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-        .otherwise(array(array_join(t, " ")))), 1)
+    * docs fall back to the whole text, mirroring [[DedupQueries.shingles]]
+    * — same native expression, distinct off. */
+  private def grams(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Exprs
+    Exprs.toColumn(graft.functions.Shingles(Exprs.toExpr(c), 3, distinct = false))
+  }
 
   val queries: Map[String, Q] = Map(
     // -- duplicate n-gram fraction per document: one narrow projection,

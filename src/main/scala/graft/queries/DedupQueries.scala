@@ -37,22 +37,17 @@ object DedupQueries {
   def tokens(c: Column): Column = split(norm(c), " ")
 
   /** Distinct word 3-gram shingles; short docs fall back to the whole text
-    * as a single shingle.
-    *
-    * The token array is bound once as a lambda variable
-    * (`transform(array(tokens), t -> ...)`): without that barrier,
-    * Catalyst's projection collapse inlines the full
-    * `split(regexp_replace(...))` into every `element_at` call inside the
-    * shingle lambda — re-tokenizing the document ~3x per shingle and
-    * turning a linear pass into an O(len x shingles) regex storm
-    * (measured 30s -> <1s on 5000 docs). */
+    * as a single shingle. A native codegen'd Catalyst expression
+    * ([[graft.functions.Shingles]]) — one normalization pass and direct
+    * string assembly inside the scan stage, replacing the interpreted
+    * HOF chain (whose history also held the projection-collapse trap:
+    * without a lambda-variable binding Catalyst re-inlined the split()
+    * into every element access, ~30x). The expression is differentially
+    * gated against the SQL pipeline in ShinglesSpec, so the unchanged
+    * DuckDB oracles keep hash-matching. */
   def shingles(c: Column): Column = {
-    element_at(transform(array(tokens(c)), t =>
-      when(size(t) >= 3,
-        array_distinct(transform(sequence(lit(0), size(t) - 3),
-          i => concat_ws(" ",
-            element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
-        .otherwise(array(array_join(t, " ")))), 1)
+    import org.apache.spark.sql.graftbridge.Exprs
+    Exprs.toColumn(graft.functions.Shingles(Exprs.toExpr(c), 3, distinct = true))
   }
 
   /** (doc_id, sh: array<string>) distinct shingle sets. */
