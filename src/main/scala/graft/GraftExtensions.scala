@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Fnv64, VecDot}
+import graft.functions.{Fnv64, Shingles, VecDot}
 
 /** Session extensions: registers the engine's native Catalyst expressions
   * as SQL functions. Enable with
@@ -20,5 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    // shingles(text, n, distinct) — n/distinct must be literals
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (children: Seq[Expression]) => Shingles(children.head,
+        children(1).eval().asInstanceOf[Int],
+        children(2).eval().asInstanceOf[Boolean])))
   }
 }

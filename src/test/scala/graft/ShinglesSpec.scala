@@ -63,4 +63,11 @@ class ShinglesSpec extends AnyFunSuite {
     diff(Tables.documents(spark, sf0001), "text")
     diff(Tables.documents(spark, sf001), "text")
   }
+
+  test("shingles registers as a SQL function via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT shingles('A  quick\tbrown fox', 3, true) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("a quick brown", "quick brown fox"))
+  }
 }
