@@ -57,4 +57,5 @@ object BvOffsets {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(basename + ".offsets"), bytes)
   }
+
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, S
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 
-import graft.bv.{BvEncoder, BvProperties}
+import graft.bv.{BvEncoder, BvOffsets, BvProperties}
 
 /** Distributed BVGraph sink: `df.write.format("bvgraph").option("basename", b)`.
   *
@@ -155,6 +155,18 @@ object BvShards {
     }
     Some(Manifest(props.getProperty("nodes").toLong,
       props.getProperty("arcs").toLong, shards))
+  }
+
+  /** Regenerate offsets for every shard of a sharded graph (the sink's
+    * primary output shape) — the sharded form of the reference's offsets
+    * job. Shards are standalone BV triples, so each regenerates
+    * independently; on a cluster this distributes as one task per shard,
+    * here the driver loop is the local[*] equivalent. Returns the shard
+    * basenames touched. */
+  def regenerateOffsets(basename: String): Seq[String] = {
+    val mf = readManifest(basename).getOrElse(
+      throw new IllegalArgumentException(s"no $basename.shards manifest"))
+    mf.shards.map { sh => BvOffsets.regenerate(sh.base); sh.base }
   }
 
   /** Driver-side encode of `count` empty (degree-0) nodes as a standalone

@@ -240,6 +240,26 @@ class BvWriteSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("sharded offsets regeneration restores a scannable graph") {
+    val adj = randomAdj(400, 61L)
+    val base = java.nio.file.Files.createTempDirectory("bvw").toString + "/g"
+    adjDf(adj).write.format("bvgraph").option("basename", base)
+      .option("shards", 3).mode("overwrite").save()
+    // lose every shard's offsets index (and Hadoop's checksum sidecars)
+    BvShards.readManifest(base).get.shards.foreach { sh =>
+      val p = java.nio.file.Paths.get(sh.base + ".offsets")
+      java.nio.file.Files.delete(p)
+      java.nio.file.Files.deleteIfExists(
+        p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+    }
+    val touched = BvShards.regenerateOffsets(base)
+    assert(touched.size == 3)
+    val back = spark.read.format("bvgraph").option("basename", base).load()
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(back.size == 400)
+    adj.indices.foreach(x => assert(back(x).sameElements(adj(x)), s"node $x"))
+  }
+
   test("write fills interior id gaps with empty nodes") {
     import spark.implicits._
     val df = Seq((0, Array(2, 5)), (2, Array(0)), (5, Array(0, 2)))
