@@ -312,6 +312,27 @@ final class BitOutput(out: java.io.OutputStream) {
     }
   }
 
+  /** Emit `n` '1' bits — the bulk path for runs of γ(0) records
+    * (degree-0 nodes): once byte-aligned, whole 0xFF bytes go straight to
+    * the underlying stream instead of 8 per-bit pushes each. A 2^31-node
+    * gap shard encodes in one pass of ~256 MB byte writes rather than
+    * ~2^31 `writeBit` calls stalling the driver at commit time. */
+  def writeOnes(n: Long): Unit = {
+    var left = n
+    while (left > 0 && nbits != 0) { writeBit(1); left -= 1 }
+    if (left >= 8) {
+      val chunk = new Array[Byte](math.min(left / 8, 1L << 16).toInt)
+      java.util.Arrays.fill(chunk, 0xFF.toByte)
+      while (left >= 8) {
+        val bytes = math.min(left / 8, chunk.length.toLong).toInt
+        out.write(chunk, 0, bytes)
+        written += 8L * bytes
+        left -= 8L * bytes
+      }
+    }
+    while (left > 0) { writeBit(1); left -= 1 }
+  }
+
   /** Pad the final partial byte with zeros and flush. */
   def flush(): Unit = {
     while (nbits != 0) writeBit(0)

@@ -75,13 +75,30 @@ final class BvGraph(
   def newBitInput(bufferSize: Int = 1 << 16): BitInput =
     new BitInput(graph, bufferSize)
 
-  /** Close the underlying byte sources (two OS handles). Called by
-    * [[graft.sources.BvGraphCache]] on LRU eviction / mtime replacement so
-    * executors scanning many graphs don't accumulate fds. */
-  def close(): Unit = {
-    graph.close()
-    offsetsSrc.close()
-  }
+  /** Reference count pinning the shared byte sources. The owning cache
+    * holds one reference from construction; each active partition reader
+    * acquires one more and releases it in its `close()`. The underlying
+    * OS handles close only when the count reaches zero — so LRU eviction
+    * (or mtime replacement) can never close a graph out from under an
+    * in-flight read on another task thread. */
+  private val refs = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  /** Pin this graph for an active reader. Must be balanced by [[release]]. */
+  def acquire(): BvGraph = { refs.incrementAndGet(); this }
+
+  /** Drop one reference; closes the underlying byte sources (two OS
+    * handles) when the last holder lets go. Called by
+    * [[graft.sources.BvGraphCache]] on LRU eviction / mtime replacement
+    * and by partition readers on close, so executors scanning many graphs
+    * don't accumulate fds — without fail-stopping concurrent readers. */
+  def release(): Unit =
+    if (refs.decrementAndGet() == 0) {
+      graph.close()
+      offsetsSrc.close()
+    }
+
+  /** Test/utility hook: current pin count. */
+  private[graft] def refCount: Int = refs.get()
 
   /** Random-access outdegree: position at offsets(x), read one value
     * (mirrors D3, /root/reference/.../patched/HdfsBVGraph.java:69-91).

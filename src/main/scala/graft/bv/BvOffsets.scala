@@ -41,11 +41,14 @@ object BvOffsets {
   /** Rebuild the `.offsets` byte stream for an existing `.graph`. */
   def regenerate(props: BvProperties, graph: SeekableBytes): Array[Byte] = {
     val g = new BvGraph(props, graph, BvGraph.NoOffsets)
-    try encode(g.rebuildOffsets().toSeq, props) finally g.close()
+    try encode(g.rebuildOffsets().toSeq, props) finally g.release()
   }
 
   /** Local-file convenience: read `<basename>.{properties,graph}`, write a
-    * fresh `<basename>.offsets`. */
+    * fresh `<basename>.offsets`. The index is written to a temp file and
+    * atomically renamed into place (same pattern as the shard writer) — a
+    * crash mid-write must not leave a truncated `.offsets` that
+    * [[BvGraph.decodeOffsets]] would silently read as bogus offsets. */
   def regenerate(basename: String): Unit = {
     val propsText = new String(
       java.nio.file.Files.readAllBytes(
@@ -54,8 +57,12 @@ object BvOffsets {
     val props = BvProperties.parse(propsText)
     val bytes = regenerate(props,
       new FileBytes(java.nio.file.Paths.get(basename + ".graph")))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(basename + ".offsets"), bytes)
+    val target = java.nio.file.Paths.get(basename + ".offsets")
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
 }

@@ -84,8 +84,18 @@ object StreamCodings {
   def fromFlagString(s: String): StreamCodings = {
     var c = StreamCodings()
     if (s == null || s.trim.isEmpty) return c
+    // Coding names sorted longest-first so multi-word names split off the
+    // right suffix: RESIDUALS_SKEWED_GOLOMB must parse as stream RESIDUALS
+    // + coding SKEWED_GOLOMB (and get its modulus explanation), not as the
+    // bogus stream "RESIDUALS_SKEWED" (a lastIndexOf('_') cut would).
+    val codingNames = Seq("SKEWED_GOLOMB", "GOLOMB", "GAMMA", "DELTA",
+      "UNARY", "ZETA", "NIBBLE")
     s.split("\\|").map(_.trim).filter(_.nonEmpty).foreach { flag =>
-      val cut = flag.lastIndexOf('_')
+      val cut = codingNames.find(n => flag.endsWith("_" + n))
+        .map(n => flag.length - n.length - 1)
+        .getOrElse(flag.lastIndexOf('_'))
+      if (cut <= 0) throw new IllegalArgumentException(
+        s"Compression flag $flag unknown.")
       val (stream, coding) = (flag.substring(0, cut), Coding.byName(flag.substring(cut + 1)))
       stream match {
         case "OUTDEGREES" => c = c.copy(outdegree = coding)

@@ -451,7 +451,7 @@ class BvIdOnlyReader(p: BvInputPartition, nFields: Int)
   * outdegree value (the reference's D3 fast path). */
 class BvOutdegreeReader(p: BvInputPartition, fields: Array[String])
     extends PartitionReader[InternalRow] {
-  private val graph = BvGraphCache.get(p.basename)
+  private val graph = BvGraphCache.acquire(p.basename)
   private val in = graph.newBitInput()
   private val idIdx = fields.indexOf("id")
   private val outIdx = fields.indexOf("outdegree")
@@ -464,12 +464,12 @@ class BvOutdegreeReader(p: BvInputPartition, fields: Array[String])
     row.update(outIdx, graph.outdegree(curr, in))
     row
   }
-  override def close(): Unit = ()
+  override def close(): Unit = graph.release()
 }
 
 class BvGraphPartitionReader(p: BvInputPartition, fields: Array[String])
     extends PartitionReader[InternalRow] {
-  private val graph = BvGraphCache.get(p.basename)
+  private val graph = BvGraphCache.acquire(p.basename)
   private val iter = graph.nodeIterator(p.from, p.until)
   private val idIdx = fields.indexOf("id")
   private val succIdx = fields.indexOf("successors")
@@ -490,7 +490,7 @@ class BvGraphPartitionReader(p: BvInputPartition, fields: Array[String])
     row
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = graph.release()
 }
 
 /** Positioned-read adapter over Hadoop `FSDataInputStream` — the Spark-side
@@ -512,7 +512,13 @@ class HadoopBytes(path: Path, conf: Configuration) extends SeekableBytes {
   * per-task `.offsets` reload (SURVEY.md §2.1 notes). Entries invalidate
   * when the `.properties` mtime changes (graph rewritten in place) and
   * the cache is LRU-bounded so scans over many shards/graphs can't pin
-  * unbounded offsets indexes in executor memory. */
+  * unbounded offsets indexes in executor memory.
+  *
+  * Lifetime: entries are reference-counted (see [[graft.bv.BvGraph]]).
+  * The cache holds one reference; [[acquire]] pins one more for an active
+  * reader (the pin happens INSIDE the synchronized compute, atomic with
+  * any eviction), so eviction under shard churn merely drops the cache's
+  * reference — file handles close only when the last reader releases. */
 object BvGraphCache {
   private val MAX_ENTRIES = 64
   private val cache = java.util.Collections.synchronizedMap(
@@ -520,36 +526,50 @@ object BvGraphCache {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, (Long, BvGraph)]): Boolean = {
         val evict = size() > MAX_ENTRIES
-        // close the evicted graph's stream handles — otherwise a long-lived
-        // executor scanning many shards leaks two fds per eviction.
-        // MAX_ENTRIES (64) is far above the concurrent task count, so an
-        // evicted (least-recently-used) entry has no active reader.
-        if (evict) try e.getValue._2.close() catch { case _: Exception => }
+        // drop the cache's reference — handles close now iff no active
+        // reader still pins the graph (each pins via acquire()).
+        if (evict) try e.getValue._2.release() catch { case _: Exception => }
         evict
       }
     })
 
-  def get(basename: String): BvGraph = {
+  private def lookup(basename: String, pin: Boolean): BvGraph = {
     val conf = new Configuration()
     val propsPath = new Path(basename + ".properties")
     val fs = propsPath.getFileSystem(conf)
     val mtime = fs.getFileStatus(propsPath).getModificationTime
     cache.compute(basename, (b, cached) => {
-      if (cached != null && cached._1 == mtime) cached
-      else {
-        // stale entry (graph rewritten in place): release its handles
-        if (cached != null) try cached._2.close() catch { case _: Exception => }
-        val propsText = {
-          val in = fs.open(propsPath)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.ISO_8859_1)
-          finally in.close()
+      val entry =
+        if (cached != null && cached._1 == mtime) cached
+        else {
+          // stale entry (graph rewritten in place): drop the cache's ref
+          if (cached != null) try cached._2.release() catch { case _: Exception => }
+          val propsText = {
+            val in = fs.open(propsPath)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            finally in.close()
+          }
+          val props = BvProperties.parse(propsText)
+          (mtime, new BvGraph(props,
+            new HadoopBytes(new Path(b + ".graph"), conf),
+            new HadoopBytes(new Path(b + ".offsets"), conf)))
         }
-        val props = BvProperties.parse(propsText)
-        (mtime, new BvGraph(props,
-          new HadoopBytes(new Path(b + ".graph"), conf),
-          new HadoopBytes(new Path(b + ".offsets"), conf)))
-      }
+      // pin while still under the map's lock: a concurrent put's eviction
+      // can only target the ELDEST entry, and this access just made the
+      // entry most-recently-used, so the pin cannot race an eviction.
+      if (pin) entry._2.acquire()
+      entry
     })._2
   }
+
+  /** Pin-and-get for partition readers: the returned graph's handles stay
+    * open across LRU eviction until the caller's `release()`. */
+  def acquire(basename: String): BvGraph = lookup(basename, pin = true)
+
+  /** Unpinned get for DRIVER-side planning, which only touches in-memory
+    * state (properties + the decoded offsets index) — safe even if the
+    * entry is later evicted and its byte sources closed. Executor-side
+    * readers that decode bits MUST use [[acquire]] instead. */
+  def get(basename: String): BvGraph = lookup(basename, pin = false)
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, S
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 
-import graft.bv.{BvEncoder, BvOffsets, BvProperties}
+import graft.bv.{BitOutput, BvEncoder, BvOffsets, BvProperties}
 
 /** Distributed BVGraph sink: `df.write.format("bvgraph").option("basename", b)`.
   *
@@ -169,26 +169,59 @@ object BvShards {
     mf.shards.map { sh => BvOffsets.regenerate(sh.base); sh.base }
   }
 
+  /** The `.offsets` stream of an all-empty shard, emitted as whole bytes.
+    * Bit stream = γ(0) ++ γ(1)×count = '1' ++ '010'×count, MSB-first,
+    * zero-padded — after byte 0 (which carries the leading '1') the
+    * stream is periodic with byte period 3 (= lcm(3 bits, 8 bits) / 8).
+    * Byte-identical to what [[graft.bv.BvOffsets.encode]] produces for
+    * offsets 0,1,2,…,count (property-gated in BvWriteSpec), but O(bytes)
+    * instead of per-bit driver work. */
+  private[graft] def writeEmptyOffsets(out: java.io.OutputStream, count: Long): Unit = {
+    val totalBits = 1L + 3L * count
+    val totalBytes = (totalBits + 7) / 8
+    val periodic = Array(0x24, 0x92, 0x49) // value for byte index b%3, b >= 1
+    val CHUNK = 1 << 16
+    val buf = new Array[Byte](math.min(totalBytes, CHUNK.toLong).toInt)
+    var b = 0L
+    while (b < totalBytes) {
+      val len = math.min(CHUNK.toLong, totalBytes - b).toInt
+      var i = 0
+      while (i < len) {
+        val idx = b + i
+        buf(i) = (if (idx == 0L) 0xA4 else periodic((idx % 3).toInt)).toByte
+        i += 1
+      }
+      if (b + len == totalBytes) {
+        val pad = (8L * totalBytes - totalBits).toInt
+        buf(len - 1) = (buf(len - 1) & (0xFF << pad)).toByte
+      }
+      out.write(buf, 0, len)
+      b += len
+    }
+  }
+
   /** Driver-side encode of `count` empty (degree-0) nodes as a standalone
     * shard triple — the gap filler for the `nodes` write option. Cost is
-    * ~1 bit per node; no row data flows through the driver. */
+    * ~1 bit per node; no row data flows through the driver. Both streams
+    * are emitted as whole precomputed bytes (γ(0)='1' runs for `.graph`
+    * via [[graft.bv.BitOutput.writeOnes]], the periodic '010' gap pattern
+    * for `.offsets`) — a gap near the 2^31-node cap costs ~¼ GB of
+    * sequential byte writes, never minutes of per-bit driver stall. */
   def writeEmptyShard(fs: FileSystem, base: String, count: Long): Long = {
     require(count <= Int.MaxValue, s"gap shard too large: $count nodes")
     val graphOut = fs.create(new Path(base + ".graph"), true)
-    val encoder = new BvEncoder(BvProperties(0, 0))
-    val enc = new encoder.Stream(graphOut)
-    var i = 0L
-    while (i < count) { enc.append(Array.empty[Int]); i += 1 }
-    val (offsets, propsText) = enc.finish()
-    val graphBytes = graphOut.getPos
-    graphOut.close()
-    def put(suffix: String, bytes: Array[Byte]): Unit = {
-      val out = fs.create(new Path(base + suffix), true)
-      try out.write(bytes) finally out.close()
-    }
-    put(".offsets", offsets)
-    put(".properties", propsText.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-    graphBytes
+    try {
+      val bits = new BitOutput(graphOut)
+      bits.writeOnes(count) // one γ(0) outdegree record per node
+      bits.flush()
+    } finally graphOut.close()
+    val offOut = fs.create(new Path(base + ".offsets"), true)
+    try writeEmptyOffsets(offOut, count) finally offOut.close()
+    val propsText = BvProperties(count.toInt, 0L).render
+    val out = fs.create(new Path(base + ".properties"), true)
+    try out.write(propsText.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    finally out.close()
+    (count + 7) / 8 // γ(0) is one bit ⇒ graph byte size, exactly
   }
 }
 

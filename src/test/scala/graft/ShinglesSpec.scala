@@ -70,4 +70,28 @@ class ShinglesSpec extends AnyFunSuite {
       .collect().head.getSeq[String](0)
     assert(got == Seq("a quick brown", "quick brown fox"))
   }
+
+  test("shingles SQL builder rejects non-literal / mistyped args clearly") {
+    import org.apache.spark.sql.AnalysisException
+    // non-literal n (a column reference)
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT shingles('x', id, true) FROM range(1)").collect()
+    }
+    assert(e1.getMessage.contains("INT literal"))
+    // LONG-typed literal (would have ClassCastException'd before)
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT shingles('x', CAST(3 AS BIGINT), true)").collect()
+    }
+    assert(e2.getMessage.contains("INT literal"))
+    // NULL distinct (would have NPE'd before)
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT shingles('x', 3, CAST(NULL AS BOOLEAN))").collect()
+    }
+    assert(e3.getMessage.contains("BOOLEAN literal"))
+    // wrong arity
+    val e4 = intercept[AnalysisException] {
+      spark.sql("SELECT shingles('x', 3)").collect()
+    }
+    assert(e4.getMessage.contains("3 arguments"))
+  }
 }
