@@ -18,15 +18,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++
-      TextQueries.queries ++ MultimodalQueries.queries ++
-      CurationQueries.queries
+      GraphAlgos.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ TextQueries.queries ++
+      MultimodalQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ GraphQueries.oracleSql ++
-      DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
-      TextQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      CurationQueries.oracleSql
+      GraphAlgos.oracleSql ++ DedupQueries.oracleSql ++
+      SimilarityQueries.oracleSql ++ TextQueries.oracleSql ++
+      MultimodalQueries.oracleSql ++ CurationQueries.oracleSql
 }

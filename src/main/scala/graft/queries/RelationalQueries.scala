@@ -222,6 +222,34 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // -- pure range join (NO equality key): for each event, count other
+    //    events within ±60 s. A naive |Δts| <= W predicate compiles to a
+    //    BroadcastNestedLoopJoin — O(n²) comparisons and a full-table
+    //    broadcast. The scale shape is bucketization: quantize time into
+    //    W-sized buckets, explode each probe row to its 3 candidate
+    //    buckets (b-1, b, b+1 — every |Δ| <= W match is within one
+    //    bucket), hash-equi-join on the bucket key, post-filter the exact
+    //    range. Each qualifying pair meets on EXACTLY one key (the
+    //    build side keeps its single home bucket), so no dedup pass is
+    //    needed. At 100 TB this is one shuffle on the bucket key with
+    //    3x probe amplification, vs an unrunnable n² BNLJ; the oracle is
+    //    the naive range predicate DuckDB can afford at sf0.01.
+    "join_range_bucketed" -> ((s, d) => {
+      val W = 60000000L // ±60 s in microseconds
+      val ev = events(s, d).select(col("event_id"),
+        unix_micros(col("ts")).as("us"))
+        .withColumn("bkt", expr(s"us div $W"))
+      val probes = ev.select(col("event_id"), col("us"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jb"))
+      val build = ev.select(col("event_id").as("eid_b"),
+        col("us").as("us_b"), col("bkt").as("jb"))
+      probes.join(build, Seq("jb"), "left")
+        .groupBy("event_id")
+        .agg(sum(when(col("eid_b") =!= col("event_id") &&
+          abs(col("us_b") - col("us")) <= W, 1).otherwise(0)).as("n_neighbors"))
+        .orderBy("event_id")
+    }),
+
     // -- TPC-H Q3 shape: 3-way join + filter + top-10 by computed revenue
     "q3_shipping" -> ((s, d) => {
       customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -548,6 +576,13 @@ object RelationalQueries {
          SELECT event_id, user_id, us AS purchase_us, asof_click_us,
            us - COALESCE(asof_click_us, us) AS gap_us
          FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
+    "join_range_bucketed" ->
+      """SELECT a.event_id,
+         CAST(COUNT(b.event_id) AS BIGINT) AS n_neighbors
+         FROM events a LEFT JOIN events b
+           ON b.event_id <> a.event_id
+          AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
+         GROUP BY a.event_id ORDER BY a.event_id""",
     "join_skew_salted" ->
       """SELECT s_nationkey,
          CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,

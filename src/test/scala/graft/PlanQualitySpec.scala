@@ -175,6 +175,39 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), s"probe set not broadcast:\n$p")
   }
 
+  test("join_range_bucketed: pure range join runs as a bucket equi-join, never a BNLJ") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = executed(SparkEntry.queries("join_range_bucketed")(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), s"cartesian range join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ range join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected bucket equi-join:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("graph_triangles: edge-iterator plan — no wedge-explosion join output") {
+    val p = executed(SparkEntry.queries("graph_triangles")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in triangle count:\n$p")
+    // the closing test is an array intersection INSIDE the row, not a join
+    // against a wedge relation
+    assert(p.contains("array_intersect"), s"expected array-intersect closing:\n$p")
+  }
+
+  test("dedup_passages: chunks shuffle as 64-bit hashes, never raw text") {
+    val p = executed(SparkEntry.queries("dedup_passages")(spark, sf0001))
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(ex.nonEmpty, s"no exchange found:\n$p")
+    assert(!ex.contains("text#") && !ex.contains("chunk_str"),
+      s"raw text crossed an exchange:\n$ex")
+  }
+
   test("bv scan reports stats so Catalyst can plan broadcasts against it") {
     val base = graft.queries.GraphQueries.bvFixture(spark, sf0001)
     val df = spark.read.format("bvgraph").option("basename", base).load()
