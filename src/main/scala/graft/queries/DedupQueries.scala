@@ -220,6 +220,28 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // -- edit-distance verification of the near-dup candidates: exact
+    //    Levenshtein over the normalized texts of each verified pair,
+    //    surfaced with a length-normalized similarity. The expensive
+    //    O(len²) distance runs ONLY on the LSH-surfaced pairs (never
+    //    all-pairs) — the standard cheap-sketch → costly-verify ladder;
+    //    both engines implement the same unit-cost edit distance, so the
+    //    values gate exactly.
+    "text_levenshtein" -> ((s, d) => {
+      val pairs = minhashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val docs = documents(s, d).select(col("doc_id"), norm(col("text")).as("nt"))
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("nt").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("nt").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+          (length(col("ta")) + length(col("tb"))).cast("long").as("len_sum"))
+        .withColumn("lev_sim_e4",
+          floor((lit(1.0) - col("lev") * lit(2.0) / col("len_sum")) * 10000)
+            .cast("long"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // -- cross-document passage dedup (the CCNet/RefinedWeb line-dedup
     //    shape; this corpus has no newlines, so passages are consecutive
     //    8-word chunks): chunk every doc, count distinct docs per chunk
@@ -402,6 +424,20 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> jaccardOracle,
     "dedup_clusters" -> clustersOracle,
+    "text_levenshtein" ->
+      s"""WITH $jaccardCtes,
+       p AS (SELECT doc_a, doc_b FROM v WHERE inter * 10 >= un * 8),
+       nt AS (SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         FROM documents)
+       SELECT p.doc_a, p.doc_b,
+         CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+         CAST(len(a.t) + len(b.t) AS BIGINT) AS len_sum,
+         CAST(FLOOR((1.0 - levenshtein(a.t, b.t) * 2.0
+                     / (len(a.t) + len(b.t))) * 10000) AS BIGINT) AS lev_sim_e4
+       FROM p JOIN nt a ON a.doc_id = p.doc_a
+              JOIN nt b ON b.doc_id = p.doc_b
+       ORDER BY p.doc_a, p.doc_b""",
     "dedup_passages" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

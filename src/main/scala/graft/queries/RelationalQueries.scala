@@ -137,6 +137,39 @@ object RelationalQueries {
         .orderBy("status", "priority")
     }),
 
+    // -- explicit GROUPING SETS (the general form rollup/cube sugar over):
+    //    two independent one-dimensional groupings in a single Expand pass
+    //    — one scan + one shuffle instead of a UNION ALL of two
+    //    aggregations.
+    "agg_grouping_sets" -> ((s, d) => {
+      orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("vol_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("vol_cents"))
+        .orderBy("status", "priority")
+    }),
+
+    // -- RANGE window frame (value-based, not row-based): per customer,
+    //    total of orders priced within $1000 below the current order.
+    //    RANGE includes ALL peers with equal order value, so the result
+    //    is deterministic even under order-value ties — the reason this
+    //    surfaces money as exact integer cents and frames on them.
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("price_cents"))
+        .rangeBetween(-100000L, 0L)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).cast("long").as("price_cents"))
+        .withColumn("near_sum_cents", sum(col("price_cents")).over(w))
+        .withColumn("near_n", count(lit(1)).over(w))
+        .orderBy("o_orderkey")
+    }),
+
     // -- offset window functions: lag/lead over each customer's order
     //    history (inter-order gap in days)
     "win_lag_lead" -> ((s, d) => {
@@ -539,6 +572,24 @@ object RelationalQueries {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
          ORDER BY region, nation""",
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+         COALESCE(o_orderpriority, '(all)') AS priority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS vol_cents
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY status, priority""",
+    "win_range_frame" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+           FROM orders)
+         SELECT o_orderkey, o_custkey, price_cents,
+           CAST(SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY price_cents
+             RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum_cents,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY price_cents
+             RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS near_n
+         FROM t ORDER BY o_orderkey""",
     "agg_cube" ->
       """SELECT COALESCE(o_orderstatus, '(all)') AS status,
          COALESCE(o_orderpriority, '(all)') AS priority,

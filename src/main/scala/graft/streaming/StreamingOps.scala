@@ -117,6 +117,19 @@ object StreamingOps {
         col("r.ts").as("view_ts"), col("r.value").as("view_value"))
   }
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * user's dimension row (the per-microbatch lookup every ingestion
+    * pipeline runs). The static side is broadcast per micro-batch — no
+    * streaming state at all (unlike stream-stream joins), so the operator
+    * is stateless and restart-safe; at 100 TB/day the dimension either
+    * broadcasts or the join flips to a shuffle on the key, but never
+    * buffers the stream. */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame,
+      streamKey: String = "user_id", dimKey: String = "c_custkey"): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+      .select(col(streamKey), col("ts"), col("event_type"), col("value"),
+        col("c_name"), col("c_nationkey"))
+
   /** File-based streaming read of an events directory (the batch parquet
     * becomes a stream source unchanged — same schema, same downstream
     * operators). */

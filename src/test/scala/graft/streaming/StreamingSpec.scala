@@ -265,6 +265,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static join equals the batch join, stateless per micro-batch") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = graft.Tables.events(spark, sf0001)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val dim = graft.Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val in = MemoryStream[Event]
+    val q = StreamingOps.streamStaticJoin(in.toDF(), dim)
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2),
+        r.getString(4), String.valueOf(r.get(5)))
+    val streamed =
+      try {
+        in.addData(evs)
+        q.processAllAvailable() // stateless: no watermark flush needed
+        spark.table("ssj").collect().map(keyOf).toSet
+      } finally q.stop()
+    val batch = StreamingOps.streamStaticJoin(evs.toDF(), dim)
+      .collect().map(keyOf).toSet
+    assert(streamed == batch,
+      s"missing=${(batch diff streamed).take(3)} extra=${(streamed diff batch).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("batch parquet directory reads as a stream with the same operators") {
     implicit val s = spark
     import s.implicits._
