@@ -80,4 +80,48 @@ object SketchAggs {
     override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
     override def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
   }
+
+  /** Count-min sketch over a gram stream: d rows x w counters (w a power
+    * of two), row r's hash = FNV-1a 64 of the salted gram ('a'+r prefix)
+    * — the engine's reproducible fingerprint primitive, which is what
+    * lets a DuckDB oracle recompute the sketch exactly. Point estimate =
+    * min over rows of the hashed counter (always >= the true count).
+    * State is a fixed d*w longs regardless of stream length: THE
+    * heavy-hitter shape at 100 TB, where exact n-gram counts would
+    * shuffle billions of distinct grams. */
+  final class CountMin(d: Int, w: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+    require(w > 0 && (w & (w - 1)) == 0, s"width must be a power of two, got $w")
+
+    def bucket(r: Int, gram: String): Int = {
+      val salted = ('a' + r).toChar.toString + gram
+      (Fnv64.hashBytes(salted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        & (w - 1)).toInt
+    }
+    /** Point estimate from a finished sketch. */
+    def estimate(sketch: Array[Long], gram: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < d) {
+        val v = sketch(r * w + bucket(r, gram))
+        if (v < best) best = v
+        r += 1
+      }
+      best
+    }
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+    override def reduce(buf: Array[Long], gram: String): Array[Long] = {
+      var r = 0
+      while (r < d) { buf(r * w + bucket(r, gram)) += 1L; r += 1 }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
 }

@@ -111,6 +111,37 @@ object TextQueries {
     //    rolling hash + min-shingle fingerprint (winnowing-style sketch).
     //    Hash-dependent values -> rows-only gate; golden values pinned in
     //    PipelineSpec.
+    // -- heavy-hitter 2-grams via a count-min sketch, exact-verified:
+    //    the sketch is a fixed d×w = 4×1024 counter grid (32 KB total,
+    //    merged associatively map-side) — at 100 TB the exact global
+    //    n-gram count would shuffle billions of distinct grams, while the
+    //    sketch state is constant-size per partition. The top-10 exact
+    //    candidates are then point-estimated from the sketch; CMS
+    //    guarantees estimate >= exact, and the row hashes are the
+    //    engine's reproducible fnv64 — so DuckDB recomputes the ENTIRE
+    //    sketch (bucket sums per row, min over rows) and the overestimate
+    //    column is value-gated, not just asserted.
+    "freq_ngrams_cms" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{Shingles, SketchAggs}
+      val D = 4; val W = 1024
+      val grams = documents(s, d)
+        .select(explode(Exprs.toColumn(
+          Shingles(Exprs.toExpr(col("text")), 2, distinct = false))).as("gram"))
+        .persist()
+      val cms = new SketchAggs.CountMin(D, W)
+      val sketch = grams.as[String].select(cms.toColumn).head()
+      val top = grams.groupBy("gram").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("gram")).limit(10)
+        .as[(String, Long)].collect()
+      val rows = top.map { case (g, n) =>
+        val est = cms.estimate(sketch, g)
+        (g, n, est, est - n)
+      }.toSeq
+      rows.toDF("gram", "exact_n", "cms_n", "over_n")
+        .orderBy(col("exact_n").desc, col("gram"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       def fnv(c: Column): Column = Exprs.toColumn(Fnv64(Exprs.toExpr(c)))
       documents(s, d)
@@ -173,6 +204,38 @@ object TextQueries {
          len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
          len(text) AS n_chars
          FROM documents ORDER BY doc_id""",
+    // the whole CMS recomputed in SQL: 2-gram stream (Shingles(2, false)
+    // semantics incl. the short-doc whole-text fallback), per-row salted
+    // fnv64 buckets (HUGEINT fold — same recipe as text_fingerprint),
+    // bucket sums per (row, bucket), estimate = min over rows. h % 1024
+    // on the unsigned HUGEINT equals Spark's (h & 1023) on the signed
+    // long (low 10 bits are representation-independent).
+    "freq_ngrams_cms" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+           FROM documents),
+         g AS (SELECT unnest(CASE WHEN len(w) >= 2
+                 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                 ELSE [nt] END) AS gram
+           FROM w),
+         c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
+         cand AS (SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT 10),
+         hh AS (SELECT c.gram, c.n, r.r,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, len(chr(97 + CAST(r.r AS INTEGER)) || c.gram) + 1),
+                   i -> CAST(ord(substr(chr(97 + CAST(r.r AS INTEGER)) || c.gram, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616) % 1024 AS bkt
+           FROM c, range(0, 4) AS r(r)),
+         bs AS (SELECT r, bkt, SUM(n) AS s FROM hh GROUP BY r, bkt),
+         est AS (SELECT cand.gram, cand.n, MIN(bs.s) AS cms
+           FROM cand JOIN hh ON hh.gram = cand.gram
+                     JOIN bs ON bs.r = hh.r AND bs.bkt = hh.bkt
+           GROUP BY cand.gram, cand.n)
+         SELECT gram, CAST(n AS BIGINT) AS exact_n, CAST(cms AS BIGINT) AS cms_n,
+           CAST(cms - n AS BIGINT) AS over_n
+         FROM est ORDER BY exact_n DESC, gram""",
     // FNV-1a 64 reproduced in SQL: fold (xor then * prime) over the chars
     // in HUGEINT (the prime is 2^40.x, so products stay inside 128-bit)
     // mod 2^64; min-shingle uses SIGNED ordering to match Spark's

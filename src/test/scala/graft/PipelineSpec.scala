@@ -116,6 +116,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ---- count-min sketch ---------------------------------------------------
+
+  test("count-min: estimate >= exact always; collisions only inflate") {
+    // tiny width forces collisions so the overestimate path is exercised
+    val cms = new SketchAggs.CountMin(4, 16)
+    val rnd = new scala.util.Random(7)
+    val stream = Seq.fill(2000)(s"g${rnd.nextInt(50)}")
+    val sketch = stream.foldLeft(cms.zero)(cms.reduce)
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (g, n) =>
+      val est = cms.estimate(sketch, g)
+      assert(est >= n, s"$g: est $est < exact $n")
+    }
+    // with 50 keys over 16 buckets, at least one estimate must collide
+    assert(exact.exists { case (g, n) => cms.estimate(sketch, g) > n })
+    // merge associativity: split-stream merge equals single-stream sketch
+    val (s1, s2) = stream.splitAt(700)
+    val merged = cms.merge(s1.foldLeft(cms.zero)(cms.reduce),
+      s2.foldLeft(cms.zero)(cms.reduce))
+    assert(merged.sameElements(sketch))
+  }
+
+  test("freq_ngrams_cms: top grams carry non-negative overestimates") {
+    val rows = SparkEntry.queries("freq_ngrams_cms")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"cms < exact in $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+  }
+
   // ---- similarity ---------------------------------------------------------
 
   test("sim_ann_lsh results are contained in the exact ranking's candidate pool") {
