@@ -13,6 +13,8 @@ import graft.functions.{Fnv64, Shingles, VecDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // semantics-preserving plan rewrites (see each rule's scaladoc)
+    ext.injectOptimizerRule(_ => new IntersectCountRewrite)
     ext.injectFunction((
       new FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),

@@ -170,6 +170,33 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // -- grouped top-k via a bounded-heap Aggregator (k=3 orders per
+    //    customer by price): the buffer is ≤ k pairs, so Spark's partial
+    //    aggregation reduces each map task's rows to O(groups×k) BEFORE
+    //    the exchange — the window formulation (win_rank_topk) shuffles
+    //    and sorts EVERY row of every group first. Same answer, summary-
+    //    sized shuffle; this is the grouped-top-k shape that survives
+    //    100 TB. Deterministic total order: (cents DESC, orderkey ASC).
+    "topk_per_group" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.TopK.TopKPairs(3).toColumn
+      orders(s, d)
+        .select(col("o_custkey").cast("long"),
+          cents(col("o_totalprice")).cast("long"),
+          col("o_orderkey").cast("long"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg)
+        .flatMap { case (cust, flat) =>
+          flat.grouped(2).zipWithIndex.map { case (Array(c, id), i) =>
+            (cust, (i + 1).toLong, id, c)
+          }
+        }
+        .toDF("custkey", "rank", "orderkey", "price_cents")
+        .orderBy("custkey", "rank")
+    }),
+
     // -- offset window functions: lag/lead over each customer's order
     //    history (inter-order gap in days)
     "win_lag_lead" -> ((s, d) => {
@@ -580,6 +607,15 @@ object RelationalQueries {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY status, priority""",
+    "topk_per_group" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+           FROM orders),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY price_cents DESC, o_orderkey) AS rk FROM t)
+         SELECT o_custkey AS custkey, rk AS rank, o_orderkey AS orderkey,
+           price_cents
+         FROM r WHERE rk <= 3 ORDER BY custkey, rank""",
     "win_range_frame" ->
       """WITH t AS (SELECT o_orderkey, o_custkey,
              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents

@@ -147,6 +147,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // ---- grouped top-k ------------------------------------------------------
+
+  test("TopKPairs == sort-take model; merge is associative + commutative") {
+    val k = 3
+    val agg = new graft.functions.TopK.TopKPairs(k)
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 100) {
+      val xs = Seq.fill(rnd.nextInt(30))((rnd.nextInt(8).toLong, rnd.nextInt(100).toLong))
+      val reduced = xs.foldLeft(agg.zero)(agg.reduce)
+      val pairs = reduced.grouped(2).map(a => (a(0), a(1))).toSeq
+      // duplicate (c, id) inputs both enter the buffer (no dedup), so the
+      // model is the duplicate-preserving stable sort-take
+      val full = xs.sortBy { case (c, id) => (-c, id) }.take(k)
+      assert(pairs == full, s"xs=$xs")
+      // split-merge equals single-stream
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged.toSeq == reduced.toSeq, s"merge mismatch xs=$xs")
+      val mergedRev = agg.merge(r.foldLeft(agg.zero)(agg.reduce),
+        l.foldLeft(agg.zero)(agg.reduce))
+      assert(mergedRev.toSeq == reduced.toSeq)
+    }
+  }
+
+  test("topk_per_group: partial aggregation runs before the exchange") {
+    val df = SparkEntry.queries("topk_per_group")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx > 0 && p.indexOf("partial_topkpairs", exchangeIdx) > 0
+      || p.indexOf("partial_", exchangeIdx) > 0,
+      s"no map-side partial top-k before the shuffle:\n$p")
+  }
+
   // ---- similarity ---------------------------------------------------------
 
   test("sim_ann_lsh results are contained in the exact ranking's candidate pool") {

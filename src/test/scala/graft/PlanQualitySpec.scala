@@ -194,9 +194,11 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val p = executed(SparkEntry.queries("graph_triangles")(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs shape in triangle count:\n$p")
-    // the closing test is an array intersection INSIDE the row, not a join
+    // the closing test is an array intersection INSIDE the row (the
+    // optimizer rewrites it to the native intersect_count), not a join
     // against a wedge relation
-    assert(p.contains("array_intersect"), s"expected array-intersect closing:\n$p")
+    assert(p.contains("intersect_count") || p.contains("array_intersect"),
+      s"expected in-row intersect closing:\n$p")
   }
 
   test("dedup_passages: chunks shuffle as 64-bit hashes, never raw text") {
