@@ -30,12 +30,18 @@ object GraphAlgos {
 
   private val OFF = 1000000L
 
-  /** Distinct undirected co-purchase edges (u < v) over parts. */
+  /** Distinct undirected co-purchase edges (u < v) over parts: group each
+    * order's part set (bounded — ≤7 lineitems/order), generate the ≤21
+    * intra-order pairs with array lambdas (narrow, codegen-adjacent), and
+    * dedup across orders. One grouping shuffle + one distinct shuffle —
+    * no fact-table self-join. */
   def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    li.groupBy(col("ok")).agg(array_sort(collect_set(col("pk"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
   }
 

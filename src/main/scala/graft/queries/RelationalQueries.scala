@@ -170,6 +170,46 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // -- correlated scalar subquery + correlated EXISTS: Catalyst
+    //    decorrelates both into joins (RewriteCorrelatedScalarSubquery /
+    //    RewriteNonCorrelatedExists + RewritePredicateSubquery), so the
+    //    executed plan is an aggregate + two equi-joins — no per-row
+    //    re-execution, which is the property that makes subqueries
+    //    usable at scale at all. Expressed in SQL against registered
+    //    views (the subquery surface IS a SQL feature).
+    "subquery_correlated" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sq_orders")
+      lineitem(s, d).createOrReplaceTempView("sq_lineitem")
+      s.sql(
+        """SELECT o_orderkey,
+             CAST((SELECT COUNT(*) FROM sq_lineitem
+                   WHERE l_orderkey = o_orderkey) AS BIGINT) AS n_items,
+             CAST((SELECT COALESCE(SUM(CAST(FLOOR(l_quantity) AS BIGINT)), 0)
+                   FROM sq_lineitem
+                   WHERE l_orderkey = o_orderkey) AS BIGINT) AS total_qty
+           FROM sq_orders
+           WHERE EXISTS (SELECT 1 FROM sq_lineitem
+                         WHERE l_orderkey = o_orderkey
+                           AND l_quantity >= 49)
+           ORDER BY o_orderkey""")
+    }),
+
+    // -- distribution window functions: quartile bucket, percent_rank and
+    //    cume_dist over a deterministic total order (cents, then key —
+    //    ties broken so both engines agree row-for-row); surfaced as
+    //    exact integers (ntile) and floor(x*1e6).
+    "win_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("price_cents"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).cast("long").as("price_cents"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr_e6", floor(percent_rank().over(w) * 1000000).cast("long"))
+        .withColumn("cd_e6", floor(cume_dist().over(w) * 1000000).cast("long"))
+        .orderBy("o_orderkey")
+    }),
+
     // -- grouped top-k via a bounded-heap Aggregator (k=3 orders per
     //    customer by price): the buffer is ≤ k pairs, so Spark's partial
     //    aggregation reduces each map task's rows to O(groups×k) BEFORE
@@ -607,6 +647,28 @@ object RelationalQueries {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY status, priority""",
+    "subquery_correlated" ->
+      """SELECT o_orderkey,
+         CAST((SELECT COUNT(*) FROM lineitem
+               WHERE l_orderkey = o_orderkey) AS BIGINT) AS n_items,
+         CAST((SELECT COALESCE(SUM(CAST(FLOOR(l_quantity) AS BIGINT)), 0)
+               FROM lineitem
+               WHERE l_orderkey = o_orderkey) AS BIGINT) AS total_qty
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+         ORDER BY o_orderkey""",
+    "win_distribution" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+           FROM orders)
+         SELECT o_orderkey, o_custkey, price_cents,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pr_e6,
+           CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cd_e6
+         FROM t
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY price_cents, o_orderkey)
+         ORDER BY o_orderkey""",
     "topk_per_group" ->
       """WITH t AS (SELECT o_custkey, o_orderkey,
              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
