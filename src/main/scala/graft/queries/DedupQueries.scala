@@ -208,7 +208,10 @@ object DedupQueries {
       import org.apache.spark.graphx._
       import s.implicits._
       val pairs = minhashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+      // the pair graph is tiny (|pairs| << corpus); one partition keeps
+      // each CC superstep a single task instead of 32 near-empty ones
       val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+        .coalesce(1)
       val cc = Graph.fromEdges(edgeRdd, ()).connectedComponents()
         .vertices.map { case (id, comp) => (id, comp) }.toDF("doc_id", "comp")
       documents(s, d).select(col("doc_id"))

@@ -136,10 +136,14 @@ object GraphAlgos {
       import s.implicits._
       val e = coPurchaseEdges(s, d).persist()
       val srcId = e.agg(min(col("u"))).head().getLong(0)
+      // a handful of fat partitions: each Pregel superstep runs
+      // O(partitions) tasks, and at this graph size per-task scheduling
+      // overhead dominates the actual message work (on a cluster, size
+      // partitions to cores as usual)
       val edgeRdd = e.rdd.flatMap { r =>
         val u = r.getLong(0); val v = r.getLong(1)
         Iterator(Edge(u, v, ()), Edge(v, u, ())) // undirected
-      }
+      }.coalesce(8)
       val g = Graph.fromEdges(edgeRdd, ())
         .mapVertices((id, _) => if (id == srcId) 0L else Long.MaxValue)
       val res = g.pregel(Long.MaxValue, maxIterations = 20)(

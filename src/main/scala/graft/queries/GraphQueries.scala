@@ -230,6 +230,7 @@ object GraphQueries {
       val edgeRdd = orders(s, d)
         .select(col("o_custkey").cast("long"), col("o_orderkey").cast("long"))
         .rdd.map(r => Edge(r.getLong(0), r.getLong(1) + off, ()))
+        .coalesce(8) // fat partitions: superstep task overhead >> message work here
       Graph.fromEdges(edgeRdd, ()).connectedComponents()
         .vertices.map { case (id, comp) => (id, comp) }
         .toDF("id", "component")

@@ -170,6 +170,29 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // -- JSONL sink -> source round-trip: the events table is written as
+    //    JSON lines through the engine's sink (write-once per SF dir,
+    //    like the BV fixture) and read back with an explicit schema —
+    //    the ingestion format every text-pipeline feed actually arrives
+    //    in. Timestamps travel as integer epoch-micros (JSON has no
+    //    timestamp type; ISO strings re-parse timezone-dependently) and
+    //    doubles survive because Spark writes shortest-round-trip
+    //    literals. The oracle is the ORIGINAL parquet table, so the gate
+    //    proves write->read fidelity end-to-end.
+    "jsonl_roundtrip" -> ((s, d) => {
+      val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_jsonl_$key"
+      val flat = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+        flat.write.mode("overwrite").json(dir)
+      s.read.schema(flat.schema).json(dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents"),
+          col("ts_us"))
+        .orderBy("event_id")
+    }),
+
     // -- correlated scalar subquery + correlated EXISTS: Catalyst
     //    decorrelates both into joins (RewriteCorrelatedScalarSubquery /
     //    RewriteNonCorrelatedExists + RewritePredicateSubquery), so the
@@ -647,6 +670,11 @@ object RelationalQueries {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY status, priority""",
+    "jsonl_roundtrip" ->
+      """SELECT event_id, user_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+         epoch_us(ts) AS ts_us
+         FROM events ORDER BY event_id""",
     "subquery_correlated" ->
       """SELECT o_orderkey,
          CAST((SELECT COUNT(*) FROM lineitem

@@ -371,6 +371,26 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     if (pushedAggs.isDefined) new BvAggReaderFactory
     else new BvGraphReaderFactory(required.fieldNames)
+
+  /** Per-task decode counters, surfaced in the Spark UI / listener bus as
+    * SQL metrics on the scan node — the observability a production source
+    * needs (decode volume per task exposes skewed splits directly). */
+  override def supportedCustomMetrics(): Array[
+      org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new BvSumMetric("bvNodesDecoded", "BV nodes decoded"),
+      new BvSumMetric("bvArcsDecoded", "BV arcs decoded"))
+}
+
+class BvSumMetric(n: String, d: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = n
+  override def description(): String = d
+}
+
+case class BvTaskMetric(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
 }
 
 object BvGraphScan {
@@ -458,12 +478,18 @@ class BvOutdegreeReader(p: BvInputPartition, fields: Array[String])
   private var curr = p.from - 1
   private val row = new GenericInternalRow(fields.length)
 
+  private var nodes = 0L
+
   override def next(): Boolean = { curr += 1; curr < p.until }
   override def get(): InternalRow = {
     if (idIdx >= 0) row.update(idIdx, (curr + p.idOffset).toInt)
     row.update(outIdx, graph.outdegree(curr, in))
+    nodes += 1
     row
   }
+  override def currentMetricsValues(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(BvTaskMetric("bvNodesDecoded", nodes), BvTaskMetric("bvArcsDecoded", 0L))
   override def close(): Unit = graph.release()
 }
 
@@ -477,9 +503,14 @@ class BvGraphPartitionReader(p: BvInputPartition, fields: Array[String])
   private var curr: (Int, Array[Int]) = _
   private val row = new GenericInternalRow(fields.length)
 
+  private var nodes = 0L
+  private var arcs = 0L
+
   override def next(): Boolean = {
     if (!iter.hasNext) return false
     curr = iter.next()
+    nodes += 1
+    arcs += curr._2.length
     true
   }
 
@@ -489,6 +520,10 @@ class BvGraphPartitionReader(p: BvInputPartition, fields: Array[String])
     if (outIdx >= 0) row.update(outIdx, curr._2.length)
     row
   }
+
+  override def currentMetricsValues(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(BvTaskMetric("bvNodesDecoded", nodes), BvTaskMetric("bvArcsDecoded", arcs))
 
   override def close(): Unit = graph.release()
 }

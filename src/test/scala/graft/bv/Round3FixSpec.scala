@@ -103,6 +103,29 @@ class Round3FixSpec extends AnyFunSuite {
     }
   }
 
+  test("partition readers report decode metrics (nodes + arcs)") {
+    import graft.sources.{BvGraphPartitionReader, BvInputPartition, BvOutdegreeReader}
+    val dir = java.nio.file.Files.createTempDirectory("bv-metrics")
+    val base = dir.resolve("g").toString
+    val adj = Array(Array(1, 2), Array(2), Array.empty[Int], Array(0, 1, 3))
+    BvEncoder().write(base, adj)
+    val p = BvInputPartition(base, 0, adj.length, 0, Array.empty)
+    val full = new BvGraphPartitionReader(p, Array("id", "successors"))
+    try {
+      while (full.next()) full.get()
+      val m = full.currentMetricsValues().map(t => t.name() -> t.value()).toMap
+      assert(m("bvNodesDecoded") == adj.length.toLong)
+      assert(m("bvArcsDecoded") == adj.map(_.length).sum.toLong)
+    } finally full.close()
+    val deg = new BvOutdegreeReader(p, Array("id", "outdegree"))
+    try {
+      while (deg.next()) deg.get()
+      val m = deg.currentMetricsValues().map(t => t.name() -> t.value()).toMap
+      assert(m("bvNodesDecoded") == adj.length.toLong)
+      assert(m("bvArcsDecoded") == 0L) // degree-only scan never decodes arcs
+    } finally deg.close()
+  }
+
   test("regenerate writes the offsets atomically (no bare partial file)") {
     val dir = java.nio.file.Files.createTempDirectory("bv-atomic")
     val base = dir.resolve("g").toString
