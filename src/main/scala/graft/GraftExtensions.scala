@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
 import graft.functions.{Fnv64, Shingles, VecDot}
@@ -35,16 +35,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.length != 3)
           analysisError(s"shingles(text, n, distinct) takes 3 arguments, " +
             s"got ${children.length}")
-        val n = children(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => analysisError("shingles: argument 2 (n) must be " +
-            s"an INT literal, got ${other.sql}")
+        // accept any foldable INT/BOOLEAN expression (1+2, CAST(3 AS INT),
+        // …), not just bare literals — constant folding runs AFTER
+        // function resolution, so a constant expression arrives unfolded
+        def constant[T](e: Expression, dt: org.apache.spark.sql.types.DataType,
+            what: String): T = {
+          if (!e.foldable || e.dataType != dt)
+            analysisError(s"shingles: $what must be a constant " +
+              s"${dt.catalogString.toUpperCase} expression, got ${e.sql}")
+          val v = e.eval()
+          if (v == null)
+            analysisError(s"shingles: $what must not be NULL")
+          v.asInstanceOf[T]
         }
-        val distinct = children(2) match {
-          case Literal(v: Boolean, BooleanType) => v
-          case other => analysisError("shingles: argument 3 (distinct) " +
-            s"must be a BOOLEAN literal, got ${other.sql}")
-        }
+        val n = constant[Int](children(1), IntegerType, "argument 2 (n)")
+        val distinct =
+          constant[Boolean](children(2), BooleanType, "argument 3 (distinct)")
         Shingles(children.head, n, distinct)
       }))
   }

@@ -101,10 +101,22 @@ object DedupQueries {
   }
 
   /** MinHash (k=128) + LSH (32 bands × 4 rows) near-dup pairs with exact
-    * Jaccard verification — the shared pair engine behind dedup_minhash
-    * and dedup_clusters. Aggregator-built signatures (k longs per doc over
-    * the wire), banded bucket self-join for candidates, exact verify. */
-  def minhashDupPairs(s: SparkSession, d: String): DataFrame = {
+    * Jaccard verification — the shared pair engine behind dedup_minhash,
+    * dedup_clusters and text_levenshtein. Aggregator-built signatures
+    * (k longs per doc over the wire), banded bucket self-join for
+    * candidates, exact verify.
+    *
+    * Memoized per (session, dir) and persisted: three queries consume the
+    * pair set, and the signature/banding/verify pipeline is the most
+    * expensive dedup stage — in a production pipeline this IS the
+    * checkpointed pair table every downstream step reads. */
+  def minhashDupPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, d), minhashDupPairsUncached(s, d).persist())
+
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashDupPairsUncached(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 128; val bands = 32; val rows = 4
     val sets = shingleSets(s, d).persist()

@@ -180,7 +180,14 @@ object RelationalQueries {
     //    literals. The oracle is the ORIGINAL parquet table, so the gate
     //    proves write->read fidelity end-to-end.
     "jsonl_roundtrip" -> ((s, d) => {
-      val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      // fixture key includes the SOURCE file's (mtime, size): a
+      // regenerated events table gets a fresh JSONL dir instead of
+      // silently serving stale data, and concurrent sessions over
+      // different source versions never collide
+      val src = java.nio.file.Paths.get(d, "events.parquet")
+      val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
+        s"_${java.nio.file.Files.size(src)}"
+      val key = s"${d}_$stamp".replaceAll("[^A-Za-z0-9._-]", "_")
       val dir = s"${sys.props("java.io.tmpdir")}/graft_jsonl_$key"
       val flat = events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))

@@ -71,27 +71,36 @@ class ShinglesSpec extends AnyFunSuite {
     assert(got == Seq("a quick brown", "quick brown fox"))
   }
 
-  test("shingles SQL builder rejects non-literal / mistyped args clearly") {
+  test("shingles SQL builder rejects non-constant / mistyped args clearly") {
     import org.apache.spark.sql.AnalysisException
-    // non-literal n (a column reference)
+    // non-constant n (a column reference)
     val e1 = intercept[AnalysisException] {
       spark.sql("SELECT shingles('x', id, true) FROM range(1)").collect()
     }
-    assert(e1.getMessage.contains("INT literal"))
-    // LONG-typed literal (would have ClassCastException'd before)
+    assert(e1.getMessage.contains("constant INT"))
+    // LONG-typed constant (would have ClassCastException'd before)
     val e2 = intercept[AnalysisException] {
       spark.sql("SELECT shingles('x', CAST(3 AS BIGINT), true)").collect()
     }
-    assert(e2.getMessage.contains("INT literal"))
+    assert(e2.getMessage.contains("constant INT"))
     // NULL distinct (would have NPE'd before)
     val e3 = intercept[AnalysisException] {
       spark.sql("SELECT shingles('x', 3, CAST(NULL AS BOOLEAN))").collect()
     }
-    assert(e3.getMessage.contains("BOOLEAN literal"))
+    assert(e3.getMessage.contains("must not be NULL"))
     // wrong arity
     val e4 = intercept[AnalysisException] {
       spark.sql("SELECT shingles('x', 3)").collect()
     }
     assert(e4.getMessage.contains("3 arguments"))
+  }
+
+  test("shingles SQL builder accepts foldable constant expressions") {
+    // 1+2 and CAST(… AS INT) are constants but NOT bare literals at
+    // resolution time (folding runs later in the optimizer)
+    val got = spark.sql(
+      "SELECT shingles('a b c d', 1 + 2, CAST('true' AS BOOLEAN)) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
   }
 }
