@@ -288,6 +288,62 @@ object RelationalQueries {
         .orderBy("o_custkey")
     }),
 
+    // -- bag-semantics EXCEPT ALL: multiplicities subtract instead of the
+    //    set-difference collapse (a customer with 3 'O' orders and 1 'F'
+    //    order keeps 2 rows). Catalyst plans it as an aggregate on
+    //    (value, count) pairs + generate — one shuffle, no join.
+    "setops_except_all" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_surplus"))
+        .orderBy("o_custkey")
+    }),
+
+    // -- frame-boundary window functions: first/nth over the running
+    //    frame, last over the full partition (over a running frame
+    //    last_value degenerates to the current row). Ties broken by
+    //    (date, key) so both engines agree row-for-row; nth_value is
+    //    NULL until the frame holds 2 rows.
+    "win_first_last" -> ((s, d) => {
+      val wRun = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFull = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .withColumn("first_key", first(col("o_orderkey")).over(wRun))
+        .withColumn("last_key", last(col("o_orderkey")).over(wFull))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(wRun))
+        .select(col("o_orderkey"), col("o_custkey"), col("first_key"),
+          col("last_key"), col("second_key"))
+        .orderBy("o_orderkey")
+    }),
+
+    // -- array higher-order-function surface over the per-customer order
+    //    history: collect → sort → transform/filter/aggregate/slice/
+    //    zip_with, all codegen-adjacent array ops on an aggregated list —
+    //    the shape array-typed feature columns take in a real pipeline.
+    //    Values surface as exact longs / joined strings.
+    "array_funcs" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("keys"),
+          sort_array(collect_list(cents(col("o_totalprice")).cast("long")))
+            .as("prices"))
+        .select(col("o_custkey"),
+          size(col("keys")).cast("long").as("n_orders"),
+          aggregate(col("prices"), lit(0L), (acc, x) => acc + x).as("sum_cents"),
+          size(filter(col("prices"), x => x > 150000000L)).cast("long").as("n_big"),
+          array_join(transform(slice(col("keys"), 1, 3), x => x.cast("string")),
+            ",").as("first3_keys"),
+          aggregate(zip_with(col("prices"), col("prices"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("sumsq_cents"))
+        .orderBy("o_custkey")
+    }),
+
     // -- skew-safe two-stage aggregation: l_returnflag has 3 hot values,
     //    so a naive groupBy funnels 100 TB into 3 reducers; salting by a
     //    hash of the row key spreads stage 1 over 16x the partitions and
@@ -677,6 +733,40 @@ object RelationalQueries {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY status, priority""",
+    "setops_except_all" ->
+      """WITH e AS (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         SELECT o_custkey, COUNT(*) AS n_surplus
+         FROM e GROUP BY o_custkey ORDER BY o_custkey""",
+    "win_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w1 AS first_key,
+           LAST_VALUE(o_orderkey) OVER w2 AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER w1 AS second_key
+         FROM orders
+         WINDOW
+           w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
+    "array_funcs" ->
+      """WITH t AS (SELECT o_custkey,
+             list_sort(list(o_orderkey)) AS keys,
+             list_sort(list(CAST(FLOOR(o_totalprice * 100) AS BIGINT))) AS prices
+           FROM orders GROUP BY o_custkey)
+         SELECT o_custkey,
+           CAST(len(keys) AS BIGINT) AS n_orders,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), prices),
+             (a, x) -> a + x) AS sum_cents,
+           CAST(len(list_filter(prices, x -> x > 150000000)) AS BIGINT) AS n_big,
+           array_to_string(list_transform(keys[1:3], x -> CAST(x AS VARCHAR)),
+             ',') AS first3_keys,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(prices, x -> x * x)), (a, x) -> a + x) AS sumsq_cents
+         FROM t ORDER BY o_custkey""",
     "jsonl_roundtrip" ->
       """SELECT event_id, user_id, event_type,
          CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
