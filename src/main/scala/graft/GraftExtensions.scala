@@ -43,7 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (!e.foldable || e.dataType != dt)
             analysisError(s"shingles: $what must be a constant " +
               s"${dt.catalogString.toUpperCase} expression, got ${e.sql}")
-          val v = e.eval()
+          // foldable does not imply evaluable HERE: CurrentDate-style
+          // expressions fold only after optimizer rules run, and ANSI
+          // casts/division can throw — both must surface as a clean
+          // analysis error, never an internal exception
+          val v =
+            try e.eval()
+            catch { case t: Throwable => analysisError(
+              s"shingles: $what could not be evaluated at analysis time " +
+                s"(${t.getClass.getSimpleName}): ${e.sql}") }
           if (v == null)
             analysisError(s"shingles: $what must not be NULL")
           v.asInstanceOf[T]

@@ -106,15 +106,37 @@ object DedupQueries {
     * (k longs per doc over the wire), banded bucket self-join for
     * candidates, exact verify.
     *
-    * Memoized per (session, dir) and persisted: three queries consume the
-    * pair set, and the signature/banding/verify pipeline is the most
-    * expensive dedup stage — in a production pipeline this IS the
-    * checkpointed pair table every downstream step reads. */
-  def minhashDupPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, d), minhashDupPairsUncached(s, d).persist())
+    * Memoized per (session, dir, source-version) and persisted: three
+    * queries consume the pair set, and the signature/banding/verify
+    * pipeline is the most expensive dedup stage — in a production
+    * pipeline this IS the checkpointed pair table every downstream step
+    * reads. The key carries the source parquet's (mtime, size), so a
+    * regenerated corpus invalidates the memo (stale entries and entries
+    * of stopped sessions are unpersisted and dropped on the next miss). */
+  def minhashDupPairs(s: SparkSession, d: String): DataFrame = {
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+    val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
+      s"_${java.nio.file.Files.size(src)}"
+    pairsCache.getOrElseUpdate((s, d, stamp), {
+      // evict superseded versions of this dir and dead sessions' entries
+      pairsCache.keys
+        .filter(k => (k._1 == s && k._2 == d && k._3 != stamp) ||
+          k._1.sparkContext.isStopped)
+        .foreach(k => pairsCache.remove(k).foreach(df =>
+          try df.unpersist(false) catch { case _: Exception => }))
+      minhashDupPairsUncached(s, d).persist()
+    })
+  }
+
+  /** Audit/bench hook: drop all memoized pair tables so the next call
+    * rebuilds (and re-plans) from scratch. */
+  private[graft] def clearPairsCache(): Unit = {
+    pairsCache.keys.foreach(k => pairsCache.remove(k).foreach(df =>
+      try df.unpersist(false) catch { case _: Exception => }))
+  }
 
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def minhashDupPairsUncached(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -220,10 +242,16 @@ object DedupQueries {
       import org.apache.spark.graphx._
       import s.implicits._
       val pairs = minhashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
-      // the pair graph is tiny (|pairs| << corpus); one partition keeps
-      // each CC superstep a single task instead of 32 near-empty ones
+      // materialize the (persisted) pair table BEFORE coalescing: a
+      // no-shuffle coalesce over the cold lineage would serialize the
+      // whole LSH+verify stage into the merged tasks; afterwards it only
+      // merges cached blocks. Partition count scales with the pair count
+      // (tiny pair graphs run single-task supersteps, big ones spread).
+      val nPairs = pairs.count()
+      val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (nPairs / 10000L).toInt))
       val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-        .coalesce(1)
+        .coalesce(parts)
       val cc = Graph.fromEdges(edgeRdd, ()).connectedComponents()
         .vertices.map { case (id, comp) => (id, comp) }.toDF("doc_id", "comp")
       documents(s, d).select(col("doc_id"))

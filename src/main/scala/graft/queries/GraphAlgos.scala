@@ -31,10 +31,12 @@ object GraphAlgos {
   private val OFF = 1000000L
 
   /** Distinct undirected co-purchase edges (u < v) over parts: group each
-    * order's part set (bounded — ≤7 lineitems/order), generate the ≤21
-    * intra-order pairs with array lambdas (narrow, codegen-adjacent), and
-    * dedup across orders. One grouping shuffle + one distinct shuffle —
-    * no fact-table self-join. */
+    * order's part set — bounded by order size (≤13 lineitems/order in
+    * this testdata ⇒ ≤78 intra-order pairs; the per-group pair cost is
+    * quadratic in ORDER size, never in table size) — generate the pairs
+    * with array lambdas (narrow, codegen-adjacent), and dedup across
+    * orders. One grouping shuffle + one distinct shuffle — no fact-table
+    * self-join. */
   def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     li.groupBy(col("ok")).agg(array_sort(collect_set(col("pk"))).as("ps"))
@@ -138,12 +140,12 @@ object GraphAlgos {
       val srcId = e.agg(min(col("u"))).head().getLong(0)
       // a handful of fat partitions: each Pregel superstep runs
       // O(partitions) tasks, and at this graph size per-task scheduling
-      // overhead dominates the actual message work (on a cluster, size
-      // partitions to cores as usual)
+      // overhead dominates the actual message work — derived from the
+      // runtime's parallelism, not a box-tuned constant
       val edgeRdd = e.rdd.flatMap { r =>
         val u = r.getLong(0); val v = r.getLong(1)
         Iterator(Edge(u, v, ()), Edge(v, u, ())) // undirected
-      }.coalesce(8)
+      }.coalesce(math.max(2, s.sparkContext.defaultParallelism / 4))
       val g = Graph.fromEdges(edgeRdd, ())
         .mapVertices((id, _) => if (id == srcId) 0L else Long.MaxValue)
       val res = g.pregel(Long.MaxValue, maxIterations = 20)(

@@ -230,7 +230,8 @@ object GraphQueries {
       val edgeRdd = orders(s, d)
         .select(col("o_custkey").cast("long"), col("o_orderkey").cast("long"))
         .rdd.map(r => Edge(r.getLong(0), r.getLong(1) + off, ()))
-        .coalesce(8) // fat partitions: superstep task overhead >> message work here
+        // fat partitions: superstep task overhead >> message work here
+        .coalesce(math.max(2, s.sparkContext.defaultParallelism / 4))
       Graph.fromEdges(edgeRdd, ()).connectedComponents()
         .vertices.map { case (id, comp) => (id, comp) }
         .toDF("id", "component")

@@ -191,8 +191,23 @@ object RelationalQueries {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_jsonl_$key"
       val flat = events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-        flat.write.mode("overwrite").json(dir)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+        // write-to-temp + atomic rename: two concurrent JVMs over the SAME
+        // source version both pass the existence check, but only the
+        // rename winner publishes; the loser discards its staging dir —
+        // nobody ever overwrites a directory another process is reading
+        val staging = java.nio.file.Paths.get(
+          s"$dir.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+        flat.write.mode("overwrite").json(staging.toString)
+        try java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          // lost the race — the published copy is equivalent; clean up
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists)
+        }
+      }
       s.read.schema(flat.schema).json(dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           floor(col("value") * 100).cast("long").as("value_cents"),
@@ -336,7 +351,7 @@ object RelationalQueries {
         .select(col("o_custkey"),
           size(col("keys")).cast("long").as("n_orders"),
           aggregate(col("prices"), lit(0L), (acc, x) => acc + x).as("sum_cents"),
-          size(filter(col("prices"), x => x > 150000000L)).cast("long").as("n_big"),
+          size(filter(col("prices"), x => x > 15000000L)).cast("long").as("n_big"),
           array_join(transform(slice(col("keys"), 1, 3), x => x.cast("string")),
             ",").as("first3_keys"),
           aggregate(zip_with(col("prices"), col("prices"), (a, b) => a * b),
@@ -761,7 +776,7 @@ object RelationalQueries {
            CAST(len(keys) AS BIGINT) AS n_orders,
            list_reduce(list_prepend(CAST(0 AS BIGINT), prices),
              (a, x) -> a + x) AS sum_cents,
-           CAST(len(list_filter(prices, x -> x > 150000000)) AS BIGINT) AS n_big,
+           CAST(len(list_filter(prices, x -> x > 15000000)) AS BIGINT) AS n_big,
            array_to_string(list_transform(keys[1:3], x -> CAST(x AS VARCHAR)),
              ',') AS first3_keys,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
