@@ -20,7 +20,8 @@ object SparkEntry {
     RelationalQueries.queries ++ GraphQueries.queries ++
       GraphAlgos.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries ++ CurationQueries.queries
+      MultimodalQueries.queries ++ CurationQueries.queries ++
+      ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ GraphQueries.oracleSql ++
       GraphAlgos.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ TextQueries.oracleSql ++
-      MultimodalQueries.oracleSql ++ CurationQueries.oracleSql
+      MultimodalQueries.oracleSql ++ CurationQueries.oracleSql ++
+      ScaleOps.oracleSql
 }

@@ -81,6 +81,98 @@ object SketchAggs {
     override def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
   }
 
+  /** Bloom-filter bitset over pre-hashed keys. Input = (h1, h2) — the two
+    * base hashes are computed as codegen'd columns BEFORE the aggregate so
+    * build- and probe-side hashing share one expression; the aggregator
+    * only ORs `k` double-hashed bit positions into a fixed `mBits`-bit
+    * array. Merge is bitwise OR (associative/commutative), so partial
+    * aggregation reduces each map task to one small bitset. At 100 TB the
+    * finished bitset is broadcast (Spark's own AQE runtime bloom filter
+    * caps at 8 MB for the same reason) and prunes the probe side BEFORE
+    * its shuffle — a false positive costs nothing (the exact join behind
+    * it removes it); a false negative is impossible. */
+  final class BloomBits(mBits: Int, k: Int)
+      extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+    override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
+      // pre-reduce mod m before combining, mirroring the probe-side column
+      // expression exactly (m is a power of two, so this equals
+      // floorMod(h1 + i*h2, m) and can never overflow)
+      val h1 = java.lang.Math.floorMod(in._1, mBits.toLong)
+      val h2 = java.lang.Math.floorMod(in._2, mBits.toLong)
+      var i = 0
+      while (i < k) {
+        val idx = java.lang.Math.floorMod(h1 + i.toLong * h2, mBits.toLong).toInt
+        buf(idx >>> 6) |= 1L << (idx & 63)
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** KMV (bottom-k minimum values) distinct-count sketch over 64-bit key
+    * hashes, unsigned order. State = the k smallest DISTINCT hash values
+    * seen (sorted ascending unsigned), so the shuffle carries at most k
+    * longs per group whatever the stream length — the approx-distinct
+    * shape at 100 TB, where exact COUNT(DISTINCT) must shuffle every key.
+    * Estimate: fewer than k distinct hashes -> the exact buffer length;
+    * otherwise (k-1) * 2^64 / u(kth) in exact integer arithmetic — fully
+    * deterministic, so a DuckDB oracle reproduces it to the last digit. */
+  final class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long] {
+    require(k > 1, s"k must be > 1, got $k")
+    private def ult(a: Long, b: Long): Boolean = java.lang.Long.compareUnsigned(a, b) < 0
+
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      // sorted-insert if absent and within the bottom-k (O(k) per row;
+      // k is small and the common case exits on the bounds check)
+      if (buf.length == k && !ult(h, buf(k - 1))) return buf
+      var lo = 0; var hi = buf.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ult(buf(mid), h)) lo = mid + 1 else hi = mid
+      }
+      if (lo < buf.length && buf(lo) == h) return buf // already present
+      val n = math.min(buf.length + 1, k)
+      val out = new Array[Long](n)
+      System.arraycopy(buf, 0, out, 0, lo)
+      out(lo) = h
+      System.arraycopy(buf, lo, out, lo + 1, n - lo - 1)
+      out
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // merge two sorted distinct runs, keep the smallest k
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && ult(a(i), b(j)))
+        val v = if (takeA) { val x = a(i); i += 1; x } else { val x = b(j); j += 1; x }
+        if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+    override def finish(buf: Array[Long]): Long =
+      if (buf.length < k) buf.length.toLong
+      else {
+        val kth = buf(k - 1)
+        if (kth == 0L) (k - 1).toLong
+        else java.math.BigInteger.valueOf(k - 1L).shiftLeft(64)
+          .divide(new java.math.BigInteger(java.lang.Long.toUnsignedString(kth)))
+          .longValueExact()
+      }
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
+  }
+
   /** Count-min sketch over a gram stream: d rows x w counters (w a power
     * of two), row r's hash = FNV-1a 64 of the salted gram ('a'+r prefix)
     * — the engine's reproducible fingerprint primitive, which is what

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Exprs
+import graft.Tables._
+import graft.functions.{Fnv64, SketchAggs}
+
+/** Operators whose whole point is the 100 TB execution SHAPE — each one is
+  * the standard large-cluster trick for a cost that only bites at scale,
+  * implemented with codegen'd built-ins and value-gated by a DuckDB oracle
+  * (every output here is a deterministic integer function of the data, so
+  * nothing is "rows-only").
+  *
+  * - `join_bloom_prefilter`: runtime Bloom pruning of a shuffle join's
+  *   probe side (what Spark's AQE `runtime.bloomFilter` does internally,
+  *   made explicit and deterministic).
+  * - `distinct_kmv`: bottom-k (KMV) approximate COUNT(DISTINCT) — fixed
+  *   k longs of state per group instead of shuffling every key.
+  * - `layout_zorder`: Z-order (Morton) clustering + the file-level min/max
+  *   pruning statistics that justify it — the data-layout story behind
+  *   multi-dimensional predicate pushdown on parquet.
+  */
+object ScaleOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def fnv(c: Column): Column = Exprs.toColumn(Fnv64(Exprs.toExpr(c)))
+
+  // ---------------------------------------------------------------- bloom
+
+  /** Bloom geometry: 2^14 bits (2 KB) / 3 probes for ~20 keys here; at
+    * scale m is sized to the build-side key count (~10 bits/key for 1% FP)
+    * and the bitset stays broadcast-sized (Spark's own runtime filter caps
+    * it at 8 MB). */
+  private val BLOOM_BITS = 1 << 14
+  private val BLOOM_K = 3
+
+  /** Double-hash base pair; build and probe sides MUST share these exact
+    * column expressions (xxhash64 seeds differ per column list). */
+  private def h12(key: Column): (Column, Column) =
+    (xxhash64(key), xxhash64(key, lit(1)))
+
+  /** Membership test as pure codegen'd built-ins over the literal bitset:
+    * bit i of word w via element_at + precomputed single-bit masks (no
+    * dynamic shift needed — shiftleft/shiftright take static amounts). */
+  private def bloomContains(key: Column, bits: Array[Long]): Column = {
+    val bitsLit = typedlit(bits)
+    val masks = typedlit((0 until 64).map(i => 1L << i).toArray)
+    val (h1r, h2r) = h12(key)
+    // reduce mod m BEFORE combining: i * (h2 mod m) stays tiny, so the sum
+    // can't overflow (ANSI mode makes wrapping arithmetic an error); since
+    // m is a power of two this equals floorMod(h1 + i*h2, m) exactly
+    val h1 = pmod(h1r, lit(BLOOM_BITS.toLong))
+    val h2 = pmod(h2r, lit(BLOOM_BITS.toLong))
+    (0 until BLOOM_K).map { i =>
+      val idx = pmod(h1 + lit(i.toLong) * h2, lit(BLOOM_BITS.toLong))
+      element_at(bitsLit, shiftright(idx, 6).cast("int") + 1)
+        .bitwiseAND(element_at(masks, pmod(idx, lit(64L)).cast("int") + 1)) =!= 0
+    }.reduce(_ && _)
+  }
+
+  // --------------------------------------------------------------- zorder
+
+  /** Spread the low 16 bits of `c` to even positions (Morton magic masks);
+    * identical BIGINT arithmetic exists in DuckDB for the oracle. */
+  private def spread16(c: Column): Column = {
+    val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (e.bitwiseOR(shiftleft(e, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit keys. */
+  private def zval(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  val queries: Map[String, Q] = Map(
+    // -- runtime Bloom prefilter on a semi join: build side aggregates to a
+    //    2 KB bitset (map-side partial ORs), one driver scalar collect
+    //    (same shape as AQE's runtime filter / a broadcast build), probe
+    //    side filters IN THE SCAN STAGE before any exchange, then the
+    //    exact semi join removes the false positives — output provably
+    //    equals the plain semi join, which is the oracle.
+    "join_bloom_prefilter" -> ((s, d) => {
+      import s.implicits._
+      val segKeys = supplier(s, d).filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey").cast("long").as("sk"))
+      val (bh1, bh2) = h12(col("sk"))
+      val bits = segKeys.select(bh1.as("h1"), bh2.as("h2")).as[(Long, Long)]
+        .select(new SketchAggs.BloomBits(BLOOM_BITS, BLOOM_K).toColumn).head()
+      lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("sk"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .as("net_c4"))
+        .filter(bloomContains(col("sk"), bits))
+        .join(segKeys, Seq("sk"), "left_semi")
+        .groupBy(col("sk"))
+        .agg(count(lit(1)).as("n_items"), sum(col("net_c4")).as("revenue_c4"))
+        .orderBy("sk")
+    }),
+
+    // -- KMV approximate distinct per group: the aggregator state is at
+    //    most k=64 longs however many rows a group has; estimate and the
+    //    x1e4 error column are exact integer arithmetic the oracle
+    //    recomputes from the same fnv64 hashes.
+    "distinct_kmv" -> ((s, d) => {
+      val k = 64
+      val kmv = udaf(new SketchAggs.KmvDistinct(k))
+      val keyed = events(s, d).select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("key"))
+      keyed.select(col("event_type"), col("key"), fnv(col("key")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("key")).as("n_exact"), kmv(col("h")).as("est_kmv"))
+        .select(col("event_type"), col("n_exact"), col("est_kmv"),
+          floor(abs(col("est_kmv") - col("n_exact")) * 10000 / col("n_exact"))
+            .as("err_x1e4"))
+        .orderBy("event_type")
+    }),
+
+    // -- Z-order layout: assign each row a Morton code over
+    //    (l_partkey, l_suppkey), lay rows out in 1000-row "files" in
+    //    z order, and report per-file bounding boxes + whether the file
+    //    survives min/max pruning for a 2-D query box. The global sort is
+    //    the layout operation itself (at scale: repartitionByRange(zval) +
+    //    sortWithinPartitions before the parquet write); the point the
+    //    numbers make is that z-clustered files have TIGHT boxes in BOTH
+    //    dimensions, so a 2-D predicate prunes most files — a single-key
+    //    sort gives tight boxes in one dimension only (asserted in the
+    //    spec by comparing overlap counts).
+    "layout_zorder" -> ((s, d) => {
+      import s.implicits._
+      val rows = lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("long").as("p"), col("l_suppkey").cast("long").as("sk"))
+        .withColumn("z", zval(col("p"), col("sk")))
+      // dense global rank via sort + zipWithIndex (range shuffle + local
+      // sort — same pattern as bv_subgraph's renumbering); a row_number
+      // window with no partition key would single-partition the sort.
+      // Tie-break columns make the layout a deterministic total order.
+      rows.orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+        .select(col("p"), col("sk")).rdd.map(r => (r.getLong(0), r.getLong(1)))
+        .zipWithIndex()
+        .map { case ((p, sk), rank) => (p, sk, rank / 1000) }
+        .toDF("p", "sk", "file_id")
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("p")).as("min_p"), max(col("p")).as("max_p"),
+          min(col("sk")).as("min_s"), max(col("sk")).as("max_s"))
+        .withColumn("overlaps_box",
+          (col("min_p") <= 511 && col("max_p") >= 256 &&
+            col("min_s") <= 47 && col("max_s") >= 32).cast("int"))
+        .orderBy("file_id")
+    }))
+
+  private val FNV_SQL_KEY =
+    """list_reduce(
+         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+           list_transform(range(1, len(key)+1),
+             i -> CAST(ord(substr(key, i, 1)) AS HUGEINT))),
+         (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "join_bloom_prefilter" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS sk, COUNT(*) AS n_items,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
+         FROM lineitem
+         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+         GROUP BY 1 ORDER BY 1""",
+
+    "distinct_kmv" ->
+      s"""WITH keys AS (
+            SELECT event_type,
+                   CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS key
+            FROM events),
+          h AS (SELECT DISTINCT event_type, $FNV_SQL_KEY AS u FROM keys),
+          r AS (SELECT event_type, u,
+                       row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+                FROM h),
+          sk AS (SELECT event_type, count(*) AS cnt,
+                        max(CASE WHEN rn = 64 THEN u END) AS uk
+                 FROM r GROUP BY 1),
+          ex AS (SELECT event_type, count(DISTINCT key) AS n_exact FROM keys GROUP BY 1)
+          SELECT ex.event_type, ex.n_exact,
+            CAST(CASE WHEN sk.cnt < 64 THEN sk.cnt
+                      WHEN sk.uk = 0 THEN 63
+                      ELSE (CAST(63 AS HUGEINT) * 18446744073709551616) // sk.uk
+                 END AS BIGINT) AS est_kmv,
+            CAST((abs(CAST(CASE WHEN sk.cnt < 64 THEN sk.cnt
+                      WHEN sk.uk = 0 THEN 63
+                      ELSE (CAST(63 AS HUGEINT) * 18446744073709551616) // sk.uk
+                 END AS BIGINT) - ex.n_exact) * 10000) // ex.n_exact AS BIGINT) AS err_x1e4
+          FROM ex JOIN sk USING (event_type) ORDER BY event_type""",
+
+    "layout_zorder" ->
+      """WITH b AS (
+           SELECT l_orderkey, l_linenumber,
+                  CAST(l_partkey AS BIGINT) AS p, CAST(l_suppkey AS BIGINT) AS sk
+           FROM lineitem),
+         s1 AS (SELECT *, (p | (p << 8)) & 16711935 AS pa, (sk | (sk << 8)) & 16711935 AS sa FROM b),
+         s2 AS (SELECT *, (pa | (pa << 4)) & 252645135 AS pb, (sa | (sa << 4)) & 252645135 AS sb FROM s1),
+         s3 AS (SELECT *, (pb | (pb << 2)) & 858993459 AS pc, (sb | (sb << 2)) & 858993459 AS sc FROM s2),
+         s4 AS (SELECT *, (pc | (pc << 1)) & 1431655765 AS pd, (sc | (sc << 1)) & 1431655765 AS sd FROM s3),
+         z AS (SELECT l_orderkey, l_linenumber, p, sk, pd | (sd << 1) AS z FROM s4),
+         f AS (SELECT p, sk,
+                      CAST(FLOOR((row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) - 1) / 1000) AS BIGINT) AS file_id
+               FROM z)
+         SELECT file_id, COUNT(*) AS n_rows,
+                MIN(p) AS min_p, MAX(p) AS max_p,
+                MIN(sk) AS min_s, MAX(sk) AS max_s,
+                CAST(MIN(p) <= 511 AND MAX(p) >= 256 AND MIN(sk) <= 47 AND MAX(sk) >= 32 AS INTEGER) AS overlaps_box
+         FROM f GROUP BY 1 ORDER BY 1""")
+}
