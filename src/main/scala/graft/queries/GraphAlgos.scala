@@ -156,6 +156,41 @@ object GraphAlgos {
       res.vertices.filter(_._2 != Long.MaxValue)
         .map { case (id, dist) => (id, dist) }.toDF("id", "dist")
         .orderBy("id")
+    }),
+
+    // -- k-core decomposition (k=80) by FIXED-round peeling: each of the
+    //    6 rounds drops nodes whose degree within the surviving set is
+    //    below k (cascade measured here: 2000 -> 1903 -> ... -> 1857,
+    //    converged by round 5). A fixed round count instead of
+    //    loop-until-stable keeps the output a deterministic function of
+    //    the data that the oracle replays with 6 chained MATERIALIZED
+    //    CTEs — and if not yet converged, both engines agree anyway.
+    //    Scale shape: the edge table partitions once and each round is
+    //    two key-partitioned semi-join-shaped hash joins + a partial
+    //    count agg; the alive set only shrinks, so late rounds broadcast.
+    "graph_kcore" -> ((s, d) => {
+      val k = 80
+      val rounds = 6
+      val e = coPurchaseEdges(s, d)
+      val und = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
+      var alive = und.select(col("u").as("id")).distinct()
+      for (_ <- 1 to rounds) {
+        // persist each round: the next round references `alive` twice
+        // (once per endpoint) — without the cache the lineage would
+        // double per round into a 2^rounds-leaf plan
+        alive = und
+          .join(alive.select(col("id").as("u")), "u")
+          .join(alive.select(col("id").as("v")), "v")
+          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("u").as("id"))
+          .persist()
+      }
+      und.join(alive.select(col("id").as("u")), "u")
+        .join(alive.select(col("id").as("v")), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+        .select(col("u").cast("long").as("node"), col("core_deg"))
+        .orderBy("node")
     }))
 
   /** Shared DuckDB CTE for the co-purchase edge set (u < v, distinct). */
@@ -193,5 +228,24 @@ object GraphAlgos {
            WHERE walk.dist < 20
          )
          SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
-         FROM walk GROUP BY id ORDER BY id""")
+         FROM walk GROUP BY id ORDER BY id""",
+    "graph_kcore" -> {
+      // 6 chained peel rounds; MATERIALIZED is load-bearing — each round
+      // references the previous twice, and inlined CTEs would expand the
+      // chain into 2^6 copies of the edge build
+      val peels = (1 to 6).map { r =>
+        s"""a$r AS MATERIALIZED (SELECT und.u AS id FROM und
+             JOIN a${r - 1} x ON und.u = x.id
+             JOIN a${r - 1} y ON und.v = y.id
+             GROUP BY und.u HAVING COUNT(*) >= 80)"""
+      }.mkString(",\n         ")
+      s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
+         und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
+         $peels
+         SELECT und.u AS node, COUNT(*) AS core_deg FROM und
+           JOIN a6 x ON und.u = x.id
+           JOIN a6 y ON und.v = y.id
+         GROUP BY und.u ORDER BY node"""
+    })
 }

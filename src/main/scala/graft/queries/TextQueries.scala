@@ -142,6 +142,34 @@ object TextQueries {
         .orderBy(col("exact_n").desc, col("gram"))
     }),
 
+    // -- TF-IDF top-3 terms per document with an integer-rational idf:
+    //    idf_x1e6 = floor(N * 1e6 / df). No transcendental log appears —
+    //    libm's ln is not correctly-rounded and differs between the JVM
+    //    and DuckDB in the last ulp, so a log-based score could not be
+    //    hash-compared; the rational idf preserves the ranking semantics
+    //    (monotone decreasing in df) with exact integer arithmetic.
+    //    Scale shape: tf is one partial+final count agg over (doc, term);
+    //    df aggregates the tf table (vocabulary-sized, far smaller than
+    //    the token stream); the tf⋈df join shuffles on term; the top-3
+    //    rank is a window PARTITIONED BY doc — no global sort anywhere.
+    "text_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "t")
+        .withColumn("score", col("tf") * floor(lit(n * 1000000L) / col("df")))
+      val rnk = row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("t")))
+      scored.withColumn("rnk", rnk).filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("t").as("term"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       def fnv(c: Column): Column = Exprs.toColumn(Fnv64(Exprs.toExpr(c)))
       documents(s, d)
@@ -154,6 +182,21 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok WHERE t <> '' GROUP BY 1, 2),
+         df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id, tf.t, tf.tf, df.df,
+                  tf.tf * CAST(FLOOR((SELECT COUNT(*) FROM documents) * 1000000 / df.df) AS BIGINT) AS score
+                FROM tf JOIN df USING (t)),
+         r AS (SELECT doc_id, t AS term, tf, df, score,
+                  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS BIGINT) AS rnk
+               FROM sc)
+         SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
