@@ -15,8 +15,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every entry is wrapped with a [[Caches.sweep]]: building query N+1
+    * releases whatever query N pinned (persisted intermediates, GraphX
+    * graphs), so the surface is self-cleaning — no consumer of this map
+    * can accumulate cached storage across queries, which is what poisoned
+    * the round-3 bench (10 unchanged queries regressed 3–66x under leaked
+    * caches). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> { (s: SparkSession, d: String) =>
+        Caches.sweep(s)
+        fn(s, d)
+      }
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++
       GraphAlgos.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++

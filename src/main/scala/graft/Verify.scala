@@ -31,6 +31,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // 81 queries share this session: release each one's caches so the
+      // dump never degrades into the leaked-cache regime Bench guards
+      Caches.hardSweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -185,12 +185,23 @@ final class BitInput(bytes: SeekableBytes, bufferSize: Int = 1 << 16) {
     readUnary() * b + readMinimalBinary(b)
   }
 
+  def readLongGolomb(b: Int): Long = {
+    if (b == 0) return 0L
+    readUnary().toLong * b + readMinimalBinary(b)
+  }
+
   /** Skewed Golomb: doubling windows [ (2^i - 1)b, (2^(i+1) - 1)b ) —
     * window index unary, position-in-window minimal binary. */
   def readSkewedGolomb(b: Int): Int = {
     val big = ((1 << (readUnary() + 1)) - 1) * b
     val m = (big / (2 * b)) * b
     m + readMinimalBinary(big - m)
+  }
+
+  def readLongSkewedGolomb(b: Int): Long = {
+    val big = ((1L << (readUnary() + 1)) - 1L) * b
+    val m = (big / (2L * b)) * b
+    m + readMinimalBinary((big - m).toInt)
   }
 
   /** Variable-length nibble code: groups of 1 stop bit (1 = last) + 3 data
@@ -286,19 +297,27 @@ final class BitOutput(out: java.io.OutputStream) {
     }
   }
 
-  def writeGolomb(x: Int, b: Int): Unit = {
+  def writeGolomb(x: Int, b: Int): Unit = writeGolomb(x.toLong, b)
+
+  def writeGolomb(x: Long, b: Int): Unit = {
     require(b > 0 && x >= 0)
-    writeUnary(x / b)
-    writeMinimalBinary(x % b, b)
+    val q = x / b
+    require(q <= Int.MaxValue, s"golomb quotient $q overflows the unary run")
+    writeUnary(q.toInt)
+    writeMinimalBinary((x % b).toInt, b)
   }
 
-  def writeSkewedGolomb(x: Int, b: Int): Unit = {
+  def writeSkewedGolomb(x: Int, b: Int): Unit = writeSkewedGolomb(x.toLong, b)
+
+  def writeSkewedGolomb(x: Long, b: Int): Unit = {
     require(b > 0 && x >= 0)
-    val i = 31 - Integer.numberOfLeadingZeros(x / b + 1)
+    val i = 63 - java.lang.Long.numberOfLeadingZeros(x / b + 1)
     writeUnary(i)
-    val big = ((1 << (i + 1)) - 1) * b
-    val m = (big / (2 * b)) * b
-    writeMinimalBinary(x - m, big - m)
+    val big = ((1L << (i + 1)) - 1L) * b
+    val m = (big / (2L * b)) * b
+    require(big - m <= Int.MaxValue,
+      s"skewed-golomb window ${big - m} overflows minimal binary")
+    writeMinimalBinary((x - m).toInt, (big - m).toInt)
   }
 
   def writeNibble(n: Long): Unit = {

@@ -22,12 +22,16 @@ final class BvEncoder(props: BvProperties) {
   private val zetaK = props.zetaK
   private val codings = props.codings
 
+  private val golombB = props.golombModulus
+
   private def writeCoded(out: BitOutput, coding: Int, v: Long): Unit = coding match {
     case Coding.GAMMA => out.writeGamma(v)
     case Coding.DELTA => out.writeDelta(v)
     case Coding.ZETA => out.writeZeta(v, zetaK)
     case Coding.UNARY => out.writeUnary(v.toInt)
     case Coding.NIBBLE => out.writeNibble(v)
+    case Coding.GOLOMB => out.writeGolomb(v, golombB)
+    case Coding.SKEWED_GOLOMB => out.writeSkewedGolomb(v, golombB)
     case c => throw new IllegalStateException(s"coding $c unsupported")
   }
 

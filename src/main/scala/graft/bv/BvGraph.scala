@@ -54,12 +54,16 @@ final class BvGraph(
       "graph opened without an offsets index (sequential-only mode — " +
         "regenerate the index with BvOffsets.regenerate)")
 
+  private val golombB = props.golombModulus
+
   private def readCoded(in: BitInput, coding: Int): Int = coding match {
     case Coding.GAMMA => in.readGamma()
     case Coding.DELTA => in.readDelta()
     case Coding.ZETA => in.readZeta(zetaK)
     case Coding.UNARY => in.readUnary()
     case Coding.NIBBLE => in.readNibble()
+    case Coding.GOLOMB => in.readGolomb(golombB)
+    case Coding.SKEWED_GOLOMB => in.readSkewedGolomb(golombB)
     case c => throw new IllegalStateException(s"coding $c unsupported")
   }
 
@@ -69,6 +73,8 @@ final class BvGraph(
     case Coding.ZETA => in.readLongZeta(zetaK)
     case Coding.UNARY => in.readUnary().toLong
     case Coding.NIBBLE => in.readLongNibble()
+    case Coding.GOLOMB => in.readLongGolomb(golombB)
+    case Coding.SKEWED_GOLOMB => in.readLongSkewedGolomb(golombB)
     case c => throw new IllegalStateException(s"coding $c unsupported")
   }
 
@@ -327,6 +333,8 @@ object BvGraph {
         case Coding.ZETA => in.readLongZeta(props.zetaK)
         case Coding.UNARY => in.readUnary().toLong
         case Coding.NIBBLE => in.readLongNibble()
+        case Coding.GOLOMB => in.readLongGolomb(props.golombModulus)
+        case Coding.SKEWED_GOLOMB => in.readLongSkewedGolomb(props.golombModulus)
         case c => throw new IllegalStateException(s"offset coding $c unsupported")
       }
       off += gap

@@ -30,6 +30,9 @@ object BvOffsets {
         case Coding.ZETA => out.writeZeta(gap, props.zetaK)
         case Coding.UNARY => out.writeUnary(gap.toInt)
         case Coding.NIBBLE => out.writeNibble(gap)
+        case Coding.GOLOMB => out.writeGolomb(gap, props.golombModulus)
+        case Coding.SKEWED_GOLOMB =>
+          out.writeSkewedGolomb(gap, props.golombModulus)
         case c => throw new IllegalStateException(s"offset coding $c unsupported")
       }
       prev = o

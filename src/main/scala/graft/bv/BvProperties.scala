@@ -4,12 +4,13 @@ package graft.bv
   * constants and `compressionflags` 4-bit fields
   * (/root/reference/.../patched/HdfsBVGraph.java:307-340). Upstream values:
   * GAMMA=1 DELTA=2 GOLOMB=3 SKEWED_GOLOMB=4 ARITH=5 INTERP=6 UNARY=7 ZETA=8
-  * NIBBLE=9. GAMMA/DELTA/UNARY/ZETA/NIBBLE decode and encode end-to-end;
-  * GOLOMB/SKEWED_GOLOMB exist as codec primitives ([[BitInput.readGolomb]]
-  * etc.) but are rejected as STREAM codings because BVGraph properties
-  * carry no modulus parameter — the same restriction upstream BVGraph's
-  * read paths enforce (its readOutdegree/readResidual switches throw
-  * UnsupportedOperationException for them). ARITH/INTERP are likewise
+  * NIBBLE=9. GAMMA/DELTA/UNARY/ZETA/NIBBLE/GOLOMB/SKEWED_GOLOMB decode and
+  * encode end-to-end. The Golomb family needs a modulus; it travels in the
+  * `.properties` sidecar as `golombmodulus` — a codec parameter exactly
+  * like `zetak` — so Golomb streams stay self-describing for both the
+  * encoder and the decoder (the reference resolves these flag names via
+  * reflection at patched/HdfsBVGraph.java:325-340 and dispatches residual
+  * reads on the resolved coding at :453-489). ARITH/INTERP are
   * parse-accepted upstream but undecodable; we reject them with a clear
   * error at flag-parse time.
   */
@@ -39,9 +40,8 @@ object Coding {
     case "UNARY" => UNARY
     case "ZETA" => ZETA
     case "NIBBLE" => NIBBLE
-    case "GOLOMB" | "SKEWED_GOLOMB" => throw new IllegalArgumentException(
-      s"Coding $s carries a modulus parameter BVGraph properties cannot " +
-        "express; unsupported as a stream coding (matches upstream BVGraph)")
+    case "GOLOMB" => GOLOMB
+    case "SKEWED_GOLOMB" => SKEWED_GOLOMB
     case other => throw new IllegalArgumentException(
       s"Compression flag coding $other unsupported")
   }
@@ -122,7 +122,13 @@ final case class BvProperties(
     zetaK: Int = 3,
     codings: StreamCodings = StreamCodings(),
     version: Int = 0,
-    graphClass: String = "it.unimi.dsi.webgraph.BVGraph") {
+    graphClass: String = "it.unimi.dsi.webgraph.BVGraph",
+    golombModulus: Int = BvProperties.DEFAULT_GOLOMB_MODULUS) {
+
+  private def usesGolomb: Boolean =
+    Seq(codings.outdegree, codings.block, codings.residual,
+      codings.reference, codings.blockCount, codings.offset)
+      .exists(c => c == Coding.GOLOMB || c == Coding.SKEWED_GOLOMB)
 
   def render: String = {
     val sb = new StringBuilder
@@ -135,6 +141,12 @@ final case class BvProperties(
     sb.append(s"maxrefcount=$maxRefCount\n")
     sb.append(s"minintervallength=$minIntervalLength\n")
     sb.append(s"zetak=$zetaK\n")
+    // Golomb-family streams need a modulus; it travels in the sidecar like
+    // `zetak` does (emitted only when used, so default-coded graphs render
+    // byte-identically to upstream's). Pick ≈ ln(2) · mean-gap — the
+    // optimal Golomb modulus for geometric gaps (Golomb 1966;
+    // Witten–Moffat–Bell, "Managing Gigabytes" §3.3).
+    if (usesGolomb) sb.append(s"golombmodulus=$golombModulus\n")
     sb.append(s"compressionflags=${codings.toFlagString}\n")
     sb.toString
   }
@@ -142,6 +154,10 @@ final case class BvProperties(
 
 object BvProperties {
   val BVGRAPH_VERSION = 0
+
+  /** Fallback modulus when a Golomb-coded graph's sidecar omits
+    * `golombmodulus` (encoders we write always emit it). */
+  val DEFAULT_GOLOMB_MODULUS = 8
 
   def parse(text: String): BvProperties = {
     val props = new java.util.Properties()
@@ -171,6 +187,8 @@ object BvProperties {
       zetaK = Option(props.getProperty("zetak")).map(_.toInt).getOrElse(3),
       codings = StreamCodings.fromFlagString(props.getProperty("compressionflags")),
       version = version,
-      graphClass = graphClass)
+      graphClass = graphClass,
+      golombModulus = Option(props.getProperty("golombmodulus")).map(_.toInt)
+        .getOrElse(DEFAULT_GOLOMB_MODULUS))
   }
 }

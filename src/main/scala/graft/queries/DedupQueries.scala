@@ -111,37 +111,41 @@ object DedupQueries {
     * pipeline is the most expensive dedup stage — in a production
     * pipeline this IS the checkpointed pair table every downstream step
     * reads. The key carries the source parquet's (mtime, size), so a
-    * regenerated corpus invalidates the memo (stale entries and entries
-    * of stopped sessions are unpersisted and dropped on the next miss). */
+    * regenerated corpus invalidates the memo. The memo is BOUNDED (LRU,
+    * [[DfMemo]]): a long session over many corpus dirs caps its pinned
+    * pair tables instead of accumulating them. The pair table is
+    * materialized EAGERLY inside the build so the shingle-set scratch
+    * cache can be released immediately — the memo never holds a live
+    * reference to the build's intermediates. */
   def minhashDupPairs(s: SparkSession, d: String): DataFrame = {
     val src = java.nio.file.Paths.get(d, "documents.parquet")
     val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
       s"_${java.nio.file.Files.size(src)}"
-    pairsCache.getOrElseUpdate((s, d, stamp), {
-      // evict superseded versions of this dir and dead sessions' entries
-      pairsCache.keys
-        .filter(k => (k._1 == s && k._2 == d && k._3 != stamp) ||
-          k._1.sparkContext.isStopped)
-        .foreach(k => pairsCache.remove(k).foreach(df =>
-          try df.unpersist(false) catch { case _: Exception => }))
-      minhashDupPairsUncached(s, d).persist()
-    })
+    // evict superseded versions of this dir and dead sessions' entries
+    pairsCache.keys
+      .filter(k => (k._1 == s && k._2 == d && k._3 != stamp) ||
+        k._1.sparkContext.isStopped)
+      .foreach(pairsCache.invalidate)
+    pairsCache.getOrElseUpdate((s, d, stamp)) {
+      val sets = shingleSets(s, d).persist()
+      try {
+        val out = minhashDupPairsUncached(s, sets).persist()
+        out.count() // materialize the memo so `sets` can be released now
+        out
+      } finally sets.unpersist(blocking = false)
+    }
   }
 
   /** Audit/bench hook: drop all memoized pair tables so the next call
     * rebuilds (and re-plans) from scratch. */
-  private[graft] def clearPairsCache(): Unit = {
-    pairsCache.keys.foreach(k => pairsCache.remove(k).foreach(df =>
-      try df.unpersist(false) catch { case _: Exception => }))
-  }
+  private[graft] def clearPairsCache(): Unit = pairsCache.clear()
 
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    new DfMemo[(SparkSession, String, String)](cap = 4)
 
-  private def minhashDupPairsUncached(s: SparkSession, d: String): DataFrame = {
+  private def minhashDupPairsUncached(s: SparkSession, sets: DataFrame): DataFrame = {
     import s.implicits._
     val k = 128; val bands = 32; val rows = 4
-    val sets = shingleSets(s, d).persist()
     val feats = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
       .select(col("doc_id"), xxhash64(col("sng")).as("h"))
       .as[(Long, Long)]
@@ -186,14 +190,14 @@ object DedupQueries {
       // verify arms); persist so tokenization runs once — the 100 TB
       // equivalent is checkpointing the shingle table to parquet once and
       // reusing it across the pipeline
-      val sets = shingleSets(s, d).persist()
+      val sets = graft.Caches.pin(shingleSets(s, d))
       val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
       // 64-bit hashed shingle ids for the index join/agg keys (fixed-width
       // keys shuffle and hash-join far faster than ~30 B strings); exact
       // verification below still compares true shingle sets.
-      val ex = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
-        .select(col("doc_id"), xxhash64(col("sng")).as("sng"))
-        .persist()
+      val ex = graft.Caches.pin(
+        sets.select(col("doc_id"), explode(col("sh")).as("sng"))
+          .select(col("doc_id"), xxhash64(col("sng")).as("sng")))
       val rare = ex.groupBy("sng").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("sng")
       val posting = ex.join(rare, "sng")
@@ -252,8 +256,18 @@ object DedupQueries {
         (nPairs / 10000L).toInt))
       val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
         .coalesce(parts)
-      val cc = Graph.fromEdges(edgeRdd, ()).connectedComponents()
-        .vertices.map { case (id, comp) => (id, comp) }.toDF("doc_id", "comp")
+      val g = Graph.fromEdges(edgeRdd, ())
+      val ccG = g.connectedComponents()
+      // GraphX caches both the input graph and the CC result; release them
+      // with the query's pins once the result has been consumed
+      graft.Caches.defer(s) {
+        ccG.unpersistVertices(blocking = false)
+        ccG.edges.unpersist(blocking = false)
+        g.unpersistVertices(blocking = false)
+        g.edges.unpersist(blocking = false)
+      }
+      val cc = ccG.vertices.map { case (id, comp) => (id, comp) }
+        .toDF("doc_id", "comp")
       documents(s, d).select(col("doc_id"))
         .join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -300,7 +314,8 @@ object DedupQueries {
         explode(transform(
           sequence(lit(0), floor((size(col("w")) + C - 1) / C).cast("int") - 1),
           i => xxhash64(array_join(slice(col("w"), i * C + 1, lit(C)), " "))))
-          .as("chunk")).persist()
+          .as("chunk"))
+      graft.Caches.pin(chunks)
       val df = chunks.groupBy("chunk")
         .agg(countDistinct(col("doc_id")).as("ndocs"))
       chunks.join(df, "chunk")
@@ -387,9 +402,9 @@ object DedupQueries {
       // both verify arms); persist so the union + norms + 64 SRP dot
       // products run once — at 100 TB this is the checkpointed signature
       // table every LSH dedup pipeline materializes anyway
-      val corpus = SimilarityQueries.withNorm(base.unionByName(planted))
-        .withColumn("bands", SimilarityQueries.srpBands(col("v"), 8, 8))
-        .persist()
+      val corpus = graft.Caches.pin(
+        SimilarityQueries.withNorm(base.unionByName(planted))
+          .withColumn("bands", SimilarityQueries.srpBands(col("v"), 8, 8)))
       val sig = corpus.select(col("vec_id"), posexplode(col("bands")))
         .select(col("vec_id"), col("pos").as("band"), col("col").as("bkt"))
       val cand = sig.select(col("band"), col("bkt"), col("vec_id").as("ida"))

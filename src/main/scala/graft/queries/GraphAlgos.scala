@@ -60,11 +60,13 @@ object GraphAlgos {
     //    is the same IEEE-754 double op sequence in both engines; the
     //    surfaced value is floor(pr·1e9).
     "graph_pagerank" -> ((s, d) => {
-      val e = orders(s, d).select(col("o_custkey").cast("long").as("src"),
-        (col("o_orderkey").cast("long") + OFF).as("dst")).persist()
-      val nodes = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct().persist()
-      val outdeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).persist()
+      val e = graft.Caches.pin(orders(s, d)
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("o_orderkey").cast("long") + OFF).as("dst")))
+      val nodes = graft.Caches.pin(e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
+      val outdeg = graft.Caches.pin(
+        e.groupBy("src").agg(count(lit(1)).as("odeg")))
       var pr = nodes.select(col("id"), lit(1.0).as("pr"))
       for (_ <- 1 to 3) {
         val contribs = e.join(pr.withColumnRenamed("id", "src"), "src")
@@ -92,7 +94,7 @@ object GraphAlgos {
     //    orientation-invariant, so the oracle may use the simpler id
     //    orientation; the engine runs the skew-safe degree orientation.
     "graph_triangles" -> ((s, d) => {
-      val e = coPurchaseEdges(s, d).persist()
+      val e = graft.Caches.pin(coPurchaseEdges(s, d))
       // deg (one row per node) and adj (one adjacency array per node) are
       // n-sized, m-free relations — broadcast them so the m-sized edge
       // table never re-shuffles (3 shuffles total: distinct, deg, adj).
@@ -100,7 +102,7 @@ object GraphAlgos {
       // co-partitioned shuffle joins on the node key.
       val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("dg"))
-      val dir = e
+      val dir = graft.Caches.pin(e
         .join(broadcast(deg.select(col("x").as("u"), col("dg").as("du"))), "u")
         .join(broadcast(deg.select(col("x").as("v"), col("dg").as("dv"))), "v")
         .select(
@@ -108,9 +110,9 @@ object GraphAlgos {
             (col("du") === col("dv") && col("u") < col("v")),
             struct(col("u").as("s"), col("v").as("t")))
             .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-        .select(col("e.s").as("s"), col("e.t").as("t")).persist()
-      val adj = dir.groupBy(col("s"))
-        .agg(sort_array(collect_list(col("t"))).as("nbrs")).persist()
+        .select(col("e.s").as("s"), col("e.t").as("t")))
+      val adj = graft.Caches.pin(dir.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("t"))).as("nbrs")))
       val closed = dir
         .join(broadcast(adj.select(col("s"), col("nbrs").as("na"))), Seq("s"))
         .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nb"))),
@@ -136,7 +138,7 @@ object GraphAlgos {
     "graph_bfs" -> ((s, d) => {
       import org.apache.spark.graphx._
       import s.implicits._
-      val e = coPurchaseEdges(s, d).persist()
+      val e = graft.Caches.pin(coPurchaseEdges(s, d))
       val srcId = e.agg(min(col("u"))).head().getLong(0)
       // a handful of fat partitions: each Pregel superstep runs
       // O(partitions) tasks, and at this graph size per-task scheduling
@@ -146,48 +148,73 @@ object GraphAlgos {
         val u = r.getLong(0); val v = r.getLong(1)
         Iterator(Edge(u, v, ()), Edge(v, u, ())) // undirected
       }.coalesce(math.max(2, s.sparkContext.defaultParallelism / 4))
-      val g = Graph.fromEdges(edgeRdd, ())
-        .mapVertices((id, _) => if (id == srcId) 0L else Long.MaxValue)
+      val g0 = Graph.fromEdges(edgeRdd, ())
+      val g = g0.mapVertices((id, _) => if (id == srcId) 0L else Long.MaxValue)
       val res = g.pregel(Long.MaxValue, maxIterations = 20)(
         (_, dist, msg) => math.min(dist, msg),
         t => if (t.srcAttr != Long.MaxValue && t.srcAttr + 1L < t.dstAttr)
           Iterator((t.dstId, t.srcAttr + 1L)) else Iterator.empty,
         (a, b) => math.min(a, b))
+      // Pregel unpersists its intermediate generations; the INPUT graph and
+      // the returned one stay cached — release them with the query's pins
+      graft.Caches.defer(s) {
+        res.unpersistVertices(blocking = false)
+        res.edges.unpersist(blocking = false)
+        g0.unpersistVertices(blocking = false)
+        g0.edges.unpersist(blocking = false)
+      }
       res.vertices.filter(_._2 != Long.MaxValue)
         .map { case (id, dist) => (id, dist) }.toDF("id", "dist")
         .orderBy("id")
     }),
 
-    // -- k-core decomposition (k=80) by FIXED-round peeling: each of the
-    //    6 rounds drops nodes whose degree within the surviving set is
-    //    below k (cascade measured here: 2000 -> 1903 -> ... -> 1857,
-    //    converged by round 5). A fixed round count instead of
-    //    loop-until-stable keeps the output a deterministic function of
-    //    the data that the oracle replays with 6 chained MATERIALIZED
-    //    CTEs — and if not yet converged, both engines agree anyway.
-    //    Scale shape: the edge table partitions once and each round is
-    //    two key-partitioned semi-join-shaped hash joins + a partial
-    //    count agg; the alive set only shrinks, so late rounds broadcast.
+    // -- k-core decomposition by FIXED-round peeling: each of the 6 rounds
+    //    drops nodes whose degree within the surviving set is below k. A
+    //    fixed round count instead of loop-until-stable keeps the output a
+    //    deterministic function of the data that the oracle replays with 6
+    //    chained MATERIALIZED CTEs — and if not yet converged, both
+    //    engines agree anyway.
+    //
+    //    k is DERIVED FROM THE DATA, not hardcoded: k = max(1, floor(m/n))
+    //    (m undirected edges, n non-isolated nodes). Every graph's
+    //    degeneracy d satisfies m <= d*n, so d >= ceil(m/n) >= k, the
+    //    d-core is non-empty, and the d-core survives every peel round —
+    //    the result is provably non-empty at EVERY scale factor (the old
+    //    hardcoded k=80 returned an empty core at sf0.001).
+    //
+    //    Scale shape: `und` partitions once (cached); each round is two
+    //    key-partitioned hash joins + a partial count agg, MATERIALIZED
+    //    immediately (count) so its lineage stops at the cached parents,
+    //    and the previous generation is unpersisted before the next round
+    //    — peak storage is und + two node-sized frames, never the
+    //    2^rounds-leaf chained-persist pile-up that cost 1099 s in round 3.
+    //    The alive set only shrinks, so AQE broadcasts late rounds.
     "graph_kcore" -> ((s, d) => {
-      val k = 80
       val rounds = 6
       val e = coPurchaseEdges(s, d)
-      val und = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
-      var alive = und.select(col("u").as("id")).distinct()
+      val und = graft.Caches.pin(
+        e.union(e.select(col("v").as("u"), col("u").as("v"))))
+      val mn = und.agg((count(lit(1)) / 2).cast("long").as("m"),
+        countDistinct(col("u")).as("n")).head()
+      val k = math.max(1L, mn.getLong(0) / mn.getLong(1))
+      var alive = und.select(col("u").as("id")).distinct().persist()
+      alive.count() // materialize before the loop references it twice
       for (_ <- 1 to rounds) {
-        // persist each round: the next round references `alive` twice
-        // (once per endpoint) — without the cache the lineage would
-        // double per round into a 2^rounds-leaf plan
-        alive = und
+        val next = und
           .join(alive.select(col("id").as("u")), "u")
           .join(alive.select(col("id").as("v")), "v")
           .groupBy(col("u")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select(col("u").as("id"))
           .persist()
+        next.count() // cut lineage at the cached und + previous alive
+        alive.unpersist(blocking = false)
+        alive = next
       }
-      und.join(alive.select(col("id").as("u")), "u")
-        .join(alive.select(col("id").as("v")), "v")
+      val fin = alive
+      graft.Caches.defer(s)(fin.unpersist(blocking = false))
+      und.join(fin.select(col("id").as("u")), "u")
+        .join(fin.select(col("id").as("v")), "v")
         .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
         .select(col("u").cast("long").as("node"), col("core_deg"))
         .orderBy("node")
@@ -232,15 +259,18 @@ object GraphAlgos {
     "graph_kcore" -> {
       // 6 chained peel rounds; MATERIALIZED is load-bearing — each round
       // references the previous twice, and inlined CTEs would expand the
-      // chain into 2^6 copies of the edge build
+      // chain into 2^6 copies of the edge build. k replays the engine's
+      // data-derived max(1, floor(m/n)) with exact integer division.
       val peels = (1 to 6).map { r =>
         s"""a$r AS MATERIALIZED (SELECT und.u AS id FROM und
              JOIN a${r - 1} x ON und.u = x.id
              JOIN a${r - 1} y ON und.v = y.id
-             GROUP BY und.u HAVING COUNT(*) >= 80)"""
+             GROUP BY und.u HAVING COUNT(*) >= (SELECT k FROM kk))"""
       }.mkString(",\n         ")
       s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
          und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         kk AS MATERIALIZED (SELECT GREATEST(1, (SELECT COUNT(*) FROM e)
+           // (SELECT COUNT(DISTINCT u) FROM und)) AS k),
          a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
          $peels
          SELECT und.u AS node, COUNT(*) AS core_deg FROM und

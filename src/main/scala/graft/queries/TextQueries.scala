@@ -138,6 +138,9 @@ object TextQueries {
         val est = cms.estimate(sketch, g)
         (g, n, est, est - n)
       }.toSeq
+      // both consumers (sketch + exact top-10) have been collected; the
+      // scratch cache is done
+      grams.unpersist(blocking = false)
       rows.toDF("gram", "exact_n", "cms_n", "over_n")
         .orderBy(col("exact_n").desc, col("gram"))
     }),

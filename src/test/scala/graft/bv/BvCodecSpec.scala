@@ -104,11 +104,36 @@ class BvCodecSpec extends AnyFunSuite {
     assert(bytesOf(_.writeMinimalBinary(0, 5)).sameElements(Array(0x00.toByte)))
   }
 
-  test("golomb-family stream flags rejected with a modulus explanation") {
-    val e = intercept[IllegalArgumentException] {
-      StreamCodings.fromFlagString("RESIDUALS_GOLOMB")
+  test("golomb-family stream flags parse and the modulus round-trips the sidecar") {
+    val c = StreamCodings.fromFlagString("RESIDUALS_GOLOMB|BLOCKS_SKEWED_GOLOMB")
+    assert(c.residual == Coding.GOLOMB && c.block == Coding.SKEWED_GOLOMB)
+    val p = BvProperties(10, 20, codings = c, golombModulus = 13)
+    val parsed = BvProperties.parse(p.render)
+    assert(parsed.golombModulus == 13)
+    assert(parsed.codings == c)
+    // default-coded graphs render without the key (byte-compatible with
+    // upstream sidecars) and parse back to the documented default
+    val plain = BvProperties.parse(BvProperties(10, 20).render)
+    assert(!BvProperties(10, 20).render.contains("golombmodulus"))
+    assert(plain.golombModulus == BvProperties.DEFAULT_GOLOMB_MODULUS)
+  }
+
+  test("long golomb / skewed-golomb round-trip across moduli") {
+    val allVals = Seq(0L, 1L, 2L, 7L, 63L, 64L, 1000L, 123456789L, (1L << 40) + 17)
+    Seq(1, 2, 3, 8, 1024).foreach { b =>
+      // plain Golomb's quotient is unary — keep v/b testable (the skewed
+      // variant's windows double, so it takes every value)
+      val vals = allVals.filter(_ / b <= 200000L)
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new BitOutput(bos)
+      vals.foreach(v => out.writeGolomb(v, b))
+      allVals.foreach(v => out.writeSkewedGolomb(v, b))
+      out.flush()
+      val in = new BitInput(new ArrayBytes(bos.toByteArray))
+      vals.foreach(v => assert(in.readLongGolomb(b) == v, s"golomb b=$b v=$v"))
+      allVals.foreach(v =>
+        assert(in.readLongSkewedGolomb(b) == v, s"skewed b=$b v=$v"))
     }
-    assert(e.getMessage.contains("modulus"))
   }
 
   test("zigzag round-trip") {
@@ -194,7 +219,14 @@ class BvCodecSpec extends AnyFunSuite {
     BvProperties(0, 0, codings = StreamCodings( // every stream nibble-coded
       outdegree = Coding.NIBBLE, block = Coding.NIBBLE,
       residual = Coding.NIBBLE, reference = Coding.NIBBLE,
-      blockCount = Coding.NIBBLE, offset = Coding.NIBBLE)))
+      blockCount = Coding.NIBBLE, offset = Coding.NIBBLE)),
+    BvProperties(0, 0, codings = StreamCodings( // the reference's GOLOMB path
+      residual = Coding.GOLOMB, offset = Coding.GOLOMB), golombModulus = 5),
+    BvProperties(0, 0, codings = StreamCodings( // every stream golomb-family
+      outdegree = Coding.GOLOMB, block = Coding.SKEWED_GOLOMB,
+      residual = Coding.SKEWED_GOLOMB, reference = Coding.GOLOMB,
+      blockCount = Coding.GOLOMB, offset = Coding.SKEWED_GOLOMB),
+      golombModulus = 3))
 
   private def roundTrip(adj: Array[Array[Int]], p: BvProperties): Unit = {
     val enc = new BvEncoder(p)
