@@ -178,6 +178,16 @@ final class BitInput(bytes: SeekableBytes, bufferSize: Int = 1 << 16) {
     if (x < m) x else (x << 1) + readBit() - m
   }
 
+  /** Long-bound minimal binary: skewed-Golomb windows are 2^i · b and
+    * routinely exceed 2^31 on big-graph offset gaps, so the bound must be
+    * a Long (b < 2^62). */
+  def readLongMinimalBinary(b: Long): Long = {
+    val log2b = 63 - java.lang.Long.numberOfLeadingZeros(b)
+    val m = (1L << (log2b + 1)) - b
+    val x = readLong(log2b)
+    if (x < m) x else (x << 1) + readBit() - m
+  }
+
   /** Golomb code with modulus b: quotient unary, remainder minimal
     * binary. */
   def readGolomb(b: Int): Int = {
@@ -192,16 +202,14 @@ final class BitInput(bytes: SeekableBytes, bufferSize: Int = 1 << 16) {
 
   /** Skewed Golomb: doubling windows [ (2^i - 1)b, (2^(i+1) - 1)b ) —
     * window index unary, position-in-window minimal binary. */
-  def readSkewedGolomb(b: Int): Int = {
-    val big = ((1 << (readUnary() + 1)) - 1) * b
-    val m = (big / (2 * b)) * b
-    m + readMinimalBinary(big - m)
-  }
+  def readSkewedGolomb(b: Int): Int = readLongSkewedGolomb(b).toInt
 
   def readLongSkewedGolomb(b: Int): Long = {
-    val big = ((1L << (readUnary() + 1)) - 1L) * b
-    val m = (big / (2L * b)) * b
-    m + readMinimalBinary((big - m).toInt)
+    // window i starts at (2^i - 1)·b and is 2^i·b wide; both can exceed
+    // 2^31 (offset gaps on a big graph), hence the Long minimal binary
+    val i = readUnary()
+    val m = ((1L << i) - 1L) * b
+    m + readLongMinimalBinary((1L << i) * b)
   }
 
   /** Variable-length nibble code: groups of 1 stop bit (1 = last) + 3 data
@@ -285,15 +293,20 @@ final class BitOutput(out: java.io.OutputStream) {
   }
 
   /** Minimal binary for x in [0, b) — see [[BitInput.readMinimalBinary]]. */
-  def writeMinimalBinary(x: Int, b: Int): Unit = {
+  def writeMinimalBinary(x: Int, b: Int): Unit =
+    writeLongMinimalBinary(x.toLong, b.toLong)
+
+  /** Long-bound variant (b < 2^62) — see
+    * [[BitInput.readLongMinimalBinary]]. */
+  def writeLongMinimalBinary(x: Long, b: Long): Unit = {
     require(b > 0 && x >= 0 && x < b, s"minimal binary needs 0 <= $x < $b")
-    val log2b = 31 - Integer.numberOfLeadingZeros(b)
-    val m = (1 << (log2b + 1)) - b
-    if (x < m) writeLong(x.toLong, log2b)
+    val log2b = 63 - java.lang.Long.numberOfLeadingZeros(b)
+    val m = (1L << (log2b + 1)) - b
+    if (x < m) writeLong(x, log2b)
     else {
       val y = x + m
-      writeLong((y >> 1).toLong, log2b)
-      writeBit(y & 1)
+      writeLong(y >> 1, log2b)
+      writeBit((y & 1L).toInt)
     }
   }
 
@@ -313,11 +326,9 @@ final class BitOutput(out: java.io.OutputStream) {
     require(b > 0 && x >= 0)
     val i = 63 - java.lang.Long.numberOfLeadingZeros(x / b + 1)
     writeUnary(i)
-    val big = ((1L << (i + 1)) - 1L) * b
-    val m = (big / (2L * b)) * b
-    require(big - m <= Int.MaxValue,
-      s"skewed-golomb window ${big - m} overflows minimal binary")
-    writeMinimalBinary((x - m).toInt, (big - m).toInt)
+    // window i = [ (2^i - 1)·b, (2^(i+1) - 1)·b ), width 2^i·b — Long-wide
+    val m = ((1L << i) - 1L) * b
+    writeLongMinimalBinary(x - m, (1L << i) * b)
   }
 
   def writeNibble(n: Long): Unit = {

@@ -5,14 +5,18 @@ package graft.bv
   * (/root/reference/.../patched/HdfsBVGraph.java:307-340). Upstream values:
   * GAMMA=1 DELTA=2 GOLOMB=3 SKEWED_GOLOMB=4 ARITH=5 INTERP=6 UNARY=7 ZETA=8
   * NIBBLE=9. GAMMA/DELTA/UNARY/ZETA/NIBBLE/GOLOMB/SKEWED_GOLOMB decode and
-  * encode end-to-end. The Golomb family needs a modulus; it travels in the
-  * `.properties` sidecar as `golombmodulus` — a codec parameter exactly
-  * like `zetak` — so Golomb streams stay self-describing for both the
-  * encoder and the decoder (the reference resolves these flag names via
-  * reflection at patched/HdfsBVGraph.java:325-340 and dispatches residual
-  * reads on the resolved coding at :453-489). ARITH/INTERP are
-  * parse-accepted upstream but undecodable; we reject them with a clear
-  * error at flag-parse time.
+  * encode end-to-end here. The Golomb family needs a modulus; we carry it
+  * in the `.properties` sidecar as `golombmodulus` — a codec parameter
+  * exactly like `zetak`. NOTE this key is a graft-only EXTENSION: the
+  * reference parses the flag names via reflection
+  * (patched/HdfsBVGraph.java:325-340) but inherits upstream BVGraph's read
+  * dispatch, which has no modulus source and THROWS on Golomb-coded
+  * streams — the reference cannot read such graphs at all, so
+  * graft-written Golomb graphs interoperate only with graft. A
+  * Golomb-flagged sidecar WITHOUT the key is rejected at parse time
+  * (decoding with a guessed default would silently produce garbage).
+  * ARITH/INTERP are parse-accepted upstream but undecodable; we reject
+  * them with a clear error at flag-parse time.
   */
 object Coding {
   val GAMMA = 1
@@ -74,6 +78,12 @@ final case class StreamCodings(
     }
     parts.mkString("|")
   }
+
+  /** True when any stream uses a Golomb-family coding (these need the
+    * `golombmodulus` sidecar key to be decodable). */
+  def usesGolomb: Boolean =
+    Seq(outdegree, block, residual, reference, blockCount, offset)
+      .exists(c => c == Coding.GOLOMB || c == Coding.SKEWED_GOLOMB)
 }
 
 object StreamCodings {
@@ -86,8 +96,8 @@ object StreamCodings {
     if (s == null || s.trim.isEmpty) return c
     // Coding names sorted longest-first so multi-word names split off the
     // right suffix: RESIDUALS_SKEWED_GOLOMB must parse as stream RESIDUALS
-    // + coding SKEWED_GOLOMB (and get its modulus explanation), not as the
-    // bogus stream "RESIDUALS_SKEWED" (a lastIndexOf('_') cut would).
+    // + coding SKEWED_GOLOMB, not as the bogus stream "RESIDUALS_SKEWED"
+    // (a lastIndexOf('_') cut would).
     val codingNames = Seq("SKEWED_GOLOMB", "GOLOMB", "GAMMA", "DELTA",
       "UNARY", "ZETA", "NIBBLE")
     s.split("\\|").map(_.trim).filter(_.nonEmpty).foreach { flag =>
@@ -125,10 +135,7 @@ final case class BvProperties(
     graphClass: String = "it.unimi.dsi.webgraph.BVGraph",
     golombModulus: Int = BvProperties.DEFAULT_GOLOMB_MODULUS) {
 
-  private def usesGolomb: Boolean =
-    Seq(codings.outdegree, codings.block, codings.residual,
-      codings.reference, codings.blockCount, codings.offset)
-      .exists(c => c == Coding.GOLOMB || c == Coding.SKEWED_GOLOMB)
+  private def usesGolomb: Boolean = codings.usesGolomb
 
   def render: String = {
     val sb = new StringBuilder
@@ -155,8 +162,11 @@ final case class BvProperties(
 object BvProperties {
   val BVGRAPH_VERSION = 0
 
-  /** Fallback modulus when a Golomb-coded graph's sidecar omits
-    * `golombmodulus` (encoders we write always emit it). */
+  /** Construction-time default modulus (≈ ln 2 · mean-gap is optimal for
+    * geometric gaps; 8 is a sane mid-range start). Used only when BUILDING
+    * a BvProperties in code — a parsed Golomb-flagged sidecar must carry
+    * `golombmodulus` explicitly or parsing fails (decoding with a guessed
+    * modulus yields garbage, so fail fast beats a silent default). */
   val DEFAULT_GOLOMB_MODULUS = 8
 
   def parse(text: String): BvProperties = {
@@ -178,6 +188,15 @@ object BvProperties {
     if (nodes > Int.MaxValue)
       throw new IllegalArgumentException(
         s"Cannot handle graphs with $nodes (>2^31) nodes")
+    val codings = StreamCodings.fromFlagString(props.getProperty("compressionflags"))
+    val golombModulus = Option(props.getProperty("golombmodulus")).map(_.toInt)
+      .getOrElse {
+        if (codings.usesGolomb) throw new IllegalArgumentException(
+          "Golomb-family compressionflags require an explicit golombmodulus " +
+            "property (a graft extension — upstream BVGraph cannot decode " +
+            "Golomb streams); refusing to guess a modulus")
+        DEFAULT_GOLOMB_MODULUS
+      }
     BvProperties(
       nodes = nodes.toInt,
       arcs = get("arcs").toLong,
@@ -185,10 +204,9 @@ object BvProperties {
       maxRefCount = get("maxrefcount").toInt,
       minIntervalLength = get("minintervallength").toInt,
       zetaK = Option(props.getProperty("zetak")).map(_.toInt).getOrElse(3),
-      codings = StreamCodings.fromFlagString(props.getProperty("compressionflags")),
+      codings = codings,
       version = version,
       graphClass = graphClass,
-      golombModulus = Option(props.getProperty("golombmodulus")).map(_.toInt)
-        .getOrElse(DEFAULT_GOLOMB_MODULUS))
+      golombModulus = golombModulus)
   }
 }

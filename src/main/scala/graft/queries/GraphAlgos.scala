@@ -183,40 +183,88 @@ object GraphAlgos {
     //    hardcoded k=80 returned an empty core at sf0.001).
     //
     //    Scale shape: `und` partitions once (cached); each round is two
-    //    key-partitioned hash joins + a partial count agg, MATERIALIZED
-    //    immediately (count) so its lineage stops at the cached parents,
-    //    and the previous generation is unpersisted before the next round
-    //    — peak storage is und + two node-sized frames, never the
-    //    2^rounds-leaf chained-persist pile-up that cost 1099 s in round 3.
-    //    The alive set only shrinks, so AQE broadcasts late rounds.
+    //    key-partitioned hash joins + a partial count agg, CHECKPOINTED
+    //    eagerly (localCheckpoint) so both its execution lineage AND its
+    //    logical plan stop at a LogicalRDD leaf. persist()+count() is NOT
+    //    enough here: it cuts execution lineage but each round's LOGICAL
+    //    plan still embeds the previous alive twice (two join arms), so the
+    //    plan tree doubles per round and Catalyst analysis goes exponential
+    //    — measured 121 s median at sf0.1 (rounds 5/6 + final query paying
+    //    3.3/32.9/58.3 s of single-threaded driver planning) vs 7.4 s with
+    //    the checkpoint. That is a DRIVER-side scale-killer: at 100 TB the
+    //    data never moves but the driver stalls. Each round's checkpointed
+    //    RDD is freed as soon as the next round materializes — peak storage
+    //    is und + two node-sized frames. The alive set only shrinks, so AQE
+    //    broadcasts late rounds.
     "graph_kcore" -> ((s, d) => {
       val rounds = 6
-      val e = coPurchaseEdges(s, d)
-      val und = graft.Caches.pin(
-        e.union(e.select(col("v").as("u"), col("u").as("v"))))
-      val mn = und.agg((count(lit(1)) / 2).cast("long").as("m"),
-        countDistinct(col("u")).as("n")).head()
+      val sc = s.sparkContext
+      val dbg = sys.props.get("graft.debug").contains("1")
+      val t0 = System.nanoTime()
+      def mark(phase: String): Unit = if (dbg)
+        println(f"[kcore] $phase @${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // the u<v edge list is the ONLY pinned relation: symmetric degrees
+      // come from an endpoint explode instead of materializing e ∪ swap(e),
+      // which would compute the edge build twice and double every
+      // join/shuffle input downstream
+      val e = graft.Caches.pin(coPurchaseEdges(s, d))
+      def degOf(edges: DataFrame): DataFrame = edges
+        .select(explode(array(col("u"), col("v"))).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      // localCheckpoint registers its RDD with the context but not the SQL
+      // cache manager, so releases go through the RDD handle — captured by
+      // diffing the persistent-RDD set around the (eager) checkpoint
+      def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val out = df.localCheckpoint(eager = true)
+        (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+      }
+      def free(ids: Set[Int]): Unit = ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      // ONE degree pass feeds everything up front: m = Σdeg/2, n = |deg|,
+      // and round 1 — whose two alive-joins against the full node set are
+      // identity filters — is just deg ≥ k. Saves two full edge-set
+      // aggregations vs computing m/n and round 1 separately.
+      val (deg, degIds) = checkpoint(degOf(e))
+      mark("deg checkpoint (e materialized)")
+      val mn = deg.agg((sum(col("deg")) / 2).cast("long").as("m"),
+        count(lit(1)).as("n")).head()
+      mark("m/n agg")
       val k = math.max(1L, mn.getLong(0) / mn.getLong(1))
-      var alive = und.select(col("u").as("id")).distinct().persist()
-      alive.count() // materialize before the loop references it twice
-      for (_ <- 1 to rounds) {
-        val next = und
+      // alive₁ is a 2-node plan over the deg leaf — no checkpoint needed;
+      // its backing store is deg's RDD, freed when the next round lands
+      var alive = deg.filter(col("deg") >= k).select(col("u").as("id"))
+      var aliveIds = degIds
+      var nAlive = alive.count()
+      // fixpoint early-exit is RESULT-IDENTICAL to running all rounds:
+      // next ⊆ alive always, so equal counts ⇒ equal sets ⇒ every later
+      // round returns the same set. The oracle runs the full 6 CTEs; both
+      // land on the same fixpoint.
+      var converged = false
+      for (_ <- 2 to rounds if !converged) {
+        val survivors = e
           .join(alive.select(col("id").as("u")), "u")
           .join(alive.select(col("id").as("v")), "v")
-          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k)
-          .select(col("u").as("id"))
-          .persist()
-        next.count() // cut lineage at the cached und + previous alive
-        alive.unpersist(blocking = false)
-        alive = next
+        val (next, nextIds) = checkpoint(
+          degOf(survivors).filter(col("deg") >= k).select(col("u").as("id")))
+        val nNext = next.count()
+        mark(s"round: alive $nAlive -> $nNext")
+        if (nNext == nAlive) { converged = true; free(nextIds) }
+        else {
+          free(aliveIds) // previous generation: folded into next
+          alive = next
+          aliveIds = nextIds
+          nAlive = nNext
+        }
       }
       val fin = alive
-      graft.Caches.defer(s)(fin.unpersist(blocking = false))
-      und.join(fin.select(col("id").as("u")), "u")
-        .join(fin.select(col("id").as("v")), "v")
-        .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
-        .select(col("u").cast("long").as("node"), col("core_deg"))
+      val finIds = aliveIds
+      graft.Caches.defer(s)(free(finIds))
+      mark("loop done")
+      degOf(e
+          .join(fin.select(col("id").as("u")), "u")
+          .join(fin.select(col("id").as("v")), "v"))
+        .select(col("u").cast("long").as("node"), col("deg").as("core_deg"))
         .orderBy("node")
     }))
 

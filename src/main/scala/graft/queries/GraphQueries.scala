@@ -232,8 +232,18 @@ object GraphQueries {
         .rdd.map(r => Edge(r.getLong(0), r.getLong(1) + off, ()))
         // fat partitions: superstep task overhead >> message work here
         .coalesce(math.max(2, s.sparkContext.defaultParallelism / 4))
-      Graph.fromEdges(edgeRdd, ()).connectedComponents()
-        .vertices.map { case (id, comp) => (id, comp) }
+      val g0 = Graph.fromEdges(edgeRdd, ())
+      val res = g0.connectedComponents()
+      // release the GraphX-internal caches with this query's pins (the
+      // bfs query does the same; without it every cc run leaks its
+      // input+result graph into storage until the next hard sweep)
+      graft.Caches.defer(s) {
+        res.unpersistVertices(blocking = false)
+        res.edges.unpersist(blocking = false)
+        g0.unpersistVertices(blocking = false)
+        g0.edges.unpersist(blocking = false)
+      }
+      res.vertices.map { case (id, comp) => (id, comp) }
         .toDF("id", "component")
         .orderBy("id")
     }),

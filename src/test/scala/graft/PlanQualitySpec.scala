@@ -210,6 +210,45 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"raw text crossed an exchange:\n$ex")
   }
 
+  test("graph_kcore: iterative peel keeps the logical plan FLAT (no exponential growth)") {
+    // The round-3/4 trap: persist()+count() per peel round cuts execution
+    // lineage but the LOGICAL plan still embeds the previous round twice
+    // (two join arms), doubling per round — exponential Catalyst analysis
+    // that no correctness test sees (it only detonates at bench/driver SF:
+    // 121 s median at sf0.1, >1000 s in round 3). The fixed shape
+    // (localCheckpoint per round) truncates each round to a LogicalRDD
+    // leaf, so the FINAL query's plan is a handful of nodes regardless of
+    // round count. Guard both the node count and the wall-clock to
+    // optimize — either explodes under the old shape (measured: >3000
+    // nodes, ~60 s single-threaded planning at 6 rounds).
+    val df = SparkEntry.queries("graph_kcore")(spark, sf0001)
+    val analyzedNodes = df.queryExecution.analyzed.collect { case p => p }.size
+    assert(analyzedNodes < 150,
+      s"kcore logical plan has $analyzedNodes nodes — iterative lineage is " +
+        "leaking into the final plan (checkpoint each round, don't persist)")
+    val t0 = System.nanoTime()
+    df.queryExecution.optimizedPlan // force analysis + optimization
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(planSec < 5.0,
+      f"kcore planning took $planSec%.1f s at sf0.001 — exponential plan " +
+        "growth is back")
+  }
+
+  test("iterative loops: every declared graph query plans in bounded time") {
+    // cheap canary for the whole iterative family: building the query and
+    // reaching the optimized plan must be seconds, not minutes, at the
+    // smallest SF. (Execution cost is Bench's job; PLANNING cost is this
+    // test's.)
+    Seq("graph_pagerank", "graph_bfs", "graph_cc").foreach { name =>
+      Caches.hardSweep(spark)
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.queryExecution.optimizedPlan
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec < 30.0, f"$name took $sec%.1f s to build+plan at sf0.001")
+    }
+  }
+
   test("bv scan reports stats so Catalyst can plan broadcasts against it") {
     val base = graft.queries.GraphQueries.bvFixture(spark, sf0001)
     val df = spark.read.format("bvgraph").option("basename", base).load()

@@ -119,7 +119,9 @@ class BvCodecSpec extends AnyFunSuite {
   }
 
   test("long golomb / skewed-golomb round-trip across moduli") {
-    val allVals = Seq(0L, 1L, 2L, 7L, 63L, 64L, 1000L, 123456789L, (1L << 40) + 17)
+    val allVals = Seq(0L, 1L, 2L, 7L, 63L, 64L, 1000L, 123456789L,
+      Int.MaxValue.toLong, Int.MaxValue + 1L, (1L << 33) + 5, (1L << 40) + 17,
+      (1L << 50) + 123456789L)
     Seq(1, 2, 3, 8, 1024).foreach { b =>
       // plain Golomb's quotient is unary — keep v/b testable (the skewed
       // variant's windows double, so it takes every value)

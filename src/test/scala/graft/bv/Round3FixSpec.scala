@@ -53,12 +53,19 @@ class Round3FixSpec extends AnyFunSuite {
   }
 
   test("SKEWED_GOLOMB flag parses as a coding suffix, not a bogus stream") {
-    val e = intercept[IllegalArgumentException] {
-      StreamCodings.fromFlagString("RESIDUALS_SKEWED_GOLOMB")
-    }
-    // must hit the modulus explanation, not the generic "flag unknown"
-    assert(e.getMessage.contains("modulus"), e.getMessage)
-    assert(e.getMessage.contains("SKEWED_GOLOMB"), e.getMessage)
+    // round 4 made the Golomb family first-class: the flag parses (the
+    // round-3 rejection is gone), and the modulus contract moved to the
+    // sidecar — a Golomb-flagged .properties WITHOUT golombmodulus fails
+    // fast instead of silently decoding garbage with a default
+    val c = StreamCodings.fromFlagString("RESIDUALS_SKEWED_GOLOMB")
+    assert(c.residual == Coding.SKEWED_GOLOMB)
+    val sidecar = BvProperties(10, 20, codings = c, golombModulus = 13).render
+    val noModulus = sidecar.linesIterator
+      .filterNot(_.startsWith("golombmodulus")).mkString("\n")
+    val e = intercept[IllegalArgumentException](BvProperties.parse(noModulus))
+    assert(e.getMessage.contains("golombmodulus"), e.getMessage)
+    // with the key present, the modulus round-trips
+    assert(BvProperties.parse(sidecar).golombModulus == 13)
   }
 
   test("flag with no coding suffix still errors as unknown") {
