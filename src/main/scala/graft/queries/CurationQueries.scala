@@ -63,6 +63,44 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // -- C4-style rule-based quality gate: the classic pre-training filter
+    //    chain (length bounds, mean word length, stopword presence, low
+    //    intra-doc repetition) as ONE narrow pass — each rule an integer
+    //    predicate, keep = conjunction. Per-rule booleans surface so a
+    //    pipeline can report per-rule rejection rates, not just the final
+    //    keep count. No shuffle: every signal is per-document.
+    "quality_c4_rules" -> ((s, d) => {
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      documents(s, d)
+        .select(col("doc_id"), col("text"), grams(col("text")).as("g"),
+          w.as("w"),
+          length(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+            .cast("long").as("nc"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          // mean token length x1e4 (exact int arithmetic, same recipe as
+          // text_quality): (chars - separators) / tokens
+          floor((col("nc") - (size(col("w")) - 1)) * 10000 / size(col("w")))
+            .as("mean_len_e4"),
+          size(array_intersect(col("w"),
+            array(Seq("the", "and", "of", "to", "in", "is", "it", "for",
+              "on", "with").map(lit): _*))).cast("long").as("n_stop_types"),
+          floor((size(col("g")) - size(array_distinct(col("g"))))
+            * lit(1000000.0) / size(col("g"))).cast("long").as("dup_e6"))
+        .withColumn("r_len",
+          (col("n_tokens") >= 30 && col("n_tokens") <= 1000).cast("long"))
+        .withColumn("r_wordlen",
+          (col("mean_len_e4") >= 20000L && col("mean_len_e4") <= 120000L).cast("long"))
+        .withColumn("r_stop", (col("n_stop_types") >= 1).cast("long"))
+        .withColumn("r_rep", (col("dup_e6") < 600000L).cast("long"))
+        .withColumn("keep",
+          (col("r_len") + col("r_wordlen") + col("r_stop") + col("r_rep") === 4L)
+            .cast("long"))
+        .select("doc_id", "n_tokens", "mean_len_e4", "n_stop_types", "dup_e6",
+          "r_len", "r_wordlen", "r_stop", "r_rep", "keep")
+        .orderBy("doc_id")
+    }),
+
     // -- deterministic content-addressed sampling (md5 prefix in {0,1} =
     //    1/8 rate) with per-(lang, source) stratum accounting. The sample
     //    decision depends only on content — identical across cluster
@@ -80,6 +118,33 @@ object CurationQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "quality_c4_rules" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+           FROM documents),
+         g AS (SELECT doc_id, w, len(nt) AS nc,
+             CASE WHEN len(w) >= 3 THEN list_transform(
+                    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [nt] END AS g
+           FROM w),
+         b AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(FLOOR((nc - (len(w) - 1)) * 10000 / len(w)) AS BIGINT) AS mean_len_e4,
+             CAST(len(list_intersect(w,
+               ['the','and','of','to','in','is','it','for','on','with'])) AS BIGINT) AS n_stop_types,
+             CAST(FLOOR((len(g) - len(list_distinct(g))) * 1000000.0 / len(g)) AS BIGINT) AS dup_e6
+           FROM g),
+         r AS (SELECT doc_id, n_tokens, mean_len_e4, n_stop_types, dup_e6,
+             CAST(n_tokens BETWEEN 30 AND 1000 AS BIGINT) AS r_len,
+             CAST(mean_len_e4 BETWEEN 20000 AND 120000 AS BIGINT) AS r_wordlen,
+             CAST(n_stop_types >= 1 AS BIGINT) AS r_stop,
+             CAST(dup_e6 < 600000 AS BIGINT) AS r_rep
+           FROM b)
+         SELECT doc_id, n_tokens, mean_len_e4, n_stop_types, dup_e6,
+           r_len, r_wordlen, r_stop, r_rep,
+           CAST(r_len + r_wordlen + r_stop + r_rep = 4 AS BIGINT) AS keep
+         FROM r ORDER BY doc_id""",
     "text_dup_ngrams" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,

@@ -196,6 +196,35 @@ object GraphAlgos {
     //    RDD is freed as soon as the next round materializes — peak storage
     //    is und + two node-sized frames. The alive set only shrinks, so AQE
     //    broadcasts late rounds.
+    // -- degree assortativity (Newman 2002): Pearson correlation of the
+    //    endpoint degrees over all edge-end samples. Every moment (Σx,
+    //    Σx², Σxy, N) is an EXACT BIGINT sum — order-free under any
+    //    partitioning — and the single floating division happens once on
+    //    the final one-row frame, so the e9-quantized result is
+    //    deterministic and hash-comparable (no libm, no accumulation-order
+    //    drift). Scale shape: one degree agg, one edges⋈deg⋈deg join
+    //    (deg is node-sized; AQE broadcasts it when small), one global
+    //    agg — no iteration, no driver loop, two shuffles total.
+    "graph_assortativity" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d)
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      val j = e
+        .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+      // symmetric samples: each edge contributes (du,dv) AND (dv,du), so
+      // Sy=Sx, Syy=Sxx and r = (N·Sxy − Sx²) / (N·Sxx − Sx²)
+      j.agg((count(lit(1)) * 2).as("n_samples"),
+          sum(col("du") + col("dv")).as("sx"),
+          sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"),
+          (sum(col("du") * col("dv")) * 2).as("sxy"))
+        .select(col("n_samples"), col("sx"), col("sxx"), col("sxy"),
+          floor((col("n_samples") * col("sxy") - col("sx") * col("sx"))
+              .cast("double") * lit(1000000000.0)
+            / (col("n_samples") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).cast("long").as("assort_e9"))
+    }),
+
     "graph_kcore" -> ((s, d) => {
       val rounds = 6
       val sc = s.sparkContext
@@ -275,6 +304,21 @@ object GraphAlgos {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
 
   val oracleSql: Map[String, String] = Map(
+    "graph_assortativity" ->
+      s"""WITH $edgesCte,
+         deg AS (SELECT x, COUNT(*) AS deg
+           FROM (SELECT unnest([u, v]) AS x FROM e) GROUP BY x),
+         j AS (SELECT du.deg AS du, dv.deg AS dv
+           FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+         s AS (SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n_samples,
+             CAST(SUM(du + dv) AS BIGINT) AS sx,
+             CAST(SUM(du * du + dv * dv) AS BIGINT) AS sxx,
+             CAST(2 * SUM(du * dv) AS BIGINT) AS sxy
+           FROM j)
+         SELECT n_samples, sx, sxx, sxy,
+           CAST(FLOOR(CAST(n_samples * sxy - sx * sx AS DOUBLE) * 1000000000.0
+             / CAST(n_samples * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS assort_e9
+         FROM s""",
     "graph_pagerank" ->
       """WITH deg AS (SELECT o_custkey, COUNT(*) AS odeg FROM orders GROUP BY 1)
          SELECT id, pr_e9 FROM (

@@ -173,6 +173,26 @@ object TextQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // -- redaction / PII masking: ONE narrow codegen'd pass, no shuffle —
+    //    the standard pre-training scrub. Emails, long digit runs and a
+    //    term dictionary collapse to a placeholder; n_masked surfaces how
+    //    much was removed (the per-doc audit signal a pipeline logs). The
+    //    synthetic corpus contains no emails/digits, so those two pattern
+    //    arms exercise the plumbing end-to-end while the dictionary arm
+    //    produces real hits. Patterns stay in the RE2∩Java-regex common
+    //    dialect so the oracle replays them byte-identically.
+    "text_redact" -> ((s, d) => {
+      val re = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" + // emails
+        "|[0-9]{6,}" + // long digit runs (ids, phone-ish)
+        "|\\b(?:customer|supplier)\\b" // term dictionary
+      documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), re, "<MASKED>").as("masked"),
+          size(regexp_extract_all(col("text"), lit(re), lit(0)))
+            .cast("long").as("n_masked"))
+        .orderBy("doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       def fnv(c: Column): Column = Exprs.toColumn(Fnv64(Exprs.toExpr(c)))
       documents(s, d)
@@ -185,6 +205,14 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "text_redact" ->
+      """SELECT doc_id,
+         regexp_replace(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9]{6,}|\b(?:customer|supplier)\b',
+           '<MASKED>', 'g') AS masked,
+         CAST(len(regexp_extract_all(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9]{6,}|\b(?:customer|supplier)\b')) AS BIGINT) AS n_masked
+         FROM documents ORDER BY doc_id""",
     "text_tfidf" ->
       """WITH tok AS (
            SELECT doc_id,
