@@ -100,7 +100,8 @@ object GraphAlgos {
       // table never re-shuffles (3 shuffles total: distinct, deg, adj).
       // Past the broadcast threshold (~10^8 nodes) the same plan runs as
       // co-partitioned shuffle joins on the node key.
-      val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+      // endpoint explode, not e ∪ swap(e): one scan of e instead of two
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("dg"))
       val dir = graft.Caches.pin(e
         .join(broadcast(deg.select(col("x").as("u"), col("dg").as("du"))), "u")
