@@ -90,6 +90,39 @@ object Multimodal {
     }
   }
 
+  case class MmPipelineRow(doc_id: Long, rs_sum: Long, n_frames_total: Long,
+      n_sampled: Long, first_frame_sum: Long)
+
+  /** Full media pipeline over one batch: stub-decode -> 8x8 nearest-
+    * neighbor resize (checksummed) -> frame sampling (32-byte frames,
+    * stride 4). The resize/sampling INDEX MATH is real and
+    * oracle-replayable; only the pixels are payload-derived fakes. */
+  def pipelineBatch(batch: Seq[MmRecord]): Iterator[MmPipelineRow] = {
+    batch.iterator.map { r =>
+      val pixels = decodeImageStub(r.payload, r.width, r.height)
+      val rs = resizeStub(pixels, r.width, r.height, 8, 8)
+      var rsSum = 0L
+      var i = 0
+      while (i < rs.length) { rsSum += rs(i) & 0xff; i += 1 }
+      val frames = frameSampleStub(r.payload, frameSize = 32, stride = 4)
+      val firstSum = frames.headOption.map { f =>
+        var s = 0L; var j = 0
+        while (j < f.length) { s += f(j) & 0xff; j += 1 }
+        s
+      }.getOrElse(0L)
+      MmPipelineRow(r.doc_id, rsSum, (r.payload.length / 32).toLong,
+        frames.length.toLong, firstSum)
+    }
+  }
+
+  /** The batched decode->resize->frame-sample pass as a DataFrame. */
+  def pipeline(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    attachPayload(docs).as[MmRecord]
+      .mapPartitions(_.grouped(DECODE_BATCH).flatMap(pipelineBatch))
+      .toDF()
+  }
+
   /** documents -> (doc_id, modality, payload BINARY, width, height):
     * the text bytes stand in for media payloads; metadata is derived
     * deterministically. */

@@ -101,6 +101,44 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // -- sequence packing (GPT-style): concatenate the token stream in
+    //    doc_id order and split at fixed C=256-token block boundaries;
+    //    per doc surface its absolute token offset and the blocks it
+    //    spans. The global ordered cumsum is TWO-PHASE so no window ever
+    //    sees unbounded data: per-bucket sums (bucket = doc_id/100, one
+    //    shuffle), a cumsum over the tiny bucket-total relation (metadata-
+    //    sized — safe in a single partition at any corpus size), broadcast
+    //    back, then a window PARTITIONED by bucket for the within-bucket
+    //    prefix. A naive Window.orderBy with no partition would drag the
+    //    full corpus into one task — the classic global-window scale trap.
+    "seq_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val C = 256L
+      val B = 100L
+      val t = documents(s, d)
+        .select(col("doc_id"),
+          size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+            .cast("long").as("n_tok"))
+        .withColumn("bkt", floor(col("doc_id") / B).cast("long"))
+      val wB = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = t.groupBy("bkt").agg(sum(col("n_tok")).as("bt"))
+        .withColumn("base", coalesce(sum(col("bt")).over(wB), lit(0L)))
+        .select("bkt", "base")
+      val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.join(broadcast(base), "bkt")
+        .withColumn("start_off",
+          col("base") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+        .withColumn("start_block", floor(col("start_off") / C).cast("long"))
+        .withColumn("end_block",
+          floor((col("start_off") + col("n_tok") - 1) / C).cast("long"))
+        .withColumn("n_blocks", col("end_block") - col("start_block") + 1)
+        .select("doc_id", "n_tok", "start_off", "start_block", "end_block",
+          "n_blocks")
+        .orderBy("doc_id")
+    }),
+
     // -- deterministic content-addressed sampling (md5 prefix in {0,1} =
     //    1/8 rate) with per-(lang, source) stratum accounting. The sample
     //    decision depends only on content — identical across cluster
@@ -118,6 +156,19 @@ object CurationQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         o AS (SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+           FROM t)
+         SELECT doc_id, n_tok, CAST(start_off AS BIGINT) AS start_off,
+           CAST(start_off // 256 AS BIGINT) AS start_block,
+           CAST((start_off + n_tok - 1) // 256 AS BIGINT) AS end_block,
+           CAST((start_off + n_tok - 1) // 256 - start_off // 256 + 1 AS BIGINT) AS n_blocks
+         FROM o ORDER BY doc_id""",
     "quality_c4_rules" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,

@@ -116,6 +116,23 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // -- id-range predicate pushdown THROUGH the DSv2 scan: the filter on
+    //    `id` reaches the source (pushedFilters -> clamped node ranges),
+    //    so skipped nodes cost ZERO decode I/O — the offsets index makes
+    //    any id range directly addressable. At 100 TB this is the
+    //    difference between decoding the whole graph and seeking straight
+    //    to the queried slice. Plan shape gated in BvSourceSpec
+    //    ("id in [lo,hi)" in the scan description).
+    "bv_id_slice" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      s.read.format("bvgraph").option("basename", base).option("splits", 8).load()
+        .filter(col("id") >= 100 && col("id") < 600)
+        .select(col("id").cast("long").as("src"),
+          explode(col("successors")).as("dd"))
+        .select(col("src"), col("dd").cast("long").as("dst"))
+        .orderBy("src", "dst")
+    }),
+
     // -- graph transposition THROUGH the engine's own sink: scan the BV
     //    fixture, swap edge endpoints, re-compress the reversed adjacency
     //    as a new sharded BVGraph (range shuffle + stream-encode), scan
@@ -272,6 +289,10 @@ object GraphQueries {
          LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt
                     FROM orders GROUP BY o_custkey) c ON ids.i = c.o_custkey
          ORDER BY id""",
+    "bv_id_slice" ->
+      """SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+         WHERE o_custkey >= 100 AND o_custkey < 600
+         ORDER BY src, dst""",
     "adjacency_list" ->
       """SELECT o_custkey AS src,
          STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS successors,

@@ -249,6 +249,34 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("dynamic partition pruning fires on a star-schema partitioned join") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB layout: the fact table lives partitioned on the join key;
+    // a selective dim filter must prune fact PARTITIONS at runtime (DPP),
+    // not scan them all. Gate the plan feature, not just the result. The
+    // dim must be an independent selective relation — DPP's benefit
+    // estimator rejects a "dim" carved out of the fact's own full scan.
+    Tables.customer(spark, sf0001)
+      .write.partitionBy("c_nationkey").mode("overwrite")
+      .saveAsTable("cust_part")
+    try {
+      val dim = Tables.nation(spark, sf0001)
+        .filter(col("n_regionkey") === 1).select("n_nationkey", "n_name")
+      val j = spark.table("cust_part")
+        .join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"),
+          sum(floor(col("c_acctbal") * 100)).as("bal_c"))
+      val p = executed(j)
+      assert(p.contains("dynamicpruning"),
+        s"no dynamic partition pruning in plan:\n$p")
+    } finally spark.sql("DROP TABLE IF EXISTS cust_part")
+  }
+
+  test("bv_id_slice: the id-range filter reaches the bvgraph scan") {
+    val p = planOf("bv_id_slice")
+    assert(p.contains("id in [100,600)"), s"id range not pushed:\n$p")
+  }
+
   test("bv scan reports stats so Catalyst can plan broadcasts against it") {
     val base = graft.queries.GraphQueries.bvFixture(spark, sf0001)
     val df = spark.read.format("bvgraph").option("basename", base).load()
