@@ -180,9 +180,53 @@ class BvGraphScanBuilder(basename: String, splits: Option[Int])
 }
 
 class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
-    idLo: Long = Long.MinValue, idHi: Long = Long.MaxValue,
+    planLo: Long = Long.MinValue, planHi: Long = Long.MaxValue,
     pushedAggs: Option[Seq[BvGraphScan.PushedAgg]] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // Runtime filtering (the DSv2 analogue of dynamic partition pruning):
+  // when this scan sits under a join whose other side is selective, Spark
+  // hands us the join-key values AT RUNTIME via filter(); we tighten the
+  // id bounds and planInputPartitions() drops/narrows node ranges before
+  // any task launches. Partial pruning is sound — the join re-evaluates
+  // its condition — so collapsing an IN-set to its [min, max] envelope
+  // never loses rows, it only bounds how much we skip. At 100 TB this
+  // turns "scan the whole graph to join 1000 ids" into a seek.
+  @volatile private var rtLo: Long = Long.MinValue
+  @volatile private var rtHi: Long = Long.MaxValue
+  private def idLo: Long = math.max(planLo, rtLo)
+  private def idHi: Long = math.min(planHi, rtHi)
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources._
+    def num(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    filters.foreach {
+      case In("id", vs) =>
+        val ids = vs.flatMap(num(_))
+        if (ids.nonEmpty && ids.length == vs.length) {
+          rtLo = math.max(rtLo, ids.min)
+          rtHi = math.min(rtHi, ids.max + 1)
+        }
+      case EqualTo("id", v) => num(v).foreach { x =>
+        rtLo = math.max(rtLo, x); rtHi = math.min(rtHi, x + 1)
+      }
+      case GreaterThan("id", v) => num(v).foreach(x => rtLo = math.max(rtLo, x + 1))
+      case GreaterThanOrEqual("id", v) => num(v).foreach(x => rtLo = math.max(rtLo, x))
+      case LessThan("id", v) => num(v).foreach(x => rtHi = math.min(rtHi, x))
+      case LessThanOrEqual("id", v) => num(v).foreach(x => rtHi = math.min(rtHi, x + 1))
+      case _ => () // unsupported runtime filter: scan stays unpruned (safe)
+    }
+  }
 
   override def readSchema(): StructType = pushedAggs match {
     case Some(aggs) => StructType(aggs.zipWithIndex.map { case (a, i) =>

@@ -185,4 +185,57 @@ class BvSourceSpec extends AnyFunSuite {
     assert(st.numRows().getAsLong == adj.length)
     assert(st.sizeInBytes().getAsLong == 4L * adj.length + 4L * adj.map(_.length.toLong).sum)
   }
+
+  test("runtime filtering (DSv2 DPP analogue) prunes partitions via filter()") {
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, In, LessThan}
+    val (base, _) = fixture(400, 22L)
+    val scan = new BvGraphScan(base, Some(8), BvGraphTable.SCHEMA)
+    val before = scan.planInputPartitions().collect { case p: BvInputPartition => p }
+    assert(before.map(p => p.until - p.from).sum == 400)
+    // a join's build-side id set arrives at runtime; the IN collapses to
+    // its [min, max] envelope — partial pruning is sound, the join
+    // re-evaluates its condition
+    scan.filter(Array[Filter](In("id", Array(120, 160, 199))))
+    val after = scan.planInputPartitions().collect { case p: BvInputPartition => p }
+    assert(after.map(p => p.until - p.from).sum == 80,
+      s"runtime IN-filter did not prune: ${after.mkString(",")}")
+    assert(after.forall(p => p.from >= 120 && p.until <= 200))
+    // range filters compose with the earlier bounds
+    scan.filter(Array[Filter](GreaterThanOrEqual("id", 150), LessThan("id", 180)))
+    val tighter = scan.planInputPartitions().collect { case p: BvInputPartition => p }
+    assert(tighter.map(p => p.until - p.from).sum == 30)
+    // the unfiltered scan is untouched (fresh scan plans the full graph)
+    val fresh = new BvGraphScan(base, Some(8), BvGraphTable.SCHEMA)
+    assert(fresh.planInputPartitions().collect { case p: BvInputPartition => p }
+      .map(p => p.until - p.from).sum == 400)
+  }
+
+  test("optimizer injects a runtime filter into the bv scan under a selective join") {
+    val (base, adj) = fixture(400, 23L)
+    // independent selective dim: a tiny id table with a pushable filter
+    import spark.implicits._
+    val dimPath = java.nio.file.Files.createTempDirectory("bvdim").toString
+    (0 until 400).map(i => (i, i % 7)).toDF("jid", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    try {
+      val g = spark.read.format("bvgraph")
+        .option("basename", base).option("splits", 8).load()
+      val dim = spark.read.parquet(dimPath).filter(col("tag") === 3)
+      val j = g.join(dim, g("id") === dim("jid"))
+        .agg(sum(size(col("successors"))).as("arcs"))
+      val expected = adj.zipWithIndex
+        .collect { case (s, i) if i % 7 == 3 => s.length.toLong }.sum
+      assert(j.head().getLong(0) == expected)
+      val p = j.queryExecution.executedPlan.toString
+      // the plan carries the dynamic pruning expression on our v2 scan —
+      // filter() then receives the dim's ids at runtime
+      assert(p.contains("dynamicpruning") || p.contains("RuntimeFilters"),
+        s"no runtime filter reached the bv scan:\n$p")
+    } finally {
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
 }
