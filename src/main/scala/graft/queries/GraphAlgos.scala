@@ -96,16 +96,17 @@ object GraphAlgos {
     "graph_triangles" -> ((s, d) => {
       val e = graft.Caches.pin(coPurchaseEdges(s, d))
       // deg (one row per node) and adj (one adjacency array per node) are
-      // n-sized, m-free relations — broadcast them so the m-sized edge
-      // table never re-shuffles (3 shuffles total: distinct, deg, adj).
-      // Past the broadcast threshold (~10^8 nodes) the same plan runs as
-      // co-partitioned shuffle joins on the node key.
+      // n-sized, m-free relations. Join strategy is deliberately UNHINTED:
+      // AQE broadcasts them while n is small (runtime sizes, not
+      // estimates) and flips to co-partitioned shuffle joins past the
+      // threshold — a forced broadcast() would collect a billion-node
+      // adjacency to the driver at 100 TB. Measured identical locally.
       // endpoint explode, not e ∪ swap(e): one scan of e instead of two
       val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("dg"))
       val dir = graft.Caches.pin(e
-        .join(broadcast(deg.select(col("x").as("u"), col("dg").as("du"))), "u")
-        .join(broadcast(deg.select(col("x").as("v"), col("dg").as("dv"))), "v")
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
         .select(
           when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")),
@@ -115,8 +116,8 @@ object GraphAlgos {
       val adj = graft.Caches.pin(dir.groupBy(col("s"))
         .agg(sort_array(collect_list(col("t"))).as("nbrs")))
       val closed = dir
-        .join(broadcast(adj.select(col("s"), col("nbrs").as("na"))), Seq("s"))
-        .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nb"))),
+        .join(adj.select(col("s"), col("nbrs").as("na")), Seq("s"))
+        .join(adj.select(col("s").as("t"), col("nbrs").as("nb")),
           Seq("t"), "left")
         .select(coalesce(size(array_intersect(col("na"), col("nb"))),
           lit(0)).as("tri"))

@@ -210,6 +210,26 @@ class BvSourceSpec extends AnyFunSuite {
       .map(p => p.until - p.from).sum == 400)
   }
 
+  test("BvCatalog: graphs are SQL tables addressed by basename, no registration") {
+    val (base, adj) = fixture(150, 31L)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.BvCatalog")
+    try {
+      val m = spark.sql(s"SELECT sum(outdegree) AS m FROM graft.`$base`")
+        .head().getLong(0)
+      assert(m == adj.map(_.length.toLong).sum)
+      // full scan features work from SQL: pruned degree-only read above,
+      // adjacency explode here
+      val edges = spark.sql(
+        s"SELECT id, explode(successors) AS dst FROM graft.`$base`").count()
+      assert(edges == m)
+      // a basename with no graph files is a missing table, not a crash
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT * FROM graft.`/nonexistent/graph`").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("table"))
+    } finally spark.conf.unset("spark.sql.catalog.graft")
+  }
+
   test("optimizer injects a runtime filter into the bv scan under a selective join") {
     val (base, adj) = fixture(400, 23L)
     // independent selective dim: a tiny id table with a pushable filter
