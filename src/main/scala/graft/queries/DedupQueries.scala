@@ -230,6 +230,50 @@ object DedupQueries {
     //    sketch->band->verify path against the exact answer.
     "dedup_minhash" -> ((s, d) => minhashDupPairs(s, d)),
 
+    // -- incremental dedup: the DAILY-INGEST shape — a new batch (odd
+    //    doc_ids stand in for today's crawl) is deduped AGAINST the
+    //    historical index (even ids), never against itself. Band
+    //    signatures are computed per side and candidates come from the
+    //    NEW ⋈ INDEX band join — in production the index band table is
+    //    precomputed and stored, so a day's ingest touches only its own
+    //    signatures plus matching index buckets, never rescanning
+    //    history. Exact Jaccard verifies survivors; each new doc
+    //    surfaces its duplicate count, first index match and best score.
+    //    Same recall argument as dedup_minhash (J >= 0.8 ⇒ band-collision
+    //    prob ≈ 1), which is why the exact all-cross-pairs oracle
+    //    hash-gates the whole sketch→band→verify→rollup path.
+    "dedup_incremental" -> ((s, d) => {
+      import s.implicits._
+      val k = 128; val bands = 32; val rows = 4
+      val sets = graft.Caches.pin(shingleSets(s, d))
+      val feats = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
+        .select(col("doc_id"), xxhash64(col("sng")).as("h"))
+        .as[(Long, Long)]
+      val sigAgg = new SketchAggs.MinHashSig(k).toColumn
+      val sigs = feats.groupByKey(_._1).agg(sigAgg).toDF("doc_id", "sig")
+      val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + 1, lit(rows)))))
+        .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bh"))
+      val idx = banded.filter(col("doc_id") % 2 === 0)
+        .select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+      val neu = banded.filter(col("doc_id") % 2 === 1)
+        .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      val cand = neu.join(idx, Seq("band", "bh"))
+        .select("doc_a", "doc_b").distinct()
+      val matches = verifyPairs(cand, sets) // doc_a = new, doc_b = index
+      sets.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+        .join(matches.select(col("doc_a").as("doc_id"), col("doc_b"),
+          col("jac_e6")), Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("doc_b")).as("n_dups"),
+          min(col("doc_b")).as("first_dup"),
+          max(col("jac_e6")).as("best_jac_e6"))
+        .withColumn("is_dup", (col("n_dups") > 0).cast("long"))
+        .select("doc_id", "is_dup", "n_dups", "first_dup", "best_jac_e6")
+        .orderBy("doc_id")
+    }),
+
     // -- duplicate-cluster canonicalization: the step after pair
     //    generation in every production dedup pipeline. Near-dup pairs
     //    (the LSH+verify engine above) form an undirected graph; GraphX
@@ -479,7 +523,38 @@ object DedupQueries {
      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
      ORDER BY d.doc_id"""
 
+  /** dedup_incremental: exact all-cross-pairs new x index Jaccard — the
+    * LSH path must find every >= 0.8 match (same recall argument as
+    * dedup_minhash), so the rollup hash-matches the exact answer. */
+  private val incrementalOracle: String =
+    """WITH w AS (SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+       FROM documents),
+     sh AS (SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [nt] END AS sh
+       FROM w),
+     nw AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+     ix AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 0),
+     m AS (SELECT n.doc_id AS doc_id, i.doc_id AS doc_b,
+         len(list_intersect(n.sh, i.sh)) AS inter,
+         len(n.sh) + len(i.sh) - len(list_intersect(n.sh, i.sh)) AS un
+       FROM nw n, ix i),
+     v AS (SELECT doc_id, doc_b,
+         CAST(FLOOR(inter * 1000000.0 / un) AS BIGINT) AS jac_e6
+       FROM m WHERE inter * 10 >= un * 8)
+     SELECT n.doc_id,
+       CAST(COUNT(v.doc_b) > 0 AS BIGINT) AS is_dup,
+       COUNT(v.doc_b) AS n_dups,
+       MIN(v.doc_b) AS first_dup,
+       MAX(v.jac_e6) AS best_jac_e6
+     FROM nw n LEFT JOIN v ON v.doc_id = n.doc_id
+     GROUP BY n.doc_id ORDER BY n.doc_id"""
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_incremental" -> incrementalOracle,
     "dedup_minhash" -> jaccardOracle,
     "dedup_clusters" -> clustersOracle,
     "text_levenshtein" ->
