@@ -208,7 +208,9 @@ object GraphAlgos {
     //    (deg is node-sized; AQE broadcasts it when small), one global
     //    agg — no iteration, no driver loop, two shuffles total.
     "graph_assortativity" -> ((s, d) => {
-      val e = coPurchaseEdges(s, d)
+      // e feeds three subtrees (deg build + both join arms) — pin it so
+      // the co-purchase construction runs once, not once per consumer
+      val e = graft.Caches.pin(coPurchaseEdges(s, d))
       val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("deg"))
       val j = e
