@@ -48,6 +48,35 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // -- column profiling: the data-quality pre-flight every pipeline
+    //    runs before training — per column: row count, nulls, exact
+    //    distinct, min/max (surfaced as strings so one schema fits all
+    //    column types). ONE pass over the table: all measures compute in
+    //    a single aggregate (count_distinct gets Spark's expand+two-phase
+    //    plan), then a metadata-sized unpivot shapes the per-column rows.
+    //    At 100 TB swap exact COUNT(DISTINCT) for the KMV sketch
+    //    (distinct_kmv) — same query shape, bounded state.
+    "profile_columns" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      val t = lineitem(s, d)
+      val aggs = cols.flatMap { c =>
+        Seq(count(lit(1)).as(s"${c}__n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+      val wide = t.agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { c =>
+        struct(lit(c).as("col_name"), col(s"${c}__n").as("n_rows"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"))
+      }
+      wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+        .orderBy("col_name")
+    }),
+
     // -- projection + filter: both pushed into the parquet scan
     "proj_filter" -> ((s, d) => {
       lineitem(s, d)
@@ -688,6 +717,31 @@ object RelationalQueries {
     * DOUBLE, hence the CASTs back to BIGINT to mirror Spark's types.
     */
   val oracleSql: Map[String, String] = Map(
+    "profile_columns" ->
+      """WITH s AS (SELECT
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_nulls,
+           COUNT(DISTINCT l_orderkey) AS ok_d,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS ok_min, CAST(MAX(l_orderkey) AS VARCHAR) AS ok_max,
+           CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pk_nulls,
+           COUNT(DISTINCT l_partkey) AS pk_d,
+           CAST(MIN(l_partkey) AS VARCHAR) AS pk_min, CAST(MAX(l_partkey) AS VARCHAR) AS pk_max,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+           COUNT(DISTINCT l_quantity) AS q_d,
+           CAST(MIN(l_quantity) AS VARCHAR) AS q_min, CAST(MAX(l_quantity) AS VARCHAR) AS q_max,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sm_nulls,
+           COUNT(DISTINCT l_returnflag) AS sm_d,
+           CAST(MIN(l_returnflag) AS VARCHAR) AS sm_min, CAST(MAX(l_returnflag) AS VARCHAR) AS sm_max
+         FROM lineitem)
+         SELECT 'l_orderkey' AS col_name, n AS n_rows, ok_nulls AS n_nulls,
+           ok_d AS n_distinct, ok_min AS min_s, ok_max AS max_s FROM s
+         UNION ALL
+         SELECT 'l_partkey', n, pk_nulls, pk_d, pk_min, pk_max FROM s
+         UNION ALL
+         SELECT 'l_quantity', n, q_nulls, q_d, q_min, q_max FROM s
+         UNION ALL
+         SELECT 'l_returnflag', n, sm_nulls, sm_d, sm_min, sm_max FROM s
+         ORDER BY col_name""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
