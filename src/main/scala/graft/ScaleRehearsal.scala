@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: drive the BV sink + source well past the bench SF on
+  * a synthetic web-ish graph, and print measured throughput as one JSON
+  * line. Not part of the driver contract — an auditable, reproducible
+  * backing for SCALE.md's claims.
+  *
+  * Usage: ScaleRehearsal [nodes] [avgDeg] [shards]   (defaults 2M, 5, 32)
+  *
+  * The graph is deterministic (splitmix-style per-node PRNG), successors
+  * clustered near the source id (exercises interval + reference coding
+  * like a real web graph) — generated DISTRIBUTED (no driver
+  * materialization), written through the sharded DSv2 sink, then scanned
+  * back through every read path: full decode, degree-only, id-slice,
+  * metadata aggregates.
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000000)
+    val avgDeg = args.lift(1).map(_.toInt).getOrElse(5)
+    val shards = args.lift(2).map(_.toInt).getOrElse(32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // distributed deterministic generation: one task per id range
+    val base = java.nio.file.Files.createTempDirectory("graft_scale").toString + "/g"
+    val adj = spark.range(0, n).mapPartitions { it =>
+      it.map { x =>
+        var h = x * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+        def next(): Long = { h ^= h >>> 27; h *= 0x94D049BB133111EBL; h ^= h >>> 31; h }
+        val d = 1 + (math.abs(next()) % (2L * avgDeg - 1)).toInt // mean ≈ avgDeg
+        val s = scala.collection.mutable.SortedSet.empty[Int]
+        while (s.size < d) {
+          val delta = (next() % 20000L).toInt // locality window ±20k
+          val v = math.max(0L, math.min(n - 1L, x + delta)).toInt
+          s += v
+        }
+        (x.toInt, s.toArray)
+      }
+    }.toDF("id", "successors")
+      .withColumn("outdegree", size(col("successors")))
+
+    val (_, tWrite) = timed {
+      adj.write.format("bvgraph").option("basename", base)
+        .option("shards", shards).option("nodes", n).mode("overwrite").save()
+    }
+    val g = spark.read.format("bvgraph").option("basename", base).load()
+
+    // metadata aggregate: must be O(1), no decode
+    val ((nn, mm), tMeta) = timed {
+      val r = g.agg(count(lit(1)), sum(col("outdegree"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // full sequential decode: edge count via successors
+    val (m2, tFull) = timed(
+      g.select(explode(col("successors"))).count())
+    // degree-only: random-access outdegree path, zero successor decode
+    val (_, tDeg) = timed(
+      g.select(col("id"), col("outdegree"))
+        .groupBy(col("outdegree")).count().count())
+    // id-slice: pushed range, ~1% of the graph
+    val lo = n / 2; val hi = n / 2 + n / 100
+    val (sliceEdges, tSlice) = timed(
+      g.filter(col("id") >= lo && col("id") < hi)
+        .select(explode(col("successors"))).count())
+
+    val graphBytes = {
+      val dir = new java.io.File(base + ".d")
+      if (dir.isDirectory)
+        dir.listFiles.filter(_.getName.endsWith(".graph")).map(_.length).sum
+      else new java.io.File(base + ".graph").length
+    }
+    val bitsPerLink = graphBytes * 8.0 / mm
+    def f(v: Double): String = f"$v%.2f"
+    println(s"""{"nodes":$n,"arcs":$mm,"shards":$shards,""" +
+      s""""bits_per_link":${f(bitsPerLink)},"write_sec":${f(tWrite)},""" +
+      s""""meta_agg_sec":${f(tMeta)},"full_decode_sec":${f(tFull)},""" +
+      s""""decode_mlinks_per_sec":${f(m2 / tFull / 1e6)},""" +
+      s""""degree_scan_sec":${f(tDeg)},"id_slice_sec":${f(tSlice)},""" +
+      s""""slice_edges":$sliceEdges,"checks":${nn == n && m2 == mm}}""")
+    spark.stop()
+  }
+}
