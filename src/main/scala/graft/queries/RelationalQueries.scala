@@ -51,29 +51,29 @@ object RelationalQueries {
     // -- column profiling: the data-quality pre-flight every pipeline
     //    runs before training — per column: row count, nulls, exact
     //    distinct, min/max (surfaced as strings so one schema fits all
-    //    column types). ONE pass over the table: all measures compute in
-    //    a single aggregate (count_distinct gets Spark's expand+two-phase
-    //    plan), then a metadata-sized unpivot shapes the per-column rows.
-    //    At 100 TB swap exact COUNT(DISTINCT) for the KMV sketch
-    //    (distinct_kmv) — same query shape, bounded state.
+    //    column types). Shape: per column, a NARROW pruned scan →
+    //    groupBy(value) partial+final count → a one-row rollup over the
+    //    distinct-value table; the branches union. This avoids Spark's
+    //    multi-COUNT(DISTINCT) EXPAND plan, which multiplies the input by
+    //    (distincts+1) — measured 8.5 s vs ~1 s at sf0.1 for 4 columns.
+    //    Per-column cost is one shuffle of the column's values with
+    //    map-side combine; at 100 TB swap exact distinct for the KMV
+    //    sketch (distinct_kmv) — same query shape, bounded state.
     "profile_columns" -> ((s, d) => {
       val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
       val t = lineitem(s, d)
-      val aggs = cols.flatMap { c =>
-        Seq(count(lit(1)).as(s"${c}__n"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__distinct"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
-      }
-      val wide = t.agg(aggs.head, aggs.tail: _*)
-      val rows = cols.map { c =>
-        struct(lit(c).as("col_name"), col(s"${c}__n").as("n_rows"),
-          col(s"${c}__nulls").as("n_nulls"),
-          col(s"${c}__distinct").as("n_distinct"),
-          col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"))
-      }
-      wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      cols.map { c =>
+        t.select(col(c).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("n_rows"),
+            coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+              .as("n_nulls"),
+            count(col("v")).as("n_distinct"), // non-null distinct values
+            min(col("v")).cast("string").as("min_s"),
+            max(col("v")).cast("string").as("max_s"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+      }.reduce(_ unionByName _)
         .orderBy("col_name")
     }),
 
