@@ -39,13 +39,45 @@ import graft.bv.{BitOutput, BvEncoder, BvOffsets, BvProperties}
 class BvWriteBuilder(basename: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder = this // shards are always replaced
+
+  /** Codec parameters from write options — the full coding surface is
+    * writable, not just readable: `compressionflags` (same `|`-separated
+    * names the `.properties` sidecar uses), `zetak`, `golombmodulus`,
+    * `windowsize`, `maxrefcount`, `minintervallength`. Golomb-family
+    * flags REQUIRE an explicit golombmodulus, mirroring the parse
+    * contract (an implicit default would bake an undocumented modulus
+    * into the written bits). Each data shard's own `.properties` carries
+    * the flags, and boundary-pad shards (the `nodes` option) stay
+    * default-coded — shards are independently decodable, so mixed
+    * codings across one manifest are fine. */
+  private def template: graft.bv.BvProperties = {
+    def opt(k: String): Option[String] = Option(info.options.get(k))
+    val codings = opt("compressionflags")
+      .map(graft.bv.StreamCodings.fromFlagString)
+      .getOrElse(graft.bv.StreamCodings())
+    val golomb = opt("golombmodulus").map(_.toInt)
+    if (codings.usesGolomb && golomb.isEmpty)
+      throw new IllegalArgumentException(
+        "Golomb-family compressionflags require .option(\"golombmodulus\", b)")
+    graft.bv.BvProperties(0, 0,
+      windowSize = opt("windowsize").map(_.toInt).getOrElse(7),
+      maxRefCount = opt("maxrefcount").map(_.toInt).getOrElse(3),
+      minIntervalLength = opt("minintervallength").map(_.toInt).getOrElse(4),
+      zetaK = opt("zetak").map(_.toInt).getOrElse(3),
+      codings = codings,
+      golombModulus =
+        golomb.getOrElse(graft.bv.BvProperties.DEFAULT_GOLOMB_MODULUS))
+  }
+
   override def build(): Write = new BvWrite(basename, info.schema(),
     Option(info.options.get("shards")).map(_.toInt).getOrElse(0),
-    Option(info.options.get("nodes")).map(_.toInt))
+    Option(info.options.get("nodes")).map(_.toInt),
+    template)
 }
 
 class BvWrite(basename: String, schema: StructType, shards: Int,
-    padNodes: Option[Int])
+    padNodes: Option[Int],
+    template: graft.bv.BvProperties = graft.bv.BvProperties(0, 0))
     extends Write with RequiresDistributionAndOrdering {
   private val ordering: Array[SortOrder] =
     Array(Expressions.sort(Expressions.column("id"), SortDirection.ASCENDING))
@@ -55,16 +87,18 @@ class BvWrite(basename: String, schema: StructType, shards: Int,
     * pins the shard count. */
   override def requiredNumPartitions(): Int = shards
 
-  override def toBatch: BatchWrite = new BvBatchWrite(basename, schema, padNodes)
+  override def toBatch: BatchWrite =
+    new BvBatchWrite(basename, schema, padNodes, template)
 }
 
 case class BvShardCommit(part: Int, from: Int, until: Int, arcs: Long,
     graphBytes: Long, nonEmpty: Boolean) extends WriterCommitMessage
 
-class BvBatchWrite(basename: String, schema: StructType, padNodes: Option[Int])
+class BvBatchWrite(basename: String, schema: StructType, padNodes: Option[Int],
+    template: graft.bv.BvProperties = graft.bv.BvProperties(0, 0))
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BvWriterFactory(basename, schema)
+    new BvWriterFactory(basename, schema, template)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val written = messages.collect { case m: BvShardCommit if m.nonEmpty => m }
@@ -225,13 +259,14 @@ object BvShards {
   }
 }
 
-class BvWriterFactory(basename: String, schema: StructType)
+class BvWriterFactory(basename: String, schema: StructType,
+    template: graft.bv.BvProperties = graft.bv.BvProperties(0, 0))
     extends DataWriterFactory {
   private val idIdx = schema.fieldIndex("id")
   private val succIdx = schema.fieldIndex("successors")
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BvShardWriter(basename, partitionId, taskId, idIdx, succIdx)
+    new BvShardWriter(basename, partitionId, taskId, idIdx, succIdx, template)
 }
 
 /** One task = one shard. Rows arrive id-ascending (RequiresDistributionAnd-
@@ -239,7 +274,9 @@ class BvWriterFactory(basename: String, schema: StructType)
   * the reference window, not the partition. Output goes to an
   * attempt-suffixed temp triple, renamed into place on task commit. */
 class BvShardWriter(basename: String, partitionId: Int, taskId: Long,
-    idIdx: Int, succIdx: Int) extends DataWriter[InternalRow] {
+    idIdx: Int, succIdx: Int,
+    template: graft.bv.BvProperties = graft.bv.BvProperties(0, 0))
+    extends DataWriter[InternalRow] {
   private val conf = new Configuration()
   private val finalBase = BvShards.shardBase(basename, partitionId)
   private val tmpBase = s"$finalBase.attempt-$taskId"
@@ -254,7 +291,7 @@ class BvShardWriter(basename: String, partitionId: Int, taskId: Long,
     val id = row.getInt(idIdx)
     if (enc == null) {
       graphOut = fs.create(new Path(tmpBase + ".graph"), true)
-      val encoder = new BvEncoder(BvProperties(0, 0))
+      val encoder = new BvEncoder(template)
       enc = new encoder.Stream(graphOut)
       from = id
       nextId = id

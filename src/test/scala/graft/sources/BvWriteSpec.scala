@@ -260,6 +260,49 @@ class BvWriteSpec extends AnyFunSuite {
     adj.indices.foreach(x => assert(back(x).sameElements(adj(x)), s"node $x"))
   }
 
+  test("write options choose the codec: non-default flags round-trip through the sink") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    val adj = Array.tabulate(300) { x =>
+      val s = scala.collection.mutable.SortedSet.empty[Int]
+      (0 until rnd.nextInt(8)).foreach(_ => s += rnd.nextInt(300))
+      s.toArray
+    }
+    val base = java.nio.file.Files.createTempDirectory("bvwflags").toString + "/g"
+    adj.zipWithIndex.map { case (s, i) => (i, s) }.toSeq.toDF("id", "successors")
+      .select(col("id").cast("int"), col("successors").cast("array<int>"))
+      .withColumn("outdegree", size(col("successors")))
+      .write.format("bvgraph").option("basename", base).option("shards", 4)
+      .option("compressionflags", "OUTDEGREES_DELTA|RESIDUALS_GOLOMB|BLOCKS_SKEWED_GOLOMB")
+      .option("golombmodulus", "5").option("zetak", "2")
+      .mode("overwrite").save()
+    // every data shard's own sidecar carries the flags + modulus
+    graft.sources.BvShards.readManifest(base).get.shards.foreach { sh =>
+      val props = graft.bv.BvProperties.parse(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(sh.base + ".properties")),
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+      assert(props.codings.outdegree == graft.bv.Coding.DELTA)
+      assert(props.codings.residual == graft.bv.Coding.GOLOMB)
+      assert(props.golombModulus == 5)
+    }
+    val back = spark.read.format("bvgraph").option("basename", base).load()
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap
+    adj.indices.foreach(x => assert(back(x).sameElements(adj(x)), s"node $x"))
+    // Golomb-family flags without a modulus are rejected up front
+    val e = intercept[Exception] {
+      Seq((0, Array(1))).toDF("id", "successors")
+        .select(col("id").cast("int"), col("successors").cast("array<int>"))
+        .withColumn("outdegree", size(col("successors")))
+        .write.format("bvgraph")
+        .option("basename", base + "2")
+        .option("compressionflags", "RESIDUALS_GOLOMB")
+        .mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("golombmodulus")
+      || Option(e.getCause).exists(_.getMessage.contains("golombmodulus")))
+  }
+
   test("write fills interior id gaps with empty nodes") {
     import spark.implicits._
     val df = Seq((0, Array(2, 5)), (2, Array(0)), (5, Array(0, 2)))
