@@ -210,6 +210,37 @@ class BvSourceSpec extends AnyFunSuite {
       .map(p => p.until - p.from).sum == 400)
   }
 
+  test("pushed + runtime id bounds cover exactly the clamped range (randomized)") {
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
+    val n = 500
+    val (base, _) = fixture(n, 41L)
+    val rnd = new scala.util.Random(7)
+    (1 to 30).foreach { trial =>
+      val a = rnd.nextInt(n + 100) - 50 // deliberately includes out-of-range
+      val b = rnd.nextInt(n + 100) - 50
+      val (lo, hi) = (math.min(a, b).toLong, math.max(a, b).toLong)
+      val scan = new BvGraphScan(base, Some(7), BvGraphTable.SCHEMA, lo, hi)
+      val rl = lo + rnd.nextInt(20)
+      val rh = hi - rnd.nextInt(20)
+      scan.filter(Array[Filter](
+        GreaterThanOrEqual("id", rl), LessThan("id", rh)))
+      val eLo = math.max(0L, math.max(lo, rl))
+      val eHi = math.min(n.toLong, math.min(hi, rh))
+      val parts = scan.planInputPartitions()
+        .collect { case p: BvInputPartition => p }.sortBy(_.from)
+      val expected = math.max(0L, eHi - eLo)
+      assert(parts.map(p => (p.until - p.from).toLong).sum == expected,
+        s"trial $trial: bounds [$lo,$hi) rt [$rl,$rh)")
+      if (expected > 0) {
+        assert(parts.head.from == eLo && parts.last.until == eHi)
+        parts.sliding(2).foreach {
+          case Array(x, y) => assert(x.until == y.from, s"gap in trial $trial")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("BvCatalog: graphs are SQL tables addressed by basename, no registration") {
     val (base, adj) = fixture(150, 31L)
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.BvCatalog")
