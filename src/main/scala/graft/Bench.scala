@@ -10,13 +10,30 @@ import org.apache.spark.sql.SparkSession
   * order-independent medians, not whatever the session accumulated —
   * round 3 measured 3–66x regressions on unchanged queries purely from
   * leaked caches, and single-run totals on this box swing ±50% on GC
-  * spikes. Reported: median per query (and the max across runs in
-  * `queries_max`), total = sum of medians. */
+  * spikes. The GraphX/shuffle-stage-heavy family (graph_*, layout_zorder)
+  * is the variance hot spot — round 5's driver run charged graph_pagerank
+  * 10.2 s where the same unchanged code measured 2.9–3.9 s in two other
+  * runs on the same box — so those queries get SPARK_GRAFT_RUNS_NOISY
+  * samples (default 5) and every query's per-run times plus the box's
+  * /proc/loadavg at each run start go into the BENCH.md record: a
+  * contended run is self-evident from the record instead of reading as a
+  * code regression. Reported: median per query (and the max across runs
+  * in `queries_max`), total = sum of medians. */
 object Bench {
+  /** 1-minute load average at call time; -1 where /proc is unavailable. */
+  private def load1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val runsNoisy = math.max(runs,
+      sys.env.getOrElse("SPARK_GRAFT_RUNS_NOISY", "5").toInt)
+    def isNoisy(name: String): Boolean =
+      name.startsWith("graph_") || name == "layout_zorder"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,32 +50,43 @@ object Bench {
     SparkEntry.queries("scalar_funcs")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     def fmt(v: Double): String = f"$v%.3f"
+    val benchLoadStart = load1()
     // a failed query reports -1 (never its partial elapsed time, which
     // would read as a speedup) and is excluded from the total
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+      val nRuns = if (isNoisy(name)) runsNoisy else runs
+      val samples = (1 to nRuns).flatMap { _ =>
         Caches.hardSweep(spark) // order-independent: no inherited caches
+        val ld = load1()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          Some(((System.nanoTime() - t0) / 1e9, ld))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None
         }
       }
-      if (times.isEmpty) (name, -1.0, -1.0)
+      val times = samples.map(_._1)
+      val loads = samples.map(_._2)
+      if (times.isEmpty) (name, -1.0, -1.0, times, loads)
       else {
         val sorted = times.sorted
-        (name, sorted(sorted.length / 2), sorted.last)
+        (name, sorted(sorted.length / 2), sorted.last, times, loads)
       }
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, _, mx) => "\"" + k + "\":" + fmt(mx) }
+    val qsMax = results.map { case (k, _, mx, _, _) => "\"" + k + "\":" + fmt(mx) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, med, _) if med < 0 => "\"" + k + "\"" }
+    val qsRuns = results.map { case (k, _, _, ts, _) =>
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val qsLoad = results.map { case (k, _, _, _, lds) =>
+      "\"" + k + "\":" + lds.map(l => f"$l%.2f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, med, _, _, _) if med < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     // stdout gets the SHORT line (medians only): the round-4 harness
     // truncated the long line mid-JSON and recovered nothing. The full
@@ -69,13 +97,19 @@ object Bench {
         s""""runs":$runs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""queries_max":$qsMax,"runs":$runs,""" +
+        s""""queries_max":$qsMax,"queries_runs":$qsRuns,"queries_load":$qsLoad,""" +
+        s""""runs":$runs,"runs_noisy":$runsNoisy,""" +
+        f""""load_start":$benchLoadStart%.2f,"load_end":${load1()}%.2f,""" +
         s""""errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(shortLine)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.md")
     try {
-      val md = s"# BENCH\n\nFull bench record (medians of $runs runs with " +
-        s"hard cache sweeps; `queries_max` = worst run).\n\n```json\n$fullLine\n```\n"
+      val md = s"# BENCH\n\nFull bench record (medians of $runs runs — " +
+        s"$runsNoisy for the noisy graph family — with hard cache sweeps; " +
+        "`queries_max` = worst run, `queries_runs` = every per-run time, " +
+        "`queries_load` = 1-min /proc/loadavg at each run's start, so a " +
+        "contended run is self-evident from the record).\n\n" +
+        s"```json\n$fullLine\n```\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception =>

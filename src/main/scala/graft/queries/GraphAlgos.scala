@@ -30,6 +30,68 @@ object GraphAlgos {
 
   private val OFF = 1000000L
 
+  /** Eager localCheckpoint + the set of RDD ids it registered, so the
+    * caller can release exactly this generation later. localCheckpoint
+    * registers its RDD with the context but not the SQL cache manager, so
+    * releases must go through the RDD handle — captured by diffing the
+    * persistent-RDD set around the (eager) checkpoint. This is the ONLY
+    * sound lineage cut for iterative DataFrame loops: persist()+count()
+    * cuts execution lineage but leaves the full LOGICAL plan for the
+    * analyzer to re-canonicalize every round (the round-3/4 kcore trap:
+    * 121 s of driver-side planning at sf0.1). */
+  private[graft] def checkpointWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(eager = true)
+    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+  }
+
+  private[graft] def freeRdds(s: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id => s.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+
+  /** PageRank loop body, iteration count and checkpoint policy exposed so
+    * PlanQualitySpec can prove the hygiene matters: at N=10 the
+    * uncheckpointed loop's logical plan re-embeds the pinned e/nodes/outdeg
+    * trees every iteration (linear plan growth — and the moment anyone
+    * makes the refresh reference `pr` twice it turns exponential, exactly
+    * kcore round 3), while the checkpointed loop stays flat at a LogicalRDD
+    * leaf regardless of N. The declared query runs iters=3 WITH checkpoints:
+    * each iteration's frame is node-sized, so the eager materialization is
+    * three cheap jobs, and the previous generation's RDD is freed as soon
+    * as the next lands — peak storage is the pins + two node-sized frames. */
+  private[graft] def pageRank(s: SparkSession, d: String, iters: Int,
+      checkpointEachIter: Boolean): DataFrame = {
+    val e = graft.Caches.pin(orders(s, d)
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("o_orderkey").cast("long") + OFF).as("dst")))
+    val nodes = graft.Caches.pin(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val outdeg = graft.Caches.pin(
+      e.groupBy("src").agg(count(lit(1)).as("odeg")))
+    var pr = nodes.select(col("id"), lit(1.0).as("pr"))
+    var prIds = Set.empty[Int]
+    for (_ <- 1 to iters) {
+      val contribs = e.join(pr.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), (col("pr") / col("odeg")).as("c"))
+      val sums = contribs.groupBy("id").agg(sum(col("c")).as("csum"))
+      val next = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("pr"))
+      if (checkpointEachIter) {
+        val (ck, ids) = checkpointWithIds(next)
+        freeRdds(s, prIds) // safe: `ck` is already materialized (eager)
+        pr = ck
+        prIds = ids
+      } else pr = next
+    }
+    if (prIds.nonEmpty) graft.Caches.defer(s)(freeRdds(s, prIds))
+    pr.select(col("id"),
+      floor(col("pr") * lit(1000000000.0)).cast("long").as("pr_e9"))
+      .orderBy("id")
+  }
+
   /** Distinct undirected co-purchase edges (u < v) over parts: group each
     * order's part set — bounded by order size (≤13 lineitems/order in
     * this testdata ⇒ ≤78 intra-order pairs; the per-group pair cost is
@@ -59,28 +121,8 @@ object GraphAlgos {
     //    the general loop. Every arithmetic step (0.15 + 0.85·(0.15/deg))
     //    is the same IEEE-754 double op sequence in both engines; the
     //    surfaced value is floor(pr·1e9).
-    "graph_pagerank" -> ((s, d) => {
-      val e = graft.Caches.pin(orders(s, d)
-        .select(col("o_custkey").cast("long").as("src"),
-          (col("o_orderkey").cast("long") + OFF).as("dst")))
-      val nodes = graft.Caches.pin(e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct())
-      val outdeg = graft.Caches.pin(
-        e.groupBy("src").agg(count(lit(1)).as("odeg")))
-      var pr = nodes.select(col("id"), lit(1.0).as("pr"))
-      for (_ <- 1 to 3) {
-        val contribs = e.join(pr.withColumnRenamed("id", "src"), "src")
-          .join(outdeg, "src")
-          .select(col("dst").as("id"), (col("pr") / col("odeg")).as("c"))
-        val sums = contribs.groupBy("id").agg(sum(col("c")).as("csum"))
-        pr = nodes.join(sums, Seq("id"), "left")
-          .select(col("id"),
-            (lit(0.15) + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("pr"))
-      }
-      pr.select(col("id"),
-        floor(col("pr") * lit(1000000000.0)).cast("long").as("pr_e9"))
-        .orderBy("id")
-    }),
+    "graph_pagerank" -> ((s, d) => pageRank(s, d, iters = 3,
+      checkpointEachIter = true)),
 
     // -- triangle count on the co-purchase graph, compact-forward: orient
     //    each undirected edge from the (degree, id)-smaller endpoint to
@@ -208,9 +250,13 @@ object GraphAlgos {
     //    (deg is node-sized; AQE broadcasts it when small), one global
     //    agg — no iteration, no driver loop, two shuffles total.
     "graph_assortativity" -> ((s, d) => {
-      // e feeds three subtrees (deg build + both join arms) — pin it so
-      // the co-purchase construction runs once, not once per consumer
-      val e = graft.Caches.pin(coPurchaseEdges(s, d))
+      // e feeds three subtrees (deg build + both join arms). A lazy pin
+      // materializes under all three concurrently in the first action and
+      // the winner gets charged the whole co-purchase build (driver bench:
+      // 8.6 s vs 2.9 s profiled) — checkpoint it EAGERLY instead, like
+      // kcore's deg pass, so the build runs exactly once, up front
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
       val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("deg"))
       val j = e
@@ -231,7 +277,6 @@ object GraphAlgos {
 
     "graph_kcore" -> ((s, d) => {
       val rounds = 6
-      val sc = s.sparkContext
       val dbg = sys.props.get("graft.debug").contains("1")
       val t0 = System.nanoTime()
       def mark(phase: String): Unit = if (dbg)
@@ -244,16 +289,8 @@ object GraphAlgos {
       def degOf(edges: DataFrame): DataFrame = edges
         .select(explode(array(col("u"), col("v"))).as("u"))
         .groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      // localCheckpoint registers its RDD with the context but not the SQL
-      // cache manager, so releases go through the RDD handle — captured by
-      // diffing the persistent-RDD set around the (eager) checkpoint
-      def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val out = df.localCheckpoint(eager = true)
-        (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-      }
-      def free(ids: Set[Int]): Unit = ids.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = checkpointWithIds(df)
+      def free(ids: Set[Int]): Unit = freeRdds(s, ids)
       // ONE degree pass feeds everything up front: m = Σdeg/2, n = |deg|,
       // and round 1 — whose two alive-joins against the full node set are
       // identity filters — is just deg ≥ k. Saves two full edge-set

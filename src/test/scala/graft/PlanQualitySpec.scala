@@ -234,6 +234,37 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         "growth is back")
   }
 
+  test("graph_pagerank: per-iteration checkpoints keep the plan flat at high N") {
+    // kcore's hygiene applied to the pagerank loop shape: the shipped query
+    // runs 3 iterations (safe either way), but the PATTERN must survive a
+    // convergence-style iteration count. At N=10 the uncheckpointed loop
+    // re-embeds the pinned e/nodes/outdeg trees every iteration — plan
+    // growth the analyzer re-canonicalizes on every round — while the
+    // checkpointed loop truncates each iteration to a LogicalRDD leaf, so
+    // the final plan is the same handful of nodes at ANY N.
+    Caches.hardSweep(spark)
+    val checked = graft.queries.GraphAlgos
+      .pageRank(spark, sf0001, iters = 10, checkpointEachIter = true)
+    val checkedNodes = checked.queryExecution.analyzed.collect { case p => p }.size
+    val checkedRows = checked.collect()
+    Caches.hardSweep(spark)
+    val unchecked = graft.queries.GraphAlgos
+      .pageRank(spark, sf0001, iters = 10, checkpointEachIter = false)
+    val uncheckedNodes = unchecked.queryExecution.analyzed.collect { case p => p }.size
+    assert(checkedNodes < 80,
+      s"checkpointed pagerank plan has $checkedNodes nodes at N=10 — " +
+        "iteration lineage is leaking into the final plan")
+    assert(uncheckedNodes > 2 * checkedNodes,
+      s"uncheckpointed plan ($uncheckedNodes nodes) no longer dwarfs the " +
+        s"checkpointed one ($checkedNodes) — this gate's premise changed; re-audit")
+    // the checkpoint is a pure lineage cut: results must be bit-identical
+    assert(java.util.Arrays.equals(
+      checkedRows.map(_.toString).asInstanceOf[Array[AnyRef]],
+      unchecked.collect().map(_.toString).asInstanceOf[Array[AnyRef]]),
+      "checkpointed and uncheckpointed pagerank disagree at N=10")
+    Caches.hardSweep(spark)
+  }
+
   test("iterative loops: every declared graph query plans in bounded time") {
     // cheap canary for the whole iterative family: building the query and
     // reaching the optimized plan must be seconds, not minutes, at the
