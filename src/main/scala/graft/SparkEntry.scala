@@ -36,7 +36,7 @@ object SparkEntry {
       GraphAlgos.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ CurationQueries.queries ++
-      ScaleOps.queries
+      ScaleOps.queries ++ graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +45,5 @@ object SparkEntry {
       GraphAlgos.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ TextQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ CurationQueries.oracleSql ++
-      ScaleOps.oracleSql
+      ScaleOps.oracleSql ++ graft.streaming.StreamingOps.oracleSql
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -129,6 +130,84 @@ object StreamingOps {
     events.join(broadcast(dim), col(streamKey) === col(dimKey))
       .select(col(streamKey), col("ts"), col("event_type"), col("value"),
         col("c_name"), col("c_nationkey"))
+
+  /** The one streaming operator that is ORACLE-gated (not just spec-gated):
+    * the events table replayed through a genuine Structured Streaming
+    * session-window aggregation with a deterministic micro-batch +
+    * watermark schedule, hash-compared against the same gaps-and-islands
+    * SQL that gates the batch twin (`session_window_agg`).
+    *
+    * Determinism argument (every step is a pure function of the data):
+    *  - rows are split into two micro-batches at the midpoint event time;
+    *    every batch-2 row is strictly later than batch 1's maximum, so the
+    *    watermark after batch 1 (max₁ − delay) can never drop a batch-2
+    *    row — zero late-drops, which is what makes the streaming result
+    *    equal the batch result by construction rather than by luck;
+    *  - two sentinel events (user −1, far future) then push the watermark
+    *    past every real session's end + gap: sentinel batch 1 advances the
+    *    watermark, sentinel batch 2 executes under it and flushes ALL real
+    *    sessions through the append-mode sink. The sentinel's own session
+    *    stays open (never emitted) and is filtered out regardless.
+    *
+    * The driver-side collect is the REPLAY HARNESS, not the operator: the
+    * aggregation itself is the same shuffle-once, bounded-state
+    * session_window plan that [[windowedAgg]]/production `readStream`
+    * would run against a real source — at 100 TB/day the source is Kafka
+    * or files and no collect exists anywhere. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_session_window" -> ((s, d) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = graft.Tables.events(s, d)
+        .select(col("user_id").cast("long"), unix_micros(col("ts")),
+          floor(col("value") * 100).cast("long"))
+        .as[(Long, Long, Long)].collect()
+      val minUs = rows.iterator.map(_._2).min
+      val maxUs = rows.iterator.map(_._2).max
+      val midUs = minUs + (maxUs - minUs) / 2
+      val (b1, b2) = rows.partition(_._2 <= midUs)
+      val gapUs = 30L * 60 * 1000000L
+      val delayUs = 10L * 60 * 1000000L
+      val sentinelUs = maxUs + gapUs + delayUs + 3600L * 1000000L
+      val stream = MemoryStream[(Long, Long, Long)]
+      val agg = stream.toDF().toDF("user_id", "us", "v_cents")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("value_cents"))
+        .select(col("user_id"),
+          unix_micros(col("win.start")).as("start_us"),
+          unix_micros(col("win.end")).as("end_us"),
+          col("n_events"), col("value_cents"))
+      val sink = "stream_session_window_sink"
+      s.catalog.dropTempView(sink) // re-runs in one session replace the sink
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+        stream.addData(Seq((-1L, sentinelUs, 0L))); q.processAllAvailable()
+        stream.addData(Seq((-1L, sentinelUs + 1000000L, 0L))); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .orderBy("user_id", "start_us")
+    }))
+
+  /** Identical to the batch `session_window_agg` oracle: the streaming
+    * schedule above drops nothing and flushes everything, so the two
+    * engines must agree row-for-row. */
+  val oracleSql: Map[String, String] = Map(
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+         l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+         sx AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS UNBOUNDED PRECEDING) AS sess_no FROM n)
+         SELECT user_id, MIN(us) AS start_us,
+           MAX(us) + 1800000000 AS end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""")
 
   /** File-based streaming read of an events directory (the batch parquet
     * becomes a stream source unchanged — same schema, same downstream

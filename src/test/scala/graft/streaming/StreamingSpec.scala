@@ -47,6 +47,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_session_window equals the batch session_window_agg row-for-row") {
+    // the oracle-gated streaming query: its deterministic replay schedule
+    // (midpoint batch split + sentinel watermark flush) must reproduce the
+    // batch session_window result exactly — zero late-drops, full flush
+    graft.Caches.hardSweep(spark)
+    val streamed = graft.SparkEntry.queries("stream_session_window")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val batch = graft.SparkEntry.queries("session_window_agg")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length,
+      s"session count differs: streaming ${streamed.length} vs batch ${batch.length}")
+    assert(streamed.sameElements(batch), "streaming and batch sessions differ")
+  }
+
   test("sliding windows emit overlapping frames") {
     implicit val s = spark
     import s.implicits._
