@@ -26,17 +26,42 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Table existence = the `.properties` sidecar (unsharded) or `.shards`
   * manifest (sharded) being present — the same probe order the scan uses.
+  *
+  * Because the identifier is a raw path, an unrestricted catalog pointed
+  * at production storage would let any SQL user probe/read arbitrary
+  * paths the Spark process can reach. The `allowlist` catalog option
+  * (comma-separated path prefixes) fences it:
+  *
+  * {{{
+  * spark.conf "spark.sql.catalog.graft.allowlist" -> "/data/graphs,/warehouse/bv"
+  * }}}
+  *
+  * With it set, identifiers outside every prefix don't resolve (loadTable
+  * throws with the configured prefixes; tableExists is false) — the
+  * filesystem is never probed for fenced-off paths.
   */
 class BvCatalog extends TableCatalog {
   private var catalogName: String = _
+  private var allowlist: Seq[String] = Nil
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    allowlist = Option(options.get("allowlist")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  }
 
   override def name(): String = catalogName
 
   private def basenameOf(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString("/")
+
+  /** A basename is allowed iff no allowlist is configured (open catalog,
+    * the test/exploration default) or it falls under one of the prefixes.
+    * Prefix match is segment-safe: "/data/graphs" allows
+    * "/data/graphs/uk2002" but NOT "/data/graphs-private/x". */
+  private def allowed(basename: String): Boolean =
+    allowlist.isEmpty || allowlist.exists(p =>
+      basename == p || basename.startsWith(p.stripSuffix("/") + "/"))
 
   private def exists(basename: String): Boolean = {
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -49,12 +74,20 @@ class BvCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val basename = basenameOf(ident)
+    if (!allowed(basename))
+      throw new IllegalArgumentException(
+        s"bvgraph catalog '$catalogName': path '$basename' is outside the " +
+          s"configured allowlist (${allowlist.mkString(", ")}); set " +
+          s"spark.sql.catalog.$catalogName.allowlist to permit it")
     if (!exists(basename))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     new BvGraphTable(basename, None)
   }
 
-  override def tableExists(ident: Identifier): Boolean = exists(basenameOf(ident))
+  override def tableExists(ident: Identifier): Boolean = {
+    val basename = basenameOf(ident)
+    allowed(basename) && exists(basename)
+  }
 
   /** CREATE TABLE registers nothing durable — a graph "exists" iff its
     * files do. Creation happens by WRITING (the DSv2 sink); a bare DDL

@@ -261,6 +261,41 @@ class BvSourceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.catalog.graft")
   }
 
+  test("BvCatalog allowlist fences paths: inside resolves, outside never probes") {
+    val (base, adj) = fixture(120, 37L)
+    val parent = new java.io.File(base).getParent
+    // a second real graph OUTSIDE the allowlist — proves the fence is the
+    // allowlist, not file existence
+    val (outsideBase, _) = fixture(80, 41L)
+    val outsideParent = new java.io.File(outsideBase).getParent
+    assert(parent != outsideParent, "fixtures must land in distinct dirs")
+    spark.conf.set("spark.sql.catalog.graftfenced", "graft.sources.BvCatalog")
+    spark.conf.set("spark.sql.catalog.graftfenced.allowlist",
+      s"$parent,/some/other/prefix")
+    try {
+      val m = spark.sql(s"SELECT sum(outdegree) AS m FROM graftfenced.`$base`")
+        .head().getLong(0)
+      assert(m == adj.map(_.length.toLong).sum)
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graftfenced.`$outsideBase`").collect()
+      }
+      assert(e.getMessage.contains("allowlist"),
+        s"expected an allowlist rejection, got: ${e.getMessage}")
+      // segment-safe prefixes: a sibling dir sharing the prefix STRING is
+      // still fenced ("/a/b" must not admit "/a/bevil/...")
+      val cat = new BvCatalog
+      cat.initialize("t", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("allowlist", "/data/graphs")))
+      assert(!cat.tableExists(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty[String], "/data/graphs-private/g")))
+      assert(!cat.tableExists(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty[String], "/data/graphsx")))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftfenced.allowlist")
+      spark.conf.unset("spark.sql.catalog.graftfenced")
+    }
+  }
+
   test("optimizer injects a runtime filter into the bv scan under a selective join") {
     val (base, adj) = fixture(400, 23L)
     // independent selective dim: a tiny id table with a pushable filter
