@@ -120,13 +120,54 @@ object ScaleRehearsal {
       rounds
     }
 
-    val graphBytes = {
-      val dir = new java.io.File(base + ".d")
+    // runtime filtering (SupportsRuntimeFiltering): a selective join whose
+    // dim values land in a narrow id band must tighten the scan's id
+    // bounds BEFORE task launch — the 100 TB "join a graph against a small
+    // id set" shape. Evidence of pruning = this join's cost tracks the
+    // 0.5% band, not the full decode. Cross-checked against the pushed
+    // static-range scan of the same band.
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_scale_dim").toString
+    val dLo = n / 3L; val dHi = dLo + n / 200L
+    spark.range(dLo, dHi).toDF("jid").write.mode("overwrite").parquet(dimPath)
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    val (rtEdges, tRt) = timed {
+      g.join(spark.read.parquet(dimPath), col("id") === col("jid"))
+        .select(explode(col("successors"))).count()
+    }
+    val (expRt, _) = timed(
+      g.filter(col("id") >= dLo && col("id") < dHi)
+        .select(explode(col("successors"))).count())
+
+    // Golomb-coded shard set: the same graph written with RESIDUALS_GOLOMB
+    // (explicit modulus — the sidecar contract) and decoded end-to-end, so
+    // SCALE.md can state measured links/s per coding, not just "it parses".
+    // The modulus must track the residual-gap distribution (Golomb's unary
+    // quotient is gap/m bits): mean gap ≈ 2·localityWindow/avgDeg; rounded
+    // down to a power of two for the Rice fast path. A mismatched modulus
+    // is catastrophic, not suboptimal — m=256 on this data measured
+    // ~1500 bits/link and 5x the write time.
+    val golombM = Integer.highestOneBit(math.max(1, 40000 / avgDeg))
+    val baseGol = base + "_golomb"
+    val (_, tWriteGol) = timed {
+      adj.write.format("bvgraph").option("basename", baseGol)
+        .option("shards", shards).option("nodes", n)
+        .option("compressionflags", "RESIDUALS_GOLOMB")
+        .option("golombmodulus", golombM.toString)
+        .mode("overwrite").save()
+    }
+    val gGol = spark.read.format("bvgraph").option("basename", baseGol).load()
+    val (mGol, tFullGol) = timed(
+      gGol.select(explode(col("successors"))).count())
+
+    def graphBytesOf(b: String): Long = {
+      val dir = new java.io.File(b + ".d")
       if (dir.isDirectory)
         dir.listFiles.filter(_.getName.endsWith(".graph")).map(_.length).sum
-      else new java.io.File(base + ".graph").length
+      else new java.io.File(b + ".graph").length
     }
-    val bitsPerLink = graphBytes * 8.0 / mm
+    val bitsPerLink = graphBytesOf(base) * 8.0 / mm
+    val bitsPerLinkGol = graphBytesOf(baseGol) * 8.0 / mm
     def f(v: Double): String = f"$v%.2f"
     println(s"""{"nodes":$n,"arcs":$mm,"shards":$shards,""" +
       s""""bits_per_link":${f(bitsPerLink)},"write_sec":${f(tWrite)},""" +
@@ -134,7 +175,13 @@ object ScaleRehearsal {
       s""""decode_mlinks_per_sec":${f(m2 / tFull / 1e6)},""" +
       s""""degree_scan_sec":${f(tDeg)},"id_slice_sec":${f(tSlice)},""" +
       s""""kcore_rounds":$kcoreRounds,"kcore_sec":${f(tKcore)},""" +
-      s""""slice_edges":$sliceEdges,"checks":${nn == n && m2 == mm}}""")
+      s""""runtime_join_sec":${f(tRt)},"runtime_join_edges":$rtEdges,""" +
+      s""""golomb_write_sec":${f(tWriteGol)},""" +
+      s""""golomb_full_decode_sec":${f(tFullGol)},""" +
+      s""""golomb_decode_mlinks_per_sec":${f(mGol / tFullGol / 1e6)},""" +
+      s""""golomb_bits_per_link":${f(bitsPerLinkGol)},""" +
+      s""""slice_edges":$sliceEdges,""" +
+      s""""checks":${nn == n && m2 == mm && mGol == mm && rtEdges == expRt}}""")
     spark.stop()
   }
 }

@@ -23,6 +23,9 @@ final class BvEncoder(props: BvProperties) {
   private val codings = props.codings
 
   private val golombB = props.golombModulus
+  // shard base: value-coded deltas anchor at the GLOBAL id (firstNode + x),
+  // matching [[BvGraph.decodeNode]]; 0 for unsharded graphs
+  private val firstNode = props.firstNode
 
   private def writeCoded(out: BitOutput, coding: Int, v: Long): Unit = coding match {
     case Coding.GAMMA => out.writeGamma(v)
@@ -117,7 +120,7 @@ final class BvEncoder(props: BvProperties) {
       var i = 0
       while (i < intervals.length) {
         val (left, len) = intervals(i)
-        if (i == 0) out.writeGamma(int2nat((left - x).toLong))
+        if (i == 0) out.writeGamma(int2nat(left.toLong - (firstNode + x)))
         else out.writeGamma((left - prev - 1).toLong)
         out.writeGamma((len - minIntervalLength).toLong)
         prev = left + len
@@ -127,7 +130,8 @@ final class BvEncoder(props: BvProperties) {
     }
 
     if (extras.nonEmpty) {
-      writeCoded(out, codings.residual, int2nat((extras(0) - x).toLong))
+      writeCoded(out, codings.residual,
+        int2nat(extras(0).toLong - (firstNode + x)))
       var i = 1
       while (i < extras.length) {
         writeCoded(out, codings.residual, (extras(i) - extras(i - 1) - 1).toLong)

@@ -55,6 +55,9 @@ final class BvGraph(
         "regenerate the index with BvOffsets.regenerate)")
 
   private val golombB = props.golombModulus
+  // shard base (sidecar `firstnode`, 0 for unsharded): value-coded deltas
+  // are anchored at the GLOBAL id firstNode + x — see BvEncoder.encodeNode
+  private val firstNode = props.firstNode
 
   private def readCoded(in: BitInput, coding: Int): Int = coding match {
     case Coding.GAMMA => in.readGamma()
@@ -179,7 +182,7 @@ final class BvGraph(
         var i = 0
         while (i < intervalCount) {
           val left =
-            if (i == 0) (nat2int(in.readLongGamma()) + x).toInt
+            if (i == 0) (nat2int(in.readLongGamma()) + firstNode + x).toInt
             else in.readGamma() + prev + 1
           val len = in.readGamma() + minIntervalLength
           var v = left
@@ -196,7 +199,7 @@ final class BvGraph(
     var residuals: Array[Int] = BvGraph.EMPTY
     if (extraCount > 0) {
       residuals = new Array[Int](extraCount)
-      var prev = (x + nat2int(readCodedLong(in, codings.residual))).toInt
+      var prev = (firstNode + x + nat2int(readCodedLong(in, codings.residual))).toInt
       residuals(0) = prev
       var i = 1
       while (i < extraCount) {

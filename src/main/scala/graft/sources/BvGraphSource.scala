@@ -421,14 +421,25 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
     * needs (decode volume per task exposes skewed splits directly). */
   override def supportedCustomMetrics(): Array[
       org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new BvSumMetric("bvNodesDecoded", "BV nodes decoded"),
-      new BvSumMetric("bvArcsDecoded", "BV arcs decoded"))
+    Array(new BvNodesDecodedMetric, new BvArcsDecodedMetric)
 }
 
-class BvSumMetric(n: String, d: String)
+/** One concrete class per metric: the SQL status listener re-instantiates
+  * the metric REFLECTIVELY by class name with a zero-arg constructor to
+  * aggregate task values — a parameterized `BvSumMetric(name, desc)`
+  * compiles and even renders at first, but every listener update fails
+  * with "did not have a zero-argument constructor" and the UI metric
+  * silently stays empty. */
+class BvNodesDecodedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = n
-  override def description(): String = d
+  override def name(): String = "bvNodesDecoded"
+  override def description(): String = "BV nodes decoded"
+}
+
+class BvArcsDecodedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "bvArcsDecoded"
+  override def description(): String = "BV arcs decoded"
 }
 
 case class BvTaskMetric(metricName: String, metricValue: Long)

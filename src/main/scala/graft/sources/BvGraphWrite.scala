@@ -291,7 +291,10 @@ class BvShardWriter(basename: String, partitionId: Int, taskId: Long,
     val id = row.getInt(idIdx)
     if (enc == null) {
       graphOut = fs.create(new Path(tmpBase + ".graph"), true)
-      val encoder = new BvEncoder(template)
+      // anchor this shard's value deltas at its global base id — without
+      // it every node pays ≈ zigzag(base) bits on its first residual
+      // (unary-quotient codings make that catastrophic; see BvProperties)
+      val encoder = new BvEncoder(template.copy(firstNode = id.toLong))
       enc = new encoder.Stream(graphOut)
       from = id
       nextId = id
