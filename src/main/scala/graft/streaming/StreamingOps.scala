@@ -131,85 +131,141 @@ object StreamingOps {
       .select(col(streamKey), col("ts"), col("event_type"), col("value"),
         col("c_name"), col("c_nationkey"))
 
-  /** The one streaming operator that is ORACLE-gated (not just spec-gated):
-    * the events table replayed through a genuine Structured Streaming
-    * session-window aggregation with a deterministic micro-batch +
-    * watermark schedule, hash-compared against the same gaps-and-islands
-    * SQL that gates the batch twin (`session_window_agg`).
-    *
-    * Determinism argument (every step is a pure function of the data):
-    *  - rows are split into two micro-batches at the midpoint event time;
-    *    every batch-2 row is strictly later than batch 1's maximum, so the
-    *    watermark after batch 1 (max₁ − delay) can never drop a batch-2
-    *    row — zero late-drops, which is what makes the streaming result
-    *    equal the batch result by construction rather than by luck;
-    *  - two sentinel events (user −1, far future) then push the watermark
-    *    past every real session's end + gap: sentinel batch 1 advances the
-    *    watermark, sentinel batch 2 executes under it and flushes ALL real
-    *    sessions through the append-mode sink. The sentinel's own session
-    *    stays open (never emitted) and is filtered out regardless.
-    *
-    * The driver-side collect is the REPLAY HARNESS, not the operator: the
-    * aggregation itself is the same shuffle-once, bounded-state
-    * session_window plan that [[windowedAgg]]/production `readStream`
-    * would run against a real source — at 100 TB/day the source is Kafka
-    * or files and no collect exists anywhere. */
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_session_window" -> ((s, d) => {
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val rows = graft.Tables.events(s, d)
-        .select(col("user_id").cast("long"), unix_micros(col("ts")),
-          floor(col("value") * 100).cast("long"))
-        .as[(Long, Long, Long)].collect()
-      val minUs = rows.iterator.map(_._2).min
-      val maxUs = rows.iterator.map(_._2).max
-      val midUs = minUs + (maxUs - minUs) / 2
-      val (b1, b2) = rows.partition(_._2 <= midUs)
-      val gapUs = 30L * 60 * 1000000L
-      val delayUs = 10L * 60 * 1000000L
-      val sentinelUs = maxUs + gapUs + delayUs + 3600L * 1000000L
-      val stream = MemoryStream[(Long, Long, Long)]
-      val agg = stream.toDF().toDF("user_id", "us", "v_cents")
-        .withColumn("ts", timestamp_micros(col("us")))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
-        .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("value_cents"))
-        .select(col("user_id"),
-          unix_micros(col("win.start")).as("start_us"),
-          unix_micros(col("win.end")).as("end_us"),
-          col("n_events"), col("value_cents"))
-      val sink = "stream_session_window_sink"
-      s.catalog.dropTempView(sink) // re-runs in one session replace the sink
-      // the streaming agg inherits shuffle.partitions as its STATE STORE
-      // partition count for the query's lifetime; ~1.5k session keys do
-      // not need 32 state partitions x per-batch commit files, and each
-      // micro-batch pays the store overhead — 8 partitions and a 3-batch
-      // schedule (sentinel-1 rides with the second half: it is later than
-      // every real row, so the zero-drop argument is unchanged) measured
-      // 10.6 s -> ~4 s at sf0.1
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        // batch 0 pins shuffle.partitions into the query's offset metadata;
-        // only after it has run is the session conf safe to restore
-        stream.addData(b1.toSeq); q.processAllAvailable()
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        stream.addData(b2.toSeq :+ ((-1L, sentinelUs, 0L))); q.processAllAvailable()
-        stream.addData(Seq((-1L, sentinelUs + 1000000L, 0L))); q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      }
-      s.table(sink).filter(col("user_id") >= 0)
-        .orderBy("user_id", "start_us")
-    }))
+  /** One replayed event row — the shared schema for every ORACLE-gated
+    * streaming query (session windows, tumbling windows, dedup). */
+  case class Replay(event_id: Long, user_id: Long, us: Long,
+      v_cents: Long, event_type: String)
 
-  /** Identical to the batch `session_window_agg` oracle: the streaming
-    * schedule above drops nothing and flushes everything, so the two
-    * engines must agree row-for-row. */
+  private def replayRows(s: SparkSession, d: String): Array[Replay] = {
+    import s.implicits._
+    graft.Tables.events(s, d)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        unix_micros(col("ts")), floor(col("value") * 100).cast("long"),
+        col("event_type"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => Replay(r._1, r._2, r._3, r._4, r._5))
+  }
+
+  /** Deterministic replay harness behind the oracle-gated streaming
+    * queries: the events table pushed through a REAL Structured Streaming
+    * query (watermark, append mode, state store, memory sink) on a
+    * micro-batch + watermark schedule that is a pure function of the data:
+    *
+    *  - rows split into two micro-batches at the midpoint event time;
+    *    every batch-2 row is strictly later than batch 1's maximum, so the
+    *    watermark after batch 1 (max₁ − delay) can never drop a row —
+    *    zero late-drops, which makes the streaming result equal the batch
+    *    result by construction rather than by luck;
+    *  - a far-future sentinel rides with batch 2 to advance the watermark
+    *    past every real window/session end, and a second sentinel batch
+    *    executes under that watermark to flush all real state through the
+    *    append sink. Sentinel rows (negative ids) never finalize and are
+    *    filtered from the output regardless.
+    *
+    * The state store runs at 8 partitions (a few thousand keys do not
+    * need 32 partitions of per-batch commit files; `shuffle.partitions`
+    * is pinned into the query's offset metadata at batch 0 and the
+    * session conf restored right after). The driver-side collect is the
+    * REPLAY HARNESS, not the operator: the streaming plan is the same
+    * shuffle-once, bounded-state query a production `readStream` would
+    * run — at 100 TB/day the source is Kafka or files and no collect
+    * exists anywhere.
+    *
+    * `expand` perturbs each batch before it is fed (e.g. duplicating rows
+    * to simulate at-least-once redelivery for the dedup query). */
+  private def replayThroughStream(s: SparkSession, d: String, sink: String,
+      expand: Seq[Replay] => Seq[Replay],
+      build: DataFrame => DataFrame): DataFrame = {
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val rows = replayRows(s, d)
+    val minUs = rows.iterator.map(_.us).min
+    val maxUs = rows.iterator.map(_.us).max
+    val midUs = minUs + (maxUs - minUs) / 2
+    val (b1, b2) = rows.partition(_.us <= midUs)
+    // past every session end (+gap), window end (+1h) and watermark (+10m)
+    val sentinelUs = maxUs + 2L * 3600L * 1000000L
+    def sentinel(usv: Long) = Replay(-1L, -1L, usv, 0L, "~sentinel")
+    val stream = MemoryStream[Replay]
+    val src = stream.toDF()
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+    val out = build(src)
+    s.catalog.dropTempView(sink) // re-runs in one session replace the sink
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 0 pins shuffle.partitions into the query's offset metadata;
+      // only after it has run is the session conf safe to restore
+      stream.addData(expand(b1.toSeq)); q.processAllAvailable()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      stream.addData(expand(b2.toSeq) :+ sentinel(sentinelUs))
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel(sentinelUs + 1000000L)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    s.table(sink)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- session windows through the streaming engine; hash-compared
+    //    against the same gaps-and-islands SQL that gates the batch twin
+    //    (`session_window_agg`). Sessions merge across batches in the
+    //    state store; the sentinel flush emits them all.
+    "stream_session_window" -> ((s, d) =>
+      replayThroughStream(s, d, "stream_session_window_sink",
+        expand = identity,
+        build = src => src
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+          .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("value_cents"))
+          .select(col("user_id"),
+            unix_micros(col("win.start")).as("start_us"),
+            unix_micros(col("win.end")).as("end_us"),
+            col("n_events"), col("value_cents")))
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "start_us")),
+
+    // -- tumbling event-time windows through the streaming engine — the
+    //    streaming twin of `time_window_agg`, same oracle SQL. Window
+    //    state lives per (window x event_type) and is emitted once the
+    //    watermark passes the window end.
+    "stream_time_window" -> ((s, d) =>
+      replayThroughStream(s, d, "stream_time_window_sink",
+        expand = identity,
+        build = src => src
+          .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("value_cents"))
+          .select(col("win.start").as("win_start"), col("event_type"),
+            col("n"), col("value_cents")))
+        .filter(col("event_type") =!= "~sentinel")
+        .orderBy("win_start", "event_type")),
+
+    // -- streaming exact dedup under at-least-once delivery: every batch
+    //    is fed TWICE (exact redelivery), dropDuplicatesWithinWatermark
+    //    keeps the first arrival per event_id — duplicates carry identical
+    //    payloads, so the kept row is deterministic and the output is
+    //    exactly the distinct event set the oracle reads off the table.
+    "stream_dedup" -> ((s, d) =>
+      replayThroughStream(s, d, "stream_dedup_sink",
+        expand = b => b ++ b,
+        build = src => src
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("user_id"), col("us"),
+            col("v_cents"), col("event_type")))
+        .filter(col("event_id") >= 0)
+        .orderBy("event_id")))
+
+  /** Batch replays of the streaming queries: the replay schedule drops
+    * nothing and flushes everything, so each streaming result must equal
+    * its batch SQL row-for-row. `stream_session_window` reuses the
+    * gaps-and-islands SQL that gates the batch twin; `stream_time_window`
+    * reuses the `time_window_agg` bucketing; `stream_dedup`'s first
+    * arrivals under exact redelivery are simply the distinct event set. */
   val oracleSql: Map[String, String] = Map(
     "stream_session_window" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
@@ -221,7 +277,16 @@ object StreamingOps {
            MAX(us) + 1800000000 AS end_us,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-         FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""")
+         FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""",
+    "stream_time_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "stream_dedup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v_cents, event_type
+         FROM events ORDER BY event_id""")
 
   /** File-based streaming read of an events directory (the batch parquet
     * becomes a stream source unchanged — same schema, same downstream

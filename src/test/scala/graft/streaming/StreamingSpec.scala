@@ -61,6 +61,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch), "streaming and batch sessions differ")
   }
 
+  test("stream_time_window and stream_dedup equal their batch twins row-for-row") {
+    graft.Caches.hardSweep(spark)
+    val sw = graft.SparkEntry.queries("stream_time_window")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val bw = graft.SparkEntry.queries("time_window_agg")(spark, sf0001)
+      .select("win_start", "event_type", "n", "value_cents")
+      .collect().map(_.toString).sorted
+    assert(sw.sameElements(bw), "streaming tumbling windows differ from batch")
+    graft.Caches.hardSweep(spark)
+    // dedup under exact redelivery = the distinct event set
+    val sd = graft.SparkEntry.queries("stream_dedup")(spark, sf0001).collect()
+    val events = graft.Tables.events(spark, sf0001).count()
+    assert(sd.length == events,
+      s"dedup kept ${sd.length} of $events events (redelivered copies must vanish)")
+    assert(sd.map(_.getLong(0)).distinct.length == sd.length, "duplicate event_ids survived")
+  }
+
   test("sliding windows emit overlapping frames") {
     implicit val s = spark
     import s.implicits._
