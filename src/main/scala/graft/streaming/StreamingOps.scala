@@ -258,7 +258,35 @@ object StreamingOps {
           .select(col("event_id"), col("user_id"), col("us"),
             col("v_cents"), col("event_type")))
         .filter(col("event_id") >= 0)
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // -- stream-stream interval join (the attribution shape) as a
+    //    streaming SELF-join: one watermarked source filtered into click
+    //    and view branches, views matched within 24h after each click.
+    //    Inner joins emit eagerly as pairs meet, so completeness needs no
+    //    sentinel flush — and the time-ordered schedule makes state
+    //    eviction safe: a click is evicted only once the watermark passes
+    //    click.ts + horizon, and every view that could match it has
+    //    ts ≤ click.ts + horizon < watermark, i.e. it was already fed in
+    //    an earlier (or the same) batch and the pair already emitted. The
+    //    bounded condition is also exactly what lets Spark reclaim join
+    //    state at all — the unbounded variant would buffer both streams
+    //    forever at 100 TB/day.
+    "stream_interval_join" -> ((s, d) =>
+      replayThroughStream(s, d, "stream_interval_join_sink",
+        expand = identity,
+        build = src => {
+          val c = src.filter(col("event_type") === "click").alias("c")
+          val v = src.filter(col("event_type") === "view").alias("v")
+          c.join(v,
+            col("c.user_id") === col("v.user_id") &&
+              col("v.ts") >= col("c.ts") &&
+              col("v.ts") <= col("c.ts") + expr("interval 24 hours"))
+            .select(col("c.user_id").as("user_id"),
+              col("c.us").as("click_us"), col("v.us").as("view_us"),
+              col("v.v_cents").as("view_v_cents"))
+        })
+        .orderBy("user_id", "click_us", "view_us")))
 
   /** Batch replays of the streaming queries: the replay schedule drops
     * nothing and flushes everything, so each streaming result must equal
@@ -286,7 +314,18 @@ object StreamingOps {
     "stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS us,
          CAST(FLOOR(value * 100) AS BIGINT) AS v_cents, event_type
-         FROM events ORDER BY event_id""")
+         FROM events ORDER BY event_id""",
+    "stream_interval_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v_cents, event_type
+           FROM events)
+         SELECT c.user_id AS user_id, c.us AS click_us, v.us AS view_us,
+           v.v_cents AS view_v_cents
+         FROM e c JOIN e v
+           ON c.user_id = v.user_id
+          AND c.event_type = 'click' AND v.event_type = 'view'
+          AND v.us >= c.us AND v.us <= c.us + CAST(86400000000 AS BIGINT)
+         ORDER BY user_id, click_us, view_us""")
 
   /** File-based streaming read of an events directory (the batch parquet
     * becomes a stream source unchanged — same schema, same downstream

@@ -274,6 +274,22 @@ class BvCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("round-trip: shard-base anchored graphs (firstnode) across the parameter grid") {
+    // the sharded sink's exact shape: shard-LOCAL node indices with GLOBAL
+    // successor values near firstNode + x. Every coding in the grid must
+    // round-trip with the anchor, and the sidecar must carry it.
+    val base = 5000000
+    for (p <- paramGrid; seed <- 1L to 2L) {
+      val shifted = adjacency(60, randomList(60, 10), seed)
+        .map(_.map(_ + base))
+      roundTrip(shifted, p.copy(firstNode = base.toLong))
+    }
+    val rendered = BvProperties(0, 0, firstNode = base.toLong).render
+    assert(rendered.contains(s"firstnode=$base"))
+    assert(BvProperties.parse(rendered.replace("nodes=0", "nodes=1")
+      .replace("arcs=0", "arcs=0")).firstNode == base.toLong)
+  }
+
   test("round-trip: interval-heavy graphs") {
     for (p <- paramGrid; seed <- 1L to 2L) {
       roundTrip(adjacency(50, intervalHeavy(50), seed), p)

@@ -78,6 +78,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(sd.map(_.getLong(0)).distinct.length == sd.length, "duplicate event_ids survived")
   }
 
+  test("stream_interval_join equals the batch click→view join row-for-row") {
+    // the oracle-gated streaming self-join: the replayed click/view pairing
+    // must reproduce the plain batch join over the same events exactly
+    graft.Caches.hardSweep(spark)
+    val streamed = graft.SparkEntry.queries("stream_interval_join")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        (floor(col("value") * 100)).cast("long").as("v_cents"),
+        col("event_type"))
+    val c = ev.filter(col("event_type") === "click").alias("c")
+    val v = ev.filter(col("event_type") === "view").alias("v")
+    val batch = c.join(v,
+      col("c.user_id") === col("v.user_id") &&
+        col("v.ts") >= col("c.ts") &&
+        col("v.ts") <= col("c.ts") + expr("interval 24 hours"))
+      .select(col("c.user_id").as("user_id"), col("c.us").as("click_us"),
+        col("v.us").as("view_us"), col("v.v_cents").as("view_v_cents"))
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length,
+      s"pair count differs: streaming ${streamed.length} vs batch ${batch.length}")
+    assert(streamed.sameElements(batch), "streaming and batch join pairs differ")
+    assert(streamed.nonEmpty)
+  }
+
   test("sliding windows emit overlapping frames") {
     implicit val s = spark
     import s.implicits._
