@@ -101,6 +101,55 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // -- Gopher-style quality rules (Rae et al. 2021, published rule set)
+    //    — the second canonical pre-training filter chain next to C4:
+    //    word-count bounds, mean-word-length band (3..10 chars), symbol-
+    //    to-word ratio ('#' + '…'-as-'...'), alphabetic-word fraction,
+    //    and >= 2 of the required stop words. One narrow per-doc pass, no
+    //    shuffle; every signal exact integer arithmetic so the oracle
+    //    reproduces it bit-for-bit. (This corpus has no newlines, so
+    //    Gopher's line-level rules — bullet/ellipsis line fractions — are
+    //    vacuous here and deliberately omitted rather than shipped
+    //    untestable.)
+    "quality_gopher_rules" -> ((s, d) => {
+      val nt = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val w = split(nt, " ")
+      documents(s, d)
+        .select(col("doc_id"), col("text"), w.as("w"),
+          length(nt).cast("long").as("nc"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          floor((col("nc") - (size(col("w")) - 1)) * 10000 / size(col("w")))
+            .as("mean_len_e4"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+            + (length(col("text"))
+               - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+            .cast("long").as("n_sym"),
+          size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long")
+            .as("n_alpha"),
+          size(array_intersect(col("w"),
+            array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+              .map(lit): _*))).cast("long").as("n_req_stop"))
+        .withColumn("sym_e6",
+          floor(col("n_sym") * lit(1000000.0) / col("n_words")).cast("long"))
+        .withColumn("alpha_e6",
+          floor(col("n_alpha") * lit(1000000.0) / col("n_words")).cast("long"))
+        .withColumn("r_wc",
+          (col("n_words") >= 50 && col("n_words") <= 100000L).cast("long"))
+        .withColumn("r_mwl",
+          (col("mean_len_e4") >= 30000L && col("mean_len_e4") <= 100000L)
+            .cast("long"))
+        .withColumn("r_sym", (col("sym_e6") < 100000L).cast("long"))
+        .withColumn("r_alpha", (col("alpha_e6") > 800000L).cast("long"))
+        .withColumn("r_stop", (col("n_req_stop") >= 2).cast("long"))
+        .withColumn("keep",
+          (col("r_wc") + col("r_mwl") + col("r_sym") + col("r_alpha")
+            + col("r_stop") === 5L).cast("long"))
+        .select("doc_id", "n_words", "mean_len_e4", "sym_e6", "alpha_e6",
+          "n_req_stop", "r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep")
+        .orderBy("doc_id")
+    }),
+
     // -- sequence packing (GPT-style): concatenate the token stream in
     //    doc_id order and split at fixed C=256-token block boundaries;
     //    per doc surface its absolute token offset and the blocks it
@@ -156,6 +205,36 @@ object CurationQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "quality_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+             len(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nc
+           FROM documents),
+         b AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(FLOOR((nc - (len(w) - 1)) * 10000 / len(w)) AS BIGINT) AS mean_len_e4,
+             CAST((len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(w,
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_req_stop
+           FROM w),
+         r AS (SELECT doc_id, n_words, mean_len_e4,
+             CAST(FLOOR(n_sym * 1000000.0 / n_words) AS BIGINT) AS sym_e6,
+             CAST(FLOOR(n_alpha * 1000000.0 / n_words) AS BIGINT) AS alpha_e6,
+             n_req_stop
+           FROM b),
+         g AS (SELECT doc_id, n_words, mean_len_e4, sym_e6, alpha_e6, n_req_stop,
+             CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_wc,
+             CAST(mean_len_e4 BETWEEN 30000 AND 100000 AS BIGINT) AS r_mwl,
+             CAST(sym_e6 < 100000 AS BIGINT) AS r_sym,
+             CAST(alpha_e6 > 800000 AS BIGINT) AS r_alpha,
+             CAST(n_req_stop >= 2 AS BIGINT) AS r_stop
+           FROM r)
+         SELECT doc_id, n_words, mean_len_e4, sym_e6, alpha_e6, n_req_stop,
+           r_wc, r_mwl, r_sym, r_alpha, r_stop,
+           CAST(r_wc + r_mwl + r_sym + r_alpha + r_stop = 5 AS BIGINT) AS keep
+         FROM g ORDER BY doc_id""",
     "seq_pack" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok

@@ -170,6 +170,34 @@ object GraphAlgos {
         .agg(sum(col("ne")).as("n_edges"), sum(col("tri")).as("triangles"))
     }),
 
+    // -- neighbor-set Jaccard similarity per co-purchase edge — the graph
+    //    twin of the dedup family's set-similarity operators: for each
+    //    edge (u,v), |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over the undirected
+    //    adjacency. Same scale shape as triangles: n-sized adjacency
+    //    arrays built with ONE shuffle, the intersection computed inside
+    //    the row (codegen'd array_intersect), never a materialized wedge
+    //    join. Output is the top-100 most-similar edges under a total
+    //    order (jac desc, u, v) — a TakeOrderedAndProject, so only 100
+    //    rows ever reach the driver regardless of graph size.
+    "graph_jaccard_neighbors" -> ((s, d) => {
+      val e = graft.Caches.pin(coPurchaseEdges(s, d))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val adj = graft.Caches.pin(sym.groupBy(col("x"))
+        .agg(sort_array(collect_list(col("y"))).as("nbrs")))
+      e.join(adj.select(col("x").as("u"), col("nbrs").as("nu")), Seq("u"))
+        .join(adj.select(col("x").as("v"), col("nbrs").as("nv")), Seq("v"))
+        .select(col("u"), col("v"),
+          size(col("nu")).cast("long").as("deg_u"),
+          size(col("nv")).cast("long").as("deg_v"),
+          size(array_intersect(col("nu"), col("nv"))).cast("long")
+            .as("n_common"))
+        .withColumn("jac_e6", floor(col("n_common") * lit(1000000.0)
+          / (col("deg_u") + col("deg_v") - col("n_common"))).cast("long"))
+        .orderBy(col("jac_e6").desc, col("u"), col("v"))
+        .limit(100)
+    }),
+
     // -- BFS levels from the minimum part id over the undirected
     //    co-purchase graph, via GraphX Pregel (min-distance propagation):
     //    edges are partitioned ONCE, each superstep is a co-partitioned
@@ -345,6 +373,23 @@ object GraphAlgos {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
 
   val oracleSql: Map[String, String] = Map(
+    "graph_jaccard_neighbors" ->
+      s"""WITH $edgesCte,
+         sym AS (SELECT u AS x, v AS y FROM e
+                 UNION ALL SELECT v AS x, u AS y FROM e),
+         deg AS (SELECT x, COUNT(*) AS dg FROM sym GROUP BY x),
+         com AS (SELECT e.u, e.v, COUNT(*) AS n_common
+           FROM e JOIN sym a ON a.x = e.u JOIN sym b ON b.x = e.v AND b.y = a.y
+           GROUP BY e.u, e.v),
+         j AS (SELECT e.u, e.v,
+             CAST(du.dg AS BIGINT) AS deg_u, CAST(dv.dg AS BIGINT) AS deg_v,
+             CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common
+           FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+           LEFT JOIN com c ON c.u = e.u AND c.v = e.v)
+         SELECT u, v, deg_u, deg_v, n_common,
+           CAST(FLOOR(n_common * 1000000.0 / (deg_u + deg_v - n_common))
+             AS BIGINT) AS jac_e6
+         FROM j ORDER BY jac_e6 DESC, u, v LIMIT 100""",
     "graph_assortativity" ->
       s"""WITH $edgesCte,
          deg AS (SELECT x, COUNT(*) AS deg

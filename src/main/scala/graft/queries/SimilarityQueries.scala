@@ -134,6 +134,39 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // -- int8 scalar quantization (the memory-bound ANN production trick:
+    //    4x smaller vectors, integer dot products): per-vector symmetric
+    //    quantization q[i] = floor(x[i]*127/max|x| + 0.5), then exact
+    //    top-5 cosine over the QUANTIZED vectors. Every quantized value
+    //    is a small integer exactly representable in double and the dot
+    //    folds in the same order as the oracle's list_reduce, so the
+    //    "approximate" ranking is a deterministic function of the data —
+    //    hash-gated, not rows-only. Same broadcast-probe shape as
+    //    sim_topk: the corpus streams once past 4 probe vectors.
+    "sim_int8_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q8 = embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("vd"))
+        .withColumn("mx",
+          greatest(array_max(transform(col("vd"), x => abs(x))), lit(1e-30)))
+        .select(col("vec_id"), transform(col("vd"),
+          x => floor(x * lit(127.0) / col("mx") + lit(0.5)).cast("double"))
+          .as("q"))
+      val n = q8.withColumn("nrm", sqrt(dot(col("q"), col("q"))))
+      val probes = n.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      n.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .withColumn("sim", dot(col("qq"), col("q")) / (col("qn") * col("nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+          floor(col("sim") * 1000000).cast("long").as("sim_e6"))
+        .orderBy("qid", "rnk")
+    }),
+
     // -- LSH-bucketed ANN: 6 random hyperplanes -> 64 buckets; each probe
     //    searches only its own bucket (approximate by design -> rows-only
     //    gate; PipelineSpec checks bucket determinism + containment in the
@@ -175,6 +208,27 @@ object SimilarityQueries {
   }.mkString("\n         + ")
 
   val oracleSql: Map[String, String] = Map(
+    "sim_int8_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+         q8 AS (SELECT vec_id, list_transform(vd, x ->
+             FLOOR(x * 127.0 / greatest(list_max(list_transform(vd, y -> abs(y))), 1e-30)
+               + 0.5)) AS q
+           FROM e),
+         n AS (SELECT vec_id, q,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(q, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           FROM q8),
+         p AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM n WHERE vec_id < 4),
+         s AS (SELECT p.qid, n.vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(qq) + 1), i -> qq[i] * q[i])),
+               (acc, x) -> acc + x) / (p.qn * n.nrm) AS sim
+           FROM p, n WHERE n.vec_id <> p.qid),
+         r AS (SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+           FROM s)
+         SELECT qid, rnk, vec_id, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     "sim_ann_ivf" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, label, v,

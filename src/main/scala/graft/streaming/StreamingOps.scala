@@ -175,7 +175,9 @@ object StreamingOps {
     * to simulate at-least-once redelivery for the dedup query). */
   private def replayThroughStream(s: SparkSession, d: String, sink: String,
       expand: Seq[Replay] => Seq[Replay],
-      build: DataFrame => DataFrame): DataFrame = {
+      build: DataFrame => DataFrame,
+      sentinelGapUs: Long = 2L * 3600L * 1000000L,
+      sentinelTypes: Seq[String] = Seq("~sentinel")): DataFrame = {
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val rows = replayRows(s, d)
@@ -183,9 +185,16 @@ object StreamingOps {
     val maxUs = rows.iterator.map(_.us).max
     val midUs = minUs + (maxUs - minUs) / 2
     val (b1, b2) = rows.partition(_.us <= midUs)
-    // past every session end (+gap), window end (+1h) and watermark (+10m)
-    val sentinelUs = maxUs + 2L * 3600L * 1000000L
-    def sentinel(usv: Long) = Replay(-1L, -1L, usv, 0L, "~sentinel")
+    // default gap clears every session end (+gap), window end (+1h) and
+    // watermark (+10m); queries whose state out-lives windows (the outer
+    // interval join's 24h click horizon) pass a wider gap
+    val sentinelUs = maxUs + sentinelGapUs
+    // sentinel rows must REACH the watermark operator to advance it —
+    // Catalyst pushes deterministic filters below EventTimeWatermark, so
+    // a query whose branches filter on event_type (the interval joins)
+    // must use sentinel types that pass its own filters (negative ids
+    // keep them out of the declared output regardless)
+    def sentinels(usv: Long) = sentinelTypes.map(t => Replay(-1L, -1L, usv, 0L, t))
     val stream = MemoryStream[Replay]
     val src = stream.toDF()
       .withColumn("ts", timestamp_micros(col("us")))
@@ -201,9 +210,9 @@ object StreamingOps {
       // only after it has run is the session conf safe to restore
       stream.addData(expand(b1.toSeq)); q.processAllAvailable()
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      stream.addData(expand(b2.toSeq) :+ sentinel(sentinelUs))
+      stream.addData(expand(b2.toSeq) ++ sentinels(sentinelUs))
       q.processAllAvailable()
-      stream.addData(Seq(sentinel(sentinelUs + 1000000L)))
+      stream.addData(sentinels(sentinelUs + 1000000L))
       q.processAllAvailable()
     } finally {
       q.stop()
@@ -286,6 +295,38 @@ object StreamingOps {
               col("c.us").as("click_us"), col("v.us").as("view_us"),
               col("v.v_cents").as("view_v_cents"))
         })
+        .orderBy("user_id", "click_us", "view_us")),
+
+    // -- LEFT OUTER stream-stream interval join: same attribution shape,
+    //    but clicks with NO view inside the horizon must still emit (with
+    //    null view columns) — the semantics batch LEFT JOIN gives for
+    //    free and streaming must earn: a null-extended row may only emit
+    //    once the watermark proves no matching view can still arrive
+    //    (click.ts + horizon < watermark), at state eviction in a LATER
+    //    batch. The replay's sentinel gap is widened past horizon +
+    //    watermark delay so every real click's state provably evicts and
+    //    the second sentinel batch flushes the null rows. Null view
+    //    columns surface as -1 (never a real us/cents value) so the
+    //    oracle compare is null-free.
+    "stream_interval_join_outer" -> ((s, d) =>
+      replayThroughStream(s, d, "stream_interval_join_outer_sink",
+        expand = identity,
+        build = src => {
+          val c = src.filter(col("event_type") === "click").alias("c")
+          val v = src.filter(col("event_type") === "view").alias("v")
+          c.join(v,
+            col("c.user_id") === col("v.user_id") &&
+              col("v.ts") >= col("c.ts") &&
+              col("v.ts") <= col("c.ts") + expr("interval 24 hours"),
+            "leftOuter")
+            .select(col("c.event_id").as("click_id"),
+              col("c.user_id").as("user_id"), col("c.us").as("click_us"),
+              coalesce(col("v.us"), lit(-1L)).as("view_us"),
+              coalesce(col("v.v_cents"), lit(-1L)).as("view_v_cents"))
+        },
+        sentinelGapUs = 26L * 3600L * 1000000L,
+        sentinelTypes = Seq("click", "view"))
+        .filter(col("click_id") >= 0)
         .orderBy("user_id", "click_us", "view_us")))
 
   /** Batch replays of the streaming queries: the replay schedule drops
@@ -325,6 +366,18 @@ object StreamingOps {
            ON c.user_id = v.user_id
           AND c.event_type = 'click' AND v.event_type = 'view'
           AND v.us >= c.us AND v.us <= c.us + CAST(86400000000 AS BIGINT)
+         ORDER BY user_id, click_us, view_us""",
+    "stream_interval_join_outer" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v_cents, event_type
+           FROM events)
+         SELECT c.event_id AS click_id, c.user_id AS user_id,
+           c.us AS click_us, COALESCE(v.us, -1) AS view_us,
+           COALESCE(v.v_cents, -1) AS view_v_cents
+         FROM e c LEFT JOIN e v
+           ON c.user_id = v.user_id AND v.event_type = 'view'
+          AND v.us >= c.us AND v.us <= c.us + CAST(86400000000 AS BIGINT)
+         WHERE c.event_type = 'click'
          ORDER BY user_id, click_us, view_us""")
 
   /** File-based streaming read of an events directory (the batch parquet

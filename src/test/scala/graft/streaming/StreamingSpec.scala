@@ -103,6 +103,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_interval_join_outer emits null-extended clicks the batch LEFT JOIN has") {
+    // the hard part of streaming outer joins: unmatched clicks may only
+    // emit once the watermark proves no view can still arrive, so the
+    // replay's widened sentinel must flush every null row — compare
+    // against the plain batch LEFT JOIN (nulls surfaced as -1)
+    graft.Caches.hardSweep(spark)
+    val streamed = graft.SparkEntry.queries("stream_interval_join_outer")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"),
+        (floor(col("value") * 100)).cast("long").as("v_cents"),
+        col("event_type"))
+    val c = ev.filter(col("event_type") === "click").alias("c")
+    val v = ev.filter(col("event_type") === "view").alias("v")
+    val batch = c.join(v,
+      col("c.user_id") === col("v.user_id") &&
+        col("v.ts") >= col("c.ts") &&
+        col("v.ts") <= col("c.ts") + expr("interval 24 hours"), "leftOuter")
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        col("c.us").as("click_us"),
+        coalesce(col("v.us"), lit(-1L)).as("view_us"),
+        coalesce(col("v.v_cents"), lit(-1L)).as("view_v_cents"))
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length,
+      s"row count differs: streaming ${streamed.length} vs batch ${batch.length}")
+    assert(streamed.sameElements(batch), "streaming and batch outer joins differ")
+    // the outer join must contain genuinely unmatched clicks, or this
+    // test proves nothing about null emission
+    assert(streamed.exists(_.contains(",-1,")), "fixture has no unmatched clicks")
+  }
+
   test("sliding windows emit overlapping frames") {
     implicit val s = spark
     import s.implicits._
