@@ -150,6 +150,49 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // -- Gopher REPETITION rules (the other half of the Gopher quality
+    //    table next to `quality_gopher_rules`' heuristics): most-frequent-
+    //    word multiplicity + its character share, and the duplicate-word
+    //    fraction. ZERO shuffles: the top word is found per row by a
+    //    higher-order `aggregate` over the SORTED word array (max
+    //    run-length — ties resolve to the lexicographically smallest word,
+    //    which is the first max-run in sorted order), so no word ever
+    //    leaves its document's row; the oracle replays the same argmax
+    //    with a count + row_number window. The quality-filter scale shape:
+    //    per-doc signals computed in a single narrow pass, thresholds
+    //    applied downstream.
+    "quality_repetition" -> ((s, d) => {
+      val nt = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val ws = array_sort(split(nt, " "))
+      val init = struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best"), lit("").as("bw"))
+      val folded = aggregate(ws, init, (acc, x) => {
+        val newRun = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        val better = newRun > acc.getField("best")
+        struct(x.as("prev"), newRun.as("run"),
+          when(better, newRun).otherwise(acc.getField("best")).as("best"),
+          when(better, x).otherwise(acc.getField("bw")).as("bw"))
+      })
+      documents(s, d)
+        .select(col("doc_id"), ws.as("ws"),
+          length(nt).cast("long").as("nc"), folded.as("f"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+          col("f.bw").as("top_word"), col("f.best").as("top_cnt"), col("nc"))
+        .withColumn("top_char_e6",
+          floor(col("top_cnt") * length(col("top_word")) * lit(1000000.0)
+            / greatest(col("nc"), lit(1L))).cast("long"))
+        .withColumn("keep",
+          (col("top_cnt") * 10 <= col("n_words") &&
+            (col("n_words") - col("n_distinct")) * 2 <= col("n_words"))
+            .cast("long"))
+        .select("doc_id", "n_words", "n_distinct", "top_word", "top_cnt",
+          "top_char_e6", "keep")
+        .orderBy("doc_id")
+    }),
+
     // -- sequence packing (GPT-style): concatenate the token stream in
     //    doc_id order and split at fixed C=256-token block boundaries;
     //    per doc surface its absolute token offset and the blocks it
@@ -205,6 +248,27 @@ object CurationQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "quality_repetition" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+             len(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nc
+           FROM documents),
+         u AS (SELECT doc_id, unnest(w) AS word FROM w),
+         wc AS (SELECT doc_id, word, COUNT(*) AS c FROM u GROUP BY doc_id, word),
+         top AS (SELECT doc_id, word, c FROM (
+             SELECT doc_id, word, c, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, word ASC) AS rn FROM wc)
+           WHERE rn = 1),
+         base AS (SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w.w)) AS BIGINT) AS n_distinct,
+             w.nc, top.word AS top_word, CAST(top.c AS BIGINT) AS top_cnt
+           FROM w JOIN top ON w.doc_id = top.doc_id)
+         SELECT doc_id, n_words, n_distinct, top_word, top_cnt,
+           CAST(FLOOR(top_cnt * len(top_word) * 1000000.0 / GREATEST(nc, 1))
+             AS BIGINT) AS top_char_e6,
+           CAST((top_cnt * 10 <= n_words)
+             AND ((n_words - n_distinct) * 2 <= n_words) AS BIGINT) AS keep
+         FROM base ORDER BY doc_id""",
     "quality_gopher_rules" ->
       """WITH w AS (SELECT doc_id, text,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,

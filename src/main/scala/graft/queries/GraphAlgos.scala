@@ -303,6 +303,127 @@ object GraphAlgos {
               .cast("double")).cast("long").as("assort_e9"))
     }),
 
+    // -- HITS (Kleinberg 1999) with UNNORMALIZED integer iterates on the
+    //    id-oriented co-purchase DAG (u < v): a₁ = in-degree, h₁(u) =
+    //    Σ_{u→v} a₁(v), a₂(v) = Σ_{u→v} h₁(u). Skipping the per-iteration
+    //    L2 normalization keeps every score an exact BIGINT sum —
+    //    order-free under any partitioning, hash-comparable — while the
+    //    RANKING is identical to normalized HITS (normalization is a
+    //    positive global scalar per iteration). Scale shape: each
+    //    half-iteration is one key-partitioned join + partial agg on the
+    //    edge partitioning, the same shuffle profile as one pagerank step;
+    //    score frames are node-sized so AQE broadcasts them while small.
+    "graph_hits" -> ((s, d) => {
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val a1 = e.groupBy(col("v")).agg(count(lit(1)).as("a1"))
+      val h1 = e.join(a1, "v").groupBy(col("u")).agg(sum(col("a1")).as("h1"))
+      val a2 = e.join(h1, "u").groupBy(col("v")).agg(sum(col("h1")).as("a2"))
+      val nodes = e.select(col("u").as("id"))
+        .unionByName(e.select(col("v").as("id"))).distinct()
+      nodes
+        .join(h1.withColumnRenamed("u", "id"), Seq("id"), "left")
+        .join(a2.withColumnRenamed("v", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("h1"), lit(0L)).as("hub"),
+          coalesce(col("a2"), lit(0L)).as("auth"))
+        .orderBy("id")
+    }),
+
+    // -- label propagation (community detection), deterministic min-label
+    //    variant: synchronous rounds of l(v) ← min over the CLOSED
+    //    neighborhood N[v] of the previous labels, init l₀ = id. Two fixed
+    //    rounds keep the output a pure function of the data the oracle
+    //    replays with two chained aggregations (the classic
+    //    random-tie-breaking LPA is not oracle-able; the min variant is the
+    //    same hash-min message pattern graph_cc's GraphX run uses, here
+    //    DataFrame-native). Scale shape per round: one join of the
+    //    symmetric edge list against the node-sized label frame + a
+    //    min-agg — partial aggregation makes the shuffle carry one
+    //    (node, min) pair per partition, and the label frame broadcasts
+    //    while small.
+    "graph_lpa" -> ((s, d) => {
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      // round 1 folds init l0=id: l1(x) = min(x, min over neighbors)
+      var lbl = sym.groupBy(col("x")).agg(least(col("x"), min(col("y"))).as("lbl"))
+      // round 2: min over closed neighborhood of l1
+      lbl = sym.join(lbl.withColumnRenamed("x", "y"), "y")
+        .groupBy(col("x")).agg(min(col("lbl")).as("nmin"))
+        .join(lbl, "x")
+        .select(col("x").as("node"), least(col("lbl"), col("nmin")).as("label"))
+      lbl.orderBy("node")
+    }),
+
+    // -- exact 2-ball sizes + harmonic centrality at radius 2 over a
+    //    deterministic 1/17 seed sample (id ≡ 0 mod 17) — the
+    //    HyperBall/neighborhood-function shape (Boldi-Vigna 2013) with the
+    //    approximation stripped so the oracle can replay it exactly:
+    //    ball₂(v) = |{v} ∪ N(v) ∪ N²(v)|, harm₂×2 = 2·|dist=1| + |dist=2|.
+    //    The two-hop expansion is Σ_{seed} Σ_{u∈N(seed)} deg(u) rows — the
+    //    seed sample bounds it (full-graph exact distinct-at-distance is
+    //    inherently Σdeg²; at 100 TB you run THIS query on a seed sample
+    //    for exact figures, or swap the count-distinct for per-node HLL
+    //    registers merged with zip_with-max — the distinct_kmv machinery —
+    //    to cover every node approximately).
+    "graph_ball2" -> ((s, d) => {
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val d1 = sym.filter(col("x") % 17 === 0)
+        .select(col("x").as("node"), col("y").as("w"))
+      val hop2 = d1
+        .join(sym.select(col("x").as("w"), col("y").as("w2")), "w")
+        .select(col("node"), col("w2").as("w"))
+      val ball = d1.unionByName(hop2)
+        .unionByName(d1.select(col("node"), col("node").as("w")).distinct())
+        .distinct()
+      val deg = d1.groupBy(col("node")).agg(count(lit(1)).as("n1"))
+      ball.groupBy(col("node")).agg(count(lit(1)).as("ball2"))
+        .join(deg, "node")
+        .select(col("node"), col("n1"),
+          col("ball2"),
+          (col("n1") * 2 + (col("ball2") - 1 - col("n1"))).as("harm2_x2"))
+        .orderBy("node")
+    }),
+
+    // -- deterministic random walks (the node2vec/DeepWalk sampling shape):
+    //    from every seed (id ≡ 0 mod 17) take 3 steps, at each step moving
+    //    to the neighbor minimizing a LCG-style hash of (current, step,
+    //    neighbor) — "random" enough to scatter, yet a pure function of
+    //    the data both engines compute with exact BIGINT arithmetic (no
+    //    RNG, no engine hash). The argmin is encoded as min over
+    //    h·10⁹ + nbr (h < 10⁹+7, nbr < 10⁹ ⇒ no overflow, total order,
+    //    deterministic ties). Scale shape per step: one join of the
+    //    frontier against the edge partitioning + a min-agg — partial
+    //    aggregation ships one (walker, min) pair per partition; walks
+    //    are embarrassingly parallel in the walker key.
+    "graph_random_walk" -> ((s, d) => {
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      def step(cur: DataFrame, k: Int): DataFrame = cur
+        .join(sym.withColumnRenamed("x", "cur"), "cur")
+        .select(col("node"),
+          (((col("cur") * 1103515245L + lit(k.toLong * 12345L)
+            + col("y") * 2654435761L) % 1000000007L) * 1000000000L
+            + col("y")).as("key"))
+        .groupBy(col("node")).agg(min(col("key")).as("mk"))
+        .select(col("node"), (col("mk") % 1000000000L).as("cur"))
+      val seeds = sym.select(col("x")).distinct().filter(col("x") % 17 === 0)
+        .select(col("x").as("node"), col("x").as("cur"))
+      val s1 = step(seeds, 1)
+      val s2 = step(s1, 2)
+      val s3 = step(s2, 3)
+      s1.select(col("node"), col("cur").as("s1"))
+        .join(s2.select(col("node"), col("cur").as("s2")), "node")
+        .join(s3.select(col("node"), col("cur").as("s3")), "node")
+        .orderBy("node")
+    }),
+
     "graph_kcore" -> ((s, d) => {
       val rounds = 6
       val dbg = sys.props.get("graft.debug").contains("1")
@@ -373,6 +494,58 @@ object GraphAlgos {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
 
   val oracleSql: Map[String, String] = Map(
+    "graph_hits" ->
+      s"""WITH $edgesCte,
+         a1 AS (SELECT v, COUNT(*) AS a1 FROM e GROUP BY v),
+         h1 AS (SELECT e.u, SUM(a1.a1) AS h1 FROM e JOIN a1 ON e.v = a1.v GROUP BY e.u),
+         a2 AS (SELECT e.v, SUM(h1.h1) AS a2 FROM e JOIN h1 ON e.u = h1.u GROUP BY e.v),
+         n AS (SELECT u AS id FROM e UNION SELECT v AS id FROM e)
+         SELECT n.id, CAST(COALESCE(h1.h1, 0) AS BIGINT) AS hub,
+           CAST(COALESCE(a2.a2, 0) AS BIGINT) AS auth
+         FROM n LEFT JOIN h1 ON n.id = h1.u LEFT JOIN a2 ON n.id = a2.v
+         ORDER BY id""",
+    "graph_lpa" ->
+      s"""WITH $edgesCte,
+         sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+         l1 AS (SELECT x, LEAST(x, MIN(y)) AS lbl FROM sym GROUP BY x),
+         l2 AS (SELECT s.x, LEAST(o.lbl, MIN(n.lbl)) AS lbl
+           FROM sym s JOIN l1 n ON n.x = s.y JOIN l1 o ON o.x = s.x
+           GROUP BY s.x, o.lbl)
+         SELECT x AS node, lbl AS label FROM l2 ORDER BY node""",
+    "graph_ball2" ->
+      s"""WITH $edgesCte,
+         sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+         d1 AS (SELECT x AS node, y AS w FROM sym WHERE x % 17 = 0),
+         hop2 AS (SELECT d1.node, s.y AS w FROM d1 JOIN sym s ON s.x = d1.w),
+         ball AS (SELECT DISTINCT node, w FROM (
+           SELECT node, w FROM d1
+           UNION ALL SELECT node, w FROM hop2
+           UNION ALL SELECT DISTINCT node, node AS w FROM d1)),
+         deg AS (SELECT node, COUNT(*) AS n1 FROM d1 GROUP BY node),
+         b AS (SELECT node, COUNT(*) AS ball2 FROM ball GROUP BY node)
+         SELECT b.node, CAST(deg.n1 AS BIGINT) AS n1,
+           CAST(b.ball2 AS BIGINT) AS ball2,
+           CAST(deg.n1 * 2 + (b.ball2 - 1 - deg.n1) AS BIGINT) AS harm2_x2
+         FROM b JOIN deg ON b.node = deg.node ORDER BY b.node""",
+    "graph_random_walk" ->
+      s"""WITH $edgesCte,
+         sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+         seeds AS (SELECT DISTINCT x AS node, x AS cur FROM sym WHERE x % 17 = 0),
+         m1 AS (SELECT node, MIN(((cur * 1103515245 + 1 * 12345 + y * 2654435761)
+             % 1000000007) * 1000000000 + y) AS mk
+           FROM seeds JOIN sym ON sym.x = seeds.cur GROUP BY node),
+         s1 AS (SELECT node, mk % 1000000000 AS cur FROM m1),
+         m2 AS (SELECT node, MIN(((cur * 1103515245 + 2 * 12345 + y * 2654435761)
+             % 1000000007) * 1000000000 + y) AS mk
+           FROM s1 JOIN sym ON sym.x = s1.cur GROUP BY node),
+         s2 AS (SELECT node, mk % 1000000000 AS cur FROM m2),
+         m3 AS (SELECT node, MIN(((cur * 1103515245 + 3 * 12345 + y * 2654435761)
+             % 1000000007) * 1000000000 + y) AS mk
+           FROM s2 JOIN sym ON sym.x = s2.cur GROUP BY node),
+         s3 AS (SELECT node, mk % 1000000000 AS cur FROM m3)
+         SELECT s1.node, s1.cur AS s1, s2.cur AS s2, s3.cur AS s3
+         FROM s1 JOIN s2 ON s1.node = s2.node JOIN s3 ON s1.node = s3.node
+         ORDER BY s1.node""",
     "graph_jaccard_neighbors" ->
       s"""WITH $edgesCte,
          sym AS (SELECT u AS x, v AS y FROM e

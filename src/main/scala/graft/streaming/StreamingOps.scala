@@ -177,7 +177,8 @@ object StreamingOps {
       expand: Seq[Replay] => Seq[Replay],
       build: DataFrame => DataFrame,
       sentinelGapUs: Long = 2L * 3600L * 1000000L,
-      sentinelTypes: Seq[String] = Seq("~sentinel")): DataFrame = {
+      sentinelTypes: Seq[String] = Seq("~sentinel"),
+      outputMode: String = "append"): DataFrame = {
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val rows = replayRows(s, d)
@@ -204,7 +205,7 @@ object StreamingOps {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = out.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
+      .outputMode(outputMode).start()
     try {
       // batch 0 pins shuffle.partitions into the query's offset metadata;
       // only after it has run is the session conf safe to restore
@@ -308,6 +309,25 @@ object StreamingOps {
     //    the second sentinel batch flushes the null rows. Null view
     //    columns surface as -1 (never a real us/cents value) so the
     //    oracle compare is null-free.
+    // -- COMPLETE-mode streaming aggregation: running per-type totals,
+    //    the live-dashboard shape. Unlike the append-mode queries no
+    //    watermark/flush choreography is needed — every micro-batch emits
+    //    the FULL refreshed aggregate and the memory sink snapshot after
+    //    the last batch IS the final answer, so the result is independent
+    //    of the batch split by construction. State is one row per group
+    //    key (bounded by event-type cardinality, not stream length);
+    //    sums are exact integer cents so incremental accumulation across
+    //    batches is order-free and hash-comparable.
+    "stream_agg_complete" -> ((s, d) =>
+      replayThroughStream(s, d, "stream_agg_complete_sink",
+        expand = identity,
+        build = src => src
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("value_cents")),
+        outputMode = "complete")
+        .filter(col("event_type") =!= "~sentinel")
+        .orderBy("event_type")),
+
     "stream_interval_join_outer" -> ((s, d) =>
       replayThroughStream(s, d, "stream_interval_join_outer_sink",
         expand = identity,
@@ -367,6 +387,10 @@ object StreamingOps {
           AND c.event_type = 'click' AND v.event_type = 'view'
           AND v.us >= c.us AND v.us <= c.us + CAST(86400000000 AS BIGINT)
          ORDER BY user_id, click_us, view_us""",
+    "stream_agg_complete" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_interval_join_outer" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
              CAST(FLOOR(value * 100) AS BIGINT) AS v_cents, event_type

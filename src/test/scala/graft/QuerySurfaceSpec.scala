@@ -100,4 +100,68 @@ class QuerySurfaceSpec extends AnyFunSuite {
       .select("revenue_c4").collect().map(_.getLong(0))
     assert(rows.length == 10 && rows.sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("graph_hits: boundary nodes of the u<v orientation score zero") {
+    // the minimum node has no in-edge (auth=0, hub>0); the maximum node
+    // has no out-edge (hub=0, auth>0); unnormalized scores are never
+    // negative
+    val rows = SparkEntry.queries("graph_hits")(spark, sf0001).collect()
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (minId, maxId) = (byId.keys.min, byId.keys.max)
+    assert(byId(minId)._2 == 0 && byId(minId)._1 > 0, s"min node $minId")
+    assert(byId(maxId)._1 == 0 && byId(maxId)._2 > 0, s"max node $maxId")
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(2) >= 0))
+  }
+
+  test("graph_lpa labels never exceed the node id and shrink monotonically") {
+    // min-label propagation: after any number of rounds, l(v) <= v, and
+    // every label is itself a node id of the same component
+    val rows = SparkEntry.queries("graph_lpa")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(0)),
+      "a label exceeded its node id")
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(rows.forall(r => ids.contains(r.getLong(1))),
+      "a label is not a node id")
+  }
+
+  test("graph_ball2: ball contains self plus distance-1 set; harmonic identity") {
+    val rows = SparkEntry.queries("graph_ball2")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, ball2, harm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ball2 >= n1 + 1, s"ball smaller than closed neighborhood: $r")
+      assert(harm == 2 * n1 + (ball2 - 1 - n1), s"harmonic identity broken: $r")
+    }
+  }
+
+  test("graph_random_walk: every step lands on a neighbor of the previous node") {
+    val e = graft.queries.GraphAlgos.coPurchaseEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (e ++ e.map(_.swap)).groupMap(_._1)(_._2)
+      .map { case (k, v) => k -> v.toSet }
+    val rows = SparkEntry.queries("graph_random_walk")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val walk = Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      walk.sliding(2).foreach { case Seq(a, b) =>
+        assert(nbrs(a).contains(b), s"step $a -> $b is not an edge")
+      }
+    }
+  }
+
+  test("quality_repetition: top-word count matches an explode-recount") {
+    val q = SparkEntry.queries("quality_repetition")(spark, sf0001)
+    val recount = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_c"))
+    val mismatch = q.join(recount, "doc_id")
+      .filter(col("top_cnt") =!= col("max_c")).count()
+    assert(mismatch == 0, "HOF run-length top count disagrees with explode recount")
+    val bad = q.filter(col("n_distinct") > col("n_words") ||
+      col("top_cnt") < 1).count()
+    assert(bad == 0)
+  }
 }

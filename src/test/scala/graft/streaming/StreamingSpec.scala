@@ -78,6 +78,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(sd.map(_.getLong(0)).distinct.length == sd.length, "duplicate event_ids survived")
   }
 
+  test("stream_agg_complete snapshot equals the batch per-type totals") {
+    graft.Caches.hardSweep(spark)
+    val streamed = graft.SparkEntry.queries("stream_agg_complete")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val batch = graft.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      "complete-mode snapshot differs from batch aggregation")
+  }
+
   test("stream_interval_join equals the batch click→view join row-for-row") {
     // the oracle-gated streaming self-join: the replayed click/view pairing
     // must reproduce the plain batch join over the same events exactly
