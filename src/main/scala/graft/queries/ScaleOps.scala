@@ -118,6 +118,44 @@ object ScaleOps {
         .orderBy("event_type")
     }),
 
+    // -- bucketed co-located join: BOTH fact tables are written
+    //    `bucketBy(8, key).sortBy(key)` into a managed parquet table, then
+    //    joined back on the bucket key with a forced sort-merge join. The
+    //    scan's bucketing IS the join partitioning, so the join runs with
+    //    ZERO exchanges on the key (gated in ScaleOpsSpec: no
+    //    `hashpartitioning(o_orderkey/l_orderkey)` exchange in the final
+    //    plan) — the one-time layout cost is amortized over every
+    //    subsequent key join, the standard warehouse trick for a fact
+    //    table joined on the same key daily. At 100 TB the bucket count
+    //    scales with data (e.g. 4096) and writers emit one file per
+    //    bucket; the join itself never reshuffles. Values are gated by the
+    //    plain-join oracle — bucketing must not change a single row.
+    "join_bucketed_colocated" -> ((s, d) => {
+      val db = "graft_bucketed"
+      // location is per-JVM: a fresh session's in-memory catalog cannot
+      // overwrite a managed-table dir orphaned by a previous JVM
+      // (LOCATION_ALREADY_EXISTS), so never share one across processes
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION " +
+        s"'/tmp/graft_bucketed_${s.sparkContext.applicationId}'")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+      s.table(s"$db.orders_b").hint("merge")
+        .join(s.table(s"$db.lineitem_b").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000)).as("revenue_c4"))
+        .orderBy("o_orderpriority")
+    }),
+
     // -- Z-order layout: assign each row a Morton code over
     //    (l_partkey, l_suppkey), lay rows out in 1000-row "files" in
     //    z order, and report per-file bounding boxes + whether the file
@@ -161,6 +199,12 @@ object ScaleOps {
          (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616)"""
 
   val oracleSql: Map[String, String] = Map(
+    "join_bucketed_colocated" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
     "join_bloom_prefilter" ->
       """SELECT CAST(l_suppkey AS BIGINT) AS sk, COUNT(*) AS n_items,
          CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4

@@ -314,4 +314,14 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val stats = df.queryExecution.optimizedPlan.stats
     assert(stats.rowCount.isDefined && stats.rowCount.get.toLong > 0)
   }
+
+  test("join_bucketed_colocated: bucketed scans join with no key exchange") {
+    val df = SparkEntry.queries("join_bucketed_colocated")(spark, sf0001)
+    val p = executed(df)
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed join must stay a sort-merge join:\n$p")
+    assert(!p.contains("hashpartitioning(o_orderkey") &&
+      !p.contains("hashpartitioning(l_orderkey"),
+      s"join key was reshuffled despite bucketing:\n$p")
+  }
 }
