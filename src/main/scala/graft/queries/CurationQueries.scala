@@ -245,6 +245,82 @@ object CurationQueries {
         .withColumn("rate_e6",
           floor(col("n_sampled") * lit(1000000.0) / col("n_total")).cast("long"))
         .orderBy("lang", "source")
+    }),
+
+    // -- domain-mix rebalancing (the data-mixing step of a pre-training
+    //    pipeline): given a target mix — uniform across sources here —
+    //    compute each source's deterministic acceptance threshold
+    //    thresh = min(4096, floor(4096 * total / (n_sources * n_source)))
+    //    and keep a doc iff its 3-hex-digit md5 prefix (0..4095) falls
+    //    below it. Over-represented sources get down-sampled toward the
+    //    target share; under-represented ones pass whole (thresh = 4096).
+    //    All arithmetic is exact integers, the decision is content-
+    //    addressed (stable under re-partitioning / re-ingest / cluster
+    //    size), and the plan is ONE corpus pass: the per-source count
+    //    relation is source-cardinality-sized, broadcast back onto the
+    //    scan, and the final agg map-side-combines to |sources| rows —
+    //    the corpus itself never shuffles.
+    "mix_rebalance" -> ((s, d) => {
+      val docs = documents(s, d).select(col("source"), col("text"))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      val tot = counts.agg(sum(col("n_total")).as("t"),
+        count(lit(1)).as("ns"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("thresh", least(lit(4096L),
+          floor(lit(4096L) * col("t") / (col("ns") * col("n_total"))))
+          .cast("long"))
+        .select("source", "n_total", "thresh")
+      docs
+        .withColumn("hv",
+          conv(substring(md5(DedupQueries.norm(col("text"))), 1, 3), 16, 10)
+            .cast("long"))
+        .join(broadcast(rates), "source")
+        .groupBy(col("source"), col("n_total"), col("thresh"))
+        .agg(sum(when(col("hv") < col("thresh"), 1L).otherwise(0L))
+          .as("n_kept"))
+        .withColumn("kept_e6",
+          floor(col("n_kept") * lit(1000000.0) / col("n_total")).cast("long"))
+        .select("source", "n_total", "thresh", "n_kept", "kept_e6")
+        .orderBy("source")
+    }),
+
+    // -- corpus-level bigram novelty (a CCNet-style commonness signal
+    //    computed from the corpus itself instead of an external LM): a
+    //    doc's bigram is "known" if it occurs in >= 2 distinct documents;
+    //    novelty = the fraction of a doc's bigram stream that is NOT
+    //    known. Boilerplate scores near 0, unique prose near 1e6. The
+    //    bigram stream is built NARROWLY per row (transform over the
+    //    token array — no window, no explode-then-lag), and every
+    //    exchange carries 64-bit xxhash64 bigram keys, never the strings:
+    //    at 100 TB the bigram df table is the big side, and hashing cuts
+    //    its exchange width ~10x (collisions at 64 bits only perturb df
+    //    counts marginally — acceptable for a quality SIGNAL; the oracle
+    //    replays exact strings and sf0.01 has no colliding pairs).
+    "quality_novelty" -> ((s, d) => {
+      val nt = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val base = documents(s, d)
+        .select(col("doc_id"), split(nt, " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          greatest(size(col("w")) - 1, lit(0)).cast("long").as("n_bigrams"))
+      val occ = base
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(w, 1, greatest(size(w) - 1, 0)), " +
+            "(x, i) -> xxhash64(concat(x, ' ', element_at(w, i + 2))))"))
+          .as("b"))
+      val known = occ.select("doc_id", "b").distinct()
+        .groupBy("b").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .select("b")
+      val perDoc = occ.join(known, Seq("b"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+      base.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"),
+          coalesce(col("n_known"), lit(0L)).as("n_known"))
+        .withColumn("novelty_e6",
+          when(col("n_bigrams") === 0L, lit(1000000L))
+            .otherwise(floor((col("n_bigrams") - col("n_known"))
+              * lit(1000000.0) / col("n_bigrams")).cast("long")))
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -375,5 +451,43 @@ object CurationQueries {
                        IN ('0', '1') THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          CAST(FLOOR(SUM(CASE WHEN substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 1)
                        IN ('0', '1') THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT) AS rate_e6
-         FROM documents GROUP BY lang, source ORDER BY lang, source""")
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "mix_rebalance" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+         t AS (SELECT SUM(n_total) AS t, COUNT(*) AS ns FROM c),
+         r AS (SELECT c.source, CAST(c.n_total AS BIGINT) AS n_total,
+             LEAST(4096, CAST(FLOOR(4096 * t.t / (t.ns * c.n_total)) AS BIGINT)) AS thresh
+           FROM c, t),
+         h AS (SELECT source,
+             (strpos('0123456789abcdef', substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 2, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 3, 1)) - 1) AS hv
+           FROM documents)
+         SELECT r.source, r.n_total, r.thresh,
+           CAST(SUM(CASE WHEN h.hv < r.thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(FLOOR(SUM(CASE WHEN h.hv < r.thresh THEN 1 ELSE 0 END)
+             * 1000000.0 / r.n_total) AS BIGINT) AS kept_e6
+         FROM h JOIN r ON h.source = r.source
+         GROUP BY r.source, r.n_total, r.thresh ORDER BY r.source""",
+    "quality_novelty" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         b AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS b
+           FROM w),
+         df AS (SELECT b, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY b),
+         k AS (SELECT b.doc_id, COUNT(*) AS n_known
+           FROM b JOIN df ON b.b = df.b WHERE df.df >= 2 GROUP BY b.doc_id),
+         base AS (SELECT doc_id,
+             CAST(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS BIGINT) AS n_bigrams
+           FROM w)
+         SELECT base.doc_id, base.n_bigrams,
+           CAST(COALESCE(k.n_known, 0) AS BIGINT) AS n_known,
+           CAST(CASE WHEN base.n_bigrams = 0 THEN 1000000
+                ELSE FLOOR((base.n_bigrams - COALESCE(k.n_known, 0))
+                  * 1000000.0 / base.n_bigrams) END AS BIGINT) AS novelty_e6
+         FROM base LEFT JOIN k ON base.doc_id = k.doc_id
+         ORDER BY base.doc_id""")
 }

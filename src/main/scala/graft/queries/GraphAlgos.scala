@@ -92,6 +92,71 @@ object GraphAlgos {
       .orderBy("id")
   }
 
+  /** SCC via POINTER DOUBLING on a deterministic functional graph over the
+    * part node set (each node has exactly one out-edge f(i) = (i²+1) mod n
+    * on the dense node index — a rho-shaped graph whose SCCs are its
+    * cycles plus tail singletons). Pointer doubling is the canonical
+    * O(log n)-round primitive behind distributed list ranking / SCC /
+    * forest compression: each round the state (p, m) = (f^(2^k)(i),
+    * min f^(0..2^k-1)(i)) composes with itself via ONE self-join, so
+    * K = ceil(log2 n) rounds reach every horizon ≥ n — 15 rounds cover a
+    * 30k-node graph, 40 rounds a trillion-node one. Each round is eagerly
+    * localCheckpoint'ed (kcore hygiene: flat logical plan, previous
+    * generation freed as the next lands). A node is on a cycle iff it
+    * survives in the image of f^(2^K); its SCC id is the cycle's min
+    * label, already carried in m. The dense index itself is built with the
+    * two-phase bucketed cumsum (per-bucket counts → metadata-sized bucket
+    * window → per-bucket row_number), never a global-window rank. The
+    * oracle replays the SAME 16 doublings as chained materialized CTEs
+    * (2^16 ≥ n at every test SF, and extra rounds past cycle coverage are
+    * idempotent). */
+  private[graft] def sccFunctional(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pk = lineitem(s, d)
+      .select(col("l_partkey").cast("long").as("pk")).distinct()
+    val bk = pk.withColumn("bkt", floor(col("pk") / 4096L).cast("long"))
+    val wB = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bk.groupBy("bkt").agg(count(lit(1)).as("c"))
+      .withColumn("base", coalesce(sum(col("c")).over(wB), lit(0L)))
+      .select("bkt", "base")
+    val wIn = Window.partitionBy("bkt").orderBy("pk")
+    val (idx, idxIds) = checkpointWithIds(
+      bk.join(broadcast(bases), "bkt")
+        .withColumn("i", (col("base") + row_number().over(wIn) - 1)
+          .cast("long"))
+        .select("pk", "i"))
+    val n = idx.count() // bounded driver scalar: node count sets K
+    val k = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, n - 1))) // ceil(log2 n), so 2^K >= n
+    var st = idx.select(col("i"),
+      ((col("i") * col("i") + 1L) % lit(n)).as("p"), col("i").as("m"))
+    var stIds = Set.empty[Int]
+    for (_ <- 1 to k) {
+      val b = st.select(col("i").as("bi"), col("p").as("bp"),
+        col("m").as("bm"))
+      val nxt = st.join(b, col("p") === col("bi"))
+        .select(col("i"), col("bp").as("p"),
+          least(col("m"), col("bm")).as("m"))
+      val (ck, ids) = checkpointWithIds(nxt)
+      freeRdds(s, stIds)
+      st = ck
+      stIds = ids
+    }
+    val onCyc = st.select(col("p").as("i")).distinct()
+      .withColumn("oc", lit(1L))
+    val res = st.join(onCyc, Seq("i"), "left")
+      .select(col("i"),
+        coalesce(col("oc"), lit(0L)).as("on_cycle"),
+        when(col("oc").isNotNull, col("m")).otherwise(col("i")).as("scc_i"))
+    graft.Caches.defer(s)(freeRdds(s, stIds ++ idxIds))
+    res.join(idx, Seq("i"))
+      .join(idx.select(col("i").as("scc_i"), col("pk").as("scc_node")),
+        Seq("scc_i"))
+      .select(col("pk").as("node"), col("on_cycle"), col("scc_node"))
+      .orderBy("node")
+  }
+
   /** Distinct undirected co-purchase edges (u < v) over parts: group each
     * order's part set — bounded by order size (≤13 lineitems/order in
     * this testdata ⇒ ≤78 intra-order pairs; the per-group pair cost is
@@ -123,6 +188,11 @@ object GraphAlgos {
     //    surfaced value is floor(pr·1e9).
     "graph_pagerank" -> ((s, d) => pageRank(s, d, iters = 3,
       checkpointEachIter = true)),
+
+    // -- SCC by pointer doubling on the functional part graph: see
+    //    [[sccFunctional]] — the O(log n)-round composition primitive,
+    //    checkpointed per round like kcore.
+    "graph_scc" -> ((s, d) => sccFunctional(s, d)),
 
     // -- triangle count on the co-purchase graph, compact-forward: orient
     //    each undirected edge from the (degree, id)-smaller endpoint to
@@ -493,7 +563,32 @@ object GraphAlgos {
          FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
 
+  /** The 16 chained doubling CTEs for graph_scc's oracle — MATERIALIZED,
+    * because each s_k is referenced twice and DuckDB would otherwise
+    * inline the chain into 2^16 copies of the scan. */
+  private val sccDoublingCtes: String = (0 until 16).map { k =>
+    s"""s${k + 1} AS MATERIALIZED (SELECT a.i, b.p, LEAST(a.m, b.m) AS m
+        FROM s$k a JOIN s$k b ON b.i = a.p)"""
+  }.mkString(",\n         ")
+
   val oracleSql: Map[String, String] = Map(
+    "graph_scc" ->
+      s"""WITH nodes AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS pk
+           FROM lineitem),
+         idx AS MATERIALIZED (SELECT pk,
+             ROW_NUMBER() OVER (ORDER BY pk) - 1 AS i FROM nodes),
+         nn AS (SELECT COUNT(*) AS n FROM idx),
+         f AS (SELECT i, (i * i + 1) % nn.n AS fi FROM idx, nn),
+         s0 AS MATERIALIZED (SELECT i, fi AS p, i AS m FROM f),
+         $sccDoublingCtes,
+         oc AS (SELECT DISTINCT p AS i FROM s16),
+         res AS (SELECT s.i, s.m,
+             CASE WHEN oc.i IS NOT NULL THEN 1 ELSE 0 END AS on_cycle
+           FROM s16 s LEFT JOIN oc ON oc.i = s.i)
+         SELECT a.pk AS node, CAST(res.on_cycle AS BIGINT) AS on_cycle,
+           CASE WHEN res.on_cycle = 1 THEN b.pk ELSE a.pk END AS scc_node
+         FROM idx a JOIN res ON res.i = a.i JOIN idx b ON b.i = res.m
+         ORDER BY node""",
     "graph_hits" ->
       s"""WITH $edgesCte,
          a1 AS (SELECT v, COUNT(*) AS a1 FROM e GROUP BY v),
