@@ -244,6 +244,43 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // -- CSV sink -> source round-trip, same write-once fixture discipline
+    //    as jsonl_roundtrip (stamped dir + atomic-rename publish). CSV is
+    //    the OTHER wire format feeds arrive in, and the hard part it
+    //    exercises is quoting: `props` is a JSON string full of commas,
+    //    quotes and braces, so the row only survives if the writer's
+    //    quoting and the reader's unescaping agree byte-for-byte. The
+    //    oracle is the ORIGINAL parquet table — the gate proves
+    //    write->read fidelity, not just schema plumbing.
+    "csv_roundtrip" -> ((s, d) => {
+      val src = java.nio.file.Paths.get(d, "events.parquet")
+      val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
+        s"_${java.nio.file.Files.size(src)}"
+      val key = s"${d}_$stamp".replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_$key"
+      val flat = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("props"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+        val staging = java.nio.file.Paths.get(
+          s"$dir.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+        flat.write.mode("overwrite").option("header", "true").csv(staging.toString)
+        try java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists)
+        }
+      }
+      s.read.schema(flat.schema).option("header", "true").csv(dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("props"),
+          floor(col("value") * 100).cast("long").as("value_cents"),
+          col("ts_us"))
+        .orderBy("event_id")
+    }),
+
     // -- correlated scalar subquery + correlated EXISTS: Catalyst
     //    decorrelates both into joins (RewriteCorrelatedScalarSubquery /
     //    RewriteNonCorrelatedExists + RewritePredicateSubquery), so the
@@ -544,6 +581,18 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "rn")
     }),
 
+    // -- window: NTILE bucketing (the equi-depth binning used for
+    //    percentile bands / stratified splits). Deterministic because the
+    //    ordering key is unique.
+    "win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(8).over(w).cast("long").as("bucket"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // -- window: running sum with an explicit rows frame (exact integer sum)
     "win_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -841,6 +890,16 @@ object RelationalQueries {
          CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
          epoch_us(ts) AS ts_us
          FROM events ORDER BY event_id""",
+    "csv_roundtrip" ->
+      """SELECT event_id, user_id, event_type, props,
+         CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+         epoch_us(ts) AS ts_us
+         FROM events ORDER BY event_id""",
+    "win_ntile" ->
+      """SELECT o_orderpriority, o_orderkey,
+         CAST(NTILE(8) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_orderkey) AS BIGINT) AS bucket
+         FROM orders ORDER BY o_orderpriority, o_orderkey""",
     "subquery_correlated" ->
       """SELECT o_orderkey,
          CAST((SELECT COUNT(*) FROM lineitem

@@ -202,9 +202,61 @@ object TextQueries {
             array_min(transform(DedupQueries.shingles(col("text")), x => fnv(x))))
             .as("min_shingle_fp"))
         .orderBy("doc_id")
+    }),
+
+    // -- collocation mining: the top-20 corpus bigrams by LIFT against
+    //    unigram independence, lift = N·c(ab) / (c(a)·c(b)) — the
+    //    phrase-extraction signal (PMI without the log, so every value
+    //    stays an exact integer: lift_e6 uses BIGINT floor-division, never
+    //    a float the two engines could round apart). Support floor
+    //    c(ab) >= 5 prunes the long tail BEFORE the unigram joins, and
+    //    the final top-k is orderBy+limit — TakeOrderedAndProject
+    //    (per-partition heaps), never a global sort. At 100 TB the
+    //    unigram relation is vocabulary-sized (broadcastable) and the
+    //    supported-bigram relation is orders of magnitude smaller than
+    //    the token stream.
+    "text_collocations" -> ((s, d) => {
+      val base = documents(s, d).select(toks(col("text")).as("w"))
+      val uni = base.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("n"))
+      val bi = base.select(explode(expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), " +
+          "(x, i) -> struct(x AS t1, element_at(w, i + 2) AS t2))")).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      bi.join(broadcast(uni.withColumnRenamed("t", "t1")
+            .withColumnRenamed("c", "c_a")), "t1")
+        .join(broadcast(uni.withColumnRenamed("t", "t2")
+            .withColumnRenamed("c", "c_b")), "t2")
+        .crossJoin(broadcast(tot))
+        .select(concat_ws(" ", col("t1"), col("t2")).as("bigram"),
+          col("c_ab"), col("c_a"), col("c_b"),
+          expr("c_ab * n * 1000000L div (c_a * c_b)").as("lift_e6"))
+        .orderBy(col("lift_e6").desc, col("bigram"))
+        .limit(20)
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "text_collocations" ->
+      """WITH w AS (SELECT string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         u AS (SELECT unnest(w) AS t FROM w),
+         uc AS (SELECT t, COUNT(*) AS c FROM u GROUP BY t),
+         nt AS (SELECT SUM(c) AS n FROM uc),
+         b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> [w[i], w[i + 1]])) AS p FROM w),
+         bc AS (SELECT p[1] AS t1, p[2] AS t2, COUNT(*) AS c_ab
+           FROM b GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         SELECT bc.t1 || ' ' || bc.t2 AS bigram,
+           CAST(bc.c_ab AS BIGINT) AS c_ab,
+           CAST(a.c AS BIGINT) AS c_a, CAST(z.c AS BIGINT) AS c_b,
+           CAST((bc.c_ab * nt.n * 1000000) // (a.c * z.c) AS BIGINT) AS lift_e6
+         FROM bc CROSS JOIN nt
+         JOIN uc a ON a.t = bc.t1 JOIN uc z ON z.t = bc.t2
+         ORDER BY lift_e6 DESC, bigram LIMIT 20""",
     "text_redact" ->
       """SELECT doc_id,
          regexp_replace(text,
