@@ -347,7 +347,27 @@ object StreamingOps {
         sentinelGapUs = 26L * 3600L * 1000000L,
         sentinelTypes = Seq("click", "view"))
         .filter(col("click_id") >= 0)
-        .orderBy("user_id", "click_us", "view_us")))
+        .orderBy("user_id", "click_us", "view_us")),
+
+    // -- stream-static enrichment through the streaming engine: each
+    //    micro-batch inner-joins the broadcast customer dimension — the
+    //    STATELESS streaming join ([[streamStaticJoin]]): no watermark
+    //    state, no buffering, restart-safe, so the replay needs no
+    //    sentinel flush at all (sentinel user_id -1 simply finds no
+    //    dimension row). The oracle is the same join run as batch SQL.
+    "stream_static_join" -> ((s, d) => {
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      replayThroughStream(s, d, "stream_static_join_sink",
+        expand = identity,
+        build = src => src
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("c_name"),
+            col("c_nationkey").cast("long").as("c_nationkey"),
+            col("v_cents")))
+        .filter(col("event_id") >= 0)
+        .orderBy("event_id")
+    }))
 
   /** Batch replays of the streaming queries: the replay schedule drops
     * nothing and flushes everything, so each streaming result must equal
@@ -356,6 +376,12 @@ object StreamingOps {
     * reuses the `time_window_agg` bucketing; `stream_dedup`'s first
     * arrivals under exact redelivery are simply the distinct event set. */
   val oracleSql: Map[String, String] = Map(
+    "stream_static_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name,
+         CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(FLOOR(e.value * 100) AS BIGINT) AS v_cents
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
     "stream_session_window" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
          l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
