@@ -315,6 +315,35 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(stats.rowCount.isDefined && stats.rowCount.get.toLong > 0)
   }
 
+  test("text_collocations: global top-k compiles to TakeOrderedAndProject") {
+    val df = SparkEntry.queries("text_collocations")(spark, sf0001)
+    val p = executed(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be per-partition heaps + driver merge, not a sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocabulary joins must broadcast, not shuffle the bigram side:\n$p")
+  }
+
+  test("quality_novelty: bigram exchanges carry hashed longs, not strings") {
+    val df = SparkEntry.queries("quality_novelty")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"),
+      s"bigram keys must be 64-bit hashes before any exchange:\n$p")
+    // the bigram STRING must never be a shuffle key: every
+    // hashpartitioning over the bigram side uses the hashed column
+    assert(!"hashpartitioning\\([^)]*concat\\(".r.findFirstIn(p).isDefined,
+      s"raw bigram strings used as a shuffle key:\n$p")
+  }
+
+  test("mix_rebalance: per-source rates broadcast back onto the scan") {
+    val df = SparkEntry.queries("mix_rebalance")(spark, sf0001)
+    val p = executed(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate relation must broadcast onto the corpus pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the rate join:\n$p")
+  }
+
   test("join_bucketed_colocated: bucketed scans join with no key exchange") {
     val df = SparkEntry.queries("join_bucketed_colocated")(spark, sf0001)
     val p = executed(df)
