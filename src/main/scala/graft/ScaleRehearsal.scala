@@ -160,6 +160,34 @@ object ScaleRehearsal {
     val (mGol, tFullGol) = timed(
       gGol.select(explode(col("successors"))).count())
 
+    // pointer-doubling rehearsal (graph_scc's primitive): ceil(log2 n)
+    // rounds over an n-row state frame on the arithmetic functional graph
+    // f(i) = (i²+1) mod n — each round one self-join + eager
+    // localCheckpoint, previous generation freed as the next lands, and
+    // the adaptive image-restricted broadcast kicks in once the pointer
+    // image collapses toward the cycle set (see GraphAlgos.pointerDoubling
+    // — un-restricted, the tail rounds hash-exchange the whole state onto
+    // cycle-sized key space). Node count capped at 2M here: the loop's
+    // round count is the log-n story (21 rounds at 2M, ~40 at a
+    // trillion) and its per-round cost is state-constant, but past ~2M
+    // in ONE JVM the measurement drowns in driver-shared GC — profiled
+    // at 10M: flat plan, constant storage, single live generation, yet
+    // GC/cleaner pauses dominate late rounds. On a cluster the state is
+    // per-executor-small and the constant applies per round.
+    val sccN = math.min(n, 2000000).toLong
+    val ((sccRounds, sccOnCycle), tScc) = timed {
+      import graft.queries.GraphAlgos
+      val st0 = spark.range(0, sccN).toDF("i")
+        .select(col("i"),
+          ((col("i") * col("i") + 1L) % lit(sccN)).as("p"),
+          col("i").as("m"))
+      val (st, ids) = GraphAlgos.pointerDoubling(spark, st0, sccN)
+      val onCycle = st.select(col("p")).distinct().count()
+      GraphAlgos.freeRdds(spark, ids)
+      val k = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, sccN - 1L))
+      (k, onCycle)
+    }
+
     def graphBytesOf(b: String): Long = {
       val dir = new java.io.File(b + ".d")
       if (dir.isDirectory)
@@ -181,7 +209,10 @@ object ScaleRehearsal {
       s""""golomb_decode_mlinks_per_sec":${f(mGol / tFullGol / 1e6)},""" +
       s""""golomb_bits_per_link":${f(bitsPerLinkGol)},""" +
       s""""slice_edges":$sliceEdges,""" +
-      s""""checks":${nn == n && m2 == mm && mGol == mm && rtEdges == expRt}}""")
+      s""""scc_nodes":$sccN,"scc_rounds":$sccRounds,"scc_sec":${f(tScc)},""" +
+      s""""scc_on_cycle":$sccOnCycle,""" +
+      s""""checks":${nn == n && m2 == mm && mGol == mm && rtEdges == expRt &&
+        sccOnCycle >= 1 && sccOnCycle <= sccN}}""")
     spark.stop()
   }
 }

@@ -110,6 +110,68 @@ object GraphAlgos {
     * oracle replays the SAME 16 doublings as chained materialized CTEs
     * (2^16 ≥ n at every test SF, and extra rounds past cycle coverage are
     * idempotent). */
+  /** The pointer-doubling loop itself, shared with the scale rehearsal:
+    * state (i, p, m) with p = f^(2^k)(i), m = min f^(0..2^k-1)(i),
+    * composed with itself for ceil(log2 n) rounds, eagerly
+    * localCheckpoint'ed per round.
+    *
+    * SKEW: doubling funnels every pointer onto the (tiny) cycle set, so
+    * the self-join key's distinct count collapses round over round —
+    * joined naively, the final rounds hash-exchange the FULL state onto
+    * a handful of partitions (measured: the last round alone cost 7 s at
+    * 2M nodes, and dominates entirely at 10M). AQE cannot save this plan
+    * on its own: a semi-restricted build flows into the main join with
+    * its partitioning requirement already satisfied, so no query-stage
+    * boundary materializes where AQE could observe the build had
+    * collapsed to cycle size (verified on the executed plan — the skewed
+    * exchange survives).
+    *
+    * Fix, exploiting that image(f^2m) ⊆ image(f^m) (the image only ever
+    * shrinks): while the EXPECTED image (~2n/2^r for rho-shaped f) is
+    * still large, run the plain join — keys are spread, no skew. Once it
+    * crosses the broadcast threshold, count the real image ONCE per
+    * round until it confirms small (robust to f that defies the decay
+    * estimate — for a permutation the image never shrinks and the plain
+    * join stays correct and skew-free), then switch sticky to: restrict
+    * the build to the broadcast image and broadcast the restricted build
+    * into the main join. From that round on the state is never
+    * exchanged — each tail round is a narrow map-side hash join +
+    * checkpoint. Returns the final state plus the RDD ids of its
+    * checkpoint generation (caller frees them). */
+  private[graft] def pointerDoubling(s: SparkSession, st0: DataFrame,
+      n: Long): (DataFrame, Set[Int]) = {
+    val k = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, n - 1))) // ceil(log2 n), so 2^K >= n
+    val bcRows = 100000L // ~2.4 MB of (bi,bp,bm) — safely broadcastable
+    var st = st0
+    var stIds = Set.empty[Int]
+    var imgSmall = false
+    for (r <- 1 to k) {
+      // expected image before round r is image(f^(2^(r-1))) ~ 2n/2^(r-1)
+      val expectedSmall = (n >> math.min(62, r - 1)) <= bcRows / 2
+      if (!imgSmall && expectedSmall)
+        imgSmall = st.select(col("p")).distinct().count() <= bcRows
+      val b0 = st.select(col("i").as("bi"), col("p").as("bp"),
+        col("m").as("bm"))
+      val nxt = if (imgSmall) {
+        val img = st.select(col("p").as("bi")).distinct()
+        val b = b0.join(broadcast(img), Seq("bi"), "left_semi")
+        st.join(broadcast(b), col("p") === col("bi"))
+          .select(col("i"), col("bp").as("p"),
+            least(col("m"), col("bm")).as("m"))
+      } else {
+        st.join(b0, col("p") === col("bi"))
+          .select(col("i"), col("bp").as("p"),
+            least(col("m"), col("bm")).as("m"))
+      }
+      val (ck, ids) = checkpointWithIds(nxt)
+      freeRdds(s, stIds)
+      st = ck
+      stIds = ids
+    }
+    (st, stIds)
+  }
+
   private[graft] def sccFunctional(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pk = lineitem(s, d)
@@ -127,22 +189,9 @@ object GraphAlgos {
           .cast("long"))
         .select("pk", "i"))
     val n = idx.count() // bounded driver scalar: node count sets K
-    val k = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
-      math.max(1L, n - 1))) // ceil(log2 n), so 2^K >= n
-    var st = idx.select(col("i"),
+    val st0 = idx.select(col("i"),
       ((col("i") * col("i") + 1L) % lit(n)).as("p"), col("i").as("m"))
-    var stIds = Set.empty[Int]
-    for (_ <- 1 to k) {
-      val b = st.select(col("i").as("bi"), col("p").as("bp"),
-        col("m").as("bm"))
-      val nxt = st.join(b, col("p") === col("bi"))
-        .select(col("i"), col("bp").as("p"),
-          least(col("m"), col("bm")).as("m"))
-      val (ck, ids) = checkpointWithIds(nxt)
-      freeRdds(s, stIds)
-      st = ck
-      stIds = ids
-    }
+    val (st, stIds) = pointerDoubling(s, st0, n)
     val onCyc = st.select(col("p").as("i")).distinct()
       .withColumn("oc", lit(1L))
     val res = st.join(onCyc, Seq("i"), "left")
