@@ -173,6 +173,38 @@ object SketchAggs {
     override def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
   }
 
+  /** Union-merge of KMV (bottom-k) sketches: input, state and output are
+    * all sorted-distinct bottom-k runs (any length <= k), merged keeping
+    * the k smallest distinct values — signed order (callers feed small
+    * positive modular hashes). This is the HyperBall composition
+    * primitive (Boldi-Vigna 2013, with HLL registers swapped for the
+    * KMV statistic the DuckDB oracle can replay exactly): the k smallest
+    * distinct hashes of a union are contained in the union of each
+    * member's k smallest, so per-round truncation to k longs is LOSSLESS
+    * for the final bottom-k — state stays k longs per node per round no
+    * matter how large the neighborhood grows. */
+  final class KmvUnion(k: Int)
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    require(k > 1, s"k must be > 1, got $k")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], in: Array[Long]): Array[Long] =
+      merge(buf, in)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) < b(j))
+        val v = if (takeA) { val x = a(i); i += 1; x }
+                else { val x = b(j); j += 1; x }
+        if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** Count-min sketch over a gram stream: d rows x w counters (w a power
     * of two), row r's hash = FNV-1a 64 of the salted gram ('a'+r prefix)
     * — the engine's reproducible fingerprint primitive, which is what

@@ -543,6 +543,52 @@ object GraphAlgos {
         .orderBy("node")
     }),
 
+    // -- HyperBall-style neighborhood function over EVERY node (the sketch
+    //    path graph_ball2's doc promises): per-node fixed-size bottom-k
+    //    (KMV) sketch of the radius-2 ball, composed per round by merging
+    //    each node's sketch with its neighbors' — k-min of a union equals
+    //    k-min of the members' k-mins, so the per-round truncation is
+    //    LOSSLESS for the final statistic and state stays k=16 longs per
+    //    node however big the ball gets. That fixed-size merge is the whole
+    //    100 TB point: exact per-node ball sizes cost Σdeg² rows
+    //    (graph_ball2 pays it on a 1/17 seed sample; at scale nobody can
+    //    pay it for all nodes), while this runs radius rounds of
+    //    one edge-partitioned join + one bounded-state aggregate, the same
+    //    per-round shuffle profile as pagerank. Hashes are modular
+    //    arithmetic (h = v·2654435761 mod (1e9+7), +1 to keep 0 free), the
+    //    estimate (k-1)·M DIV kth is exact BIGINT division, and the oracle
+    //    replays the bottom-k via window row_number over the naive ball —
+    //    estimator and exact path agree to the digit in both engines.
+    "graph_hyperball" -> ((s, d) => {
+      val k = 16
+      val M = 1000000007L
+      val kmv = udaf(new graft.functions.SketchAggs.KmvUnion(k))
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      var st = sym.select(col("x")).distinct()
+        .select(col("x"),
+          array((col("x") * lit(2654435761L)) % lit(M) + lit(1L)).as("sk"))
+      var stIds = Set.empty[Int]
+      for (_ <- 1 to 2) { // radius 2: ball_{r+1} merges N[x]'s ball_r sketches
+        val msgs = sym.join(st.withColumnRenamed("x", "y"), "y")
+          .select(col("x"), col("sk"))
+        val (ck, ids) = checkpointWithIds(
+          msgs.unionByName(st).groupBy(col("x")).agg(kmv(col("sk")).as("sk")))
+        freeRdds(s, stIds)
+        st = ck
+        stIds = ids
+      }
+      graft.Caches.defer(s)(freeRdds(s, stIds))
+      st.select(col("x").as("node"),
+        size(col("sk")).cast("long").as("n_sk"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(s"${(k - 1) * M} DIV element_at(sk, $k)"))
+          .as("ball2_est"))
+        .orderBy("node")
+    }),
+
     "graph_kcore" -> ((s, d) => {
       val rounds = 6
       val dbg = sys.props.get("graft.debug").contains("1")
@@ -671,6 +717,26 @@ object GraphAlgos {
            CAST(b.ball2 AS BIGINT) AS ball2,
            CAST(deg.n1 * 2 + (b.ball2 - 1 - deg.n1) AS BIGINT) AS harm2_x2
          FROM b JOIN deg ON b.node = deg.node ORDER BY b.node""",
+    "graph_hyperball" ->
+      s"""WITH $edgesCte,
+         sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+         ball AS (SELECT DISTINCT node, w FROM (
+           SELECT x AS node, y AS w FROM sym
+           UNION ALL
+           SELECT s1.x AS node, s2.y AS w FROM sym s1 JOIN sym s2 ON s2.x = s1.y
+           UNION ALL
+           SELECT DISTINCT x AS node, x AS w FROM sym)),
+         hh AS (SELECT DISTINCT node, (w * 2654435761) % 1000000007 + 1 AS h
+           FROM ball),
+         r AS (SELECT node, h,
+             row_number() OVER (PARTITION BY node ORDER BY h) AS rn FROM hh),
+         sk AS (SELECT node, COUNT(*) AS cnt,
+             MAX(CASE WHEN rn = 16 THEN h END) AS hk
+           FROM r WHERE rn <= 16 GROUP BY node)
+         SELECT node, CAST(cnt AS BIGINT) AS n_sk,
+           CAST(CASE WHEN cnt < 16 THEN cnt
+                ELSE ${15L * 1000000007L} // hk END AS BIGINT) AS ball2_est
+         FROM sk ORDER BY node""",
     "graph_random_walk" ->
       s"""WITH $edgesCte,
          sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),

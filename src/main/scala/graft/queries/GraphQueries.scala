@@ -265,6 +265,28 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // -- host-graph contraction (the WebGraph-ecosystem standard job: a
+    //    page-level web graph collapsed to its host/domain level, cf. the
+    //    reference's host-graph workloads): scan the BV fixture through
+    //    the DSv2 source, contract both endpoints id -> id DIV 64 (the
+    //    fixture's synthetic "host" bucketing — on a real crawl this is
+    //    the node->host map), and aggregate parallel edges into weights.
+    //    Scale shape: the contraction is a narrow projection inside the
+    //    scan stage (no pre-shuffle), then ONE hash shuffle on the
+    //    (src_host, dst_host) pair with partial map-side counting — the
+    //    contracted graph is orders of magnitude smaller than the input,
+    //    so the exchange carries host pairs, never page edges.
+    "host_graph" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      s.read.format("bvgraph").option("basename", base).option("splits", 8).load()
+        .select(expr("CAST(id AS BIGINT) div 64").as("src_host"),
+          explode(col("successors")).as("dd"))
+        .select(col("src_host"), expr("CAST(dd AS BIGINT) div 64").as("dst_host"))
+        .groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("weight"))
+        .orderBy("src_host", "dst_host")
+    }),
+
     // -- top-k by indegree (TakeOrderedAndProject — scales to 100 TB where
     //    a global sort would not)
     "top_indegree" -> ((s, d) => {
@@ -305,6 +327,10 @@ object GraphQueries {
       """SELECT deg, COUNT(*) AS n_nodes FROM
          (SELECT o_custkey, COUNT(*) AS deg FROM orders GROUP BY o_custkey) t
          GROUP BY deg ORDER BY deg""",
+    "host_graph" ->
+      """SELECT o_custkey // 64 AS src_host, o_orderkey // 64 AS dst_host,
+         COUNT(*) AS weight
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     "top_indegree" ->
       """SELECT l_partkey AS dst, COUNT(*) AS indeg
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -745,6 +745,31 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // -- ordered funnel analysis (view -> click -> purchase): per user,
+    //    the FIRST timestamp of each stage via conditional mins (one
+    //    partial-aggregated pass — no per-stage self-joins, the naive
+    //    funnel shape that explodes at scale), then the deepest prefix of
+    //    stages reached in strict time order, then a metadata-sized depth
+    //    histogram. Timestamp comparisons are on the same microsecond
+    //    instants in both engines; ties break conservatively (a click at
+    //    exactly the first view's instant does not count as "after").
+    "funnel_steps" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+        .select(
+          when(col("t_view").isNull, lit(0L))
+            .when(col("t_click").isNull || col("t_click") <= col("t_view"), lit(1L))
+            .when(col("t_buy").isNull || col("t_buy") <= col("t_click"), lit(2L))
+            .otherwise(lit(3L)).as("funnel_depth"))
+        .groupBy(col("funnel_depth"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_depth")
+    }),
+
     // -- CASE/conditional + HAVING shape
     "case_having" -> ((s, d) => {
       lineitem(s, d)
@@ -1118,6 +1143,23 @@ object RelationalQueries {
          FROM events
          WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
          ORDER BY event_id""",
+    "funnel_steps" ->
+      """WITH f AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+           FROM events GROUP BY user_id),
+         dep AS (
+           SELECT CASE
+             WHEN t_view IS NULL THEN 0
+             WHEN t_click IS NULL OR t_click <= t_view THEN 1
+             WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
+             ELSE 3 END AS funnel_depth
+           FROM f)
+         SELECT CAST(funnel_depth AS BIGINT) AS funnel_depth,
+           COUNT(*) AS n_users
+         FROM dep GROUP BY 1 ORDER BY 1""",
     "case_having" ->
       """SELECT disc_band, COUNT(*) AS n,
          CAST(FLOOR(SUM(price_cents) / COUNT(*)) AS BIGINT) AS avg_price_cents

@@ -344,6 +344,54 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"the corpus must not shuffle for the rate join:\n$p")
   }
 
+  test("graph_hyperball: checkpointed rounds keep the plan flat; sketch merge partial-aggregates") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("graph_hyperball")(spark, sf0001)
+    val analyzedNodes = df.queryExecution.analyzed.collect { case p => p }.size
+    assert(analyzedNodes < 80,
+      s"hyperball plan has $analyzedNodes nodes — round lineage is leaking")
+    // the final query's plan is (by design) just the checkpoint leaf; the
+    // scale property lives in the ROUND plan, so gate that directly: the
+    // KmvUnion udaf must merge map-side (bounded k-long state per node
+    // BEFORE the exchange) — that partial merge is the whole scale point
+    val kmv = udaf(new graft.functions.SketchAggs.KmvUnion(16))
+    val e = graft.queries.GraphAlgos.coPurchaseEdges(spark, sf0001)
+    val sym = e.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+    val st = sym.select(col("x")).distinct()
+      .select(col("x"), array((col("x") * lit(2654435761L)) % lit(1000000007L) + lit(1L)).as("sk"))
+    val round = sym.join(st.withColumnRenamed("x", "y"), "y")
+      .select(col("x"), col("sk"))
+      .unionByName(st)
+      .groupBy(col("x")).agg(kmv(col("sk")).as("sk"))
+    val p = executed(round)
+    val partialLine = p.linesIterator.find(l =>
+      l.contains("Aggregate") && l.contains("partial_"))
+    assert(partialLine.isDefined,
+      s"sketch merge is not partial-aggregated before the exchange:\n$p")
+  }
+
+  test("host_graph: contraction happens before the one host-pair exchange") {
+    val df = SparkEntry.queries("host_graph")(spark, sf0001)
+    val p = executed(df)
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.exists(_.contains("src_host")),
+      s"expected the aggregate exchange on the contracted host keys:\n$p")
+    // page-level ids must never be a shuffle key — the contraction must
+    // fold into the scan stage so the exchange carries host pairs only
+    assert(!ex.exists(l => l.contains("id#") || l.contains("dd#")),
+      s"page-level ids crossed an exchange:\n${ex.mkString("\n")}")
+    assert(p.contains("partial_count"), s"no map-side weight combine:\n$p")
+  }
+
+  test("funnel_steps: conditional mins partial-aggregate; no self-joins") {
+    val df = SparkEntry.queries("funnel_steps")(spark, sf0001)
+    val p = executed(df)
+    assert(!p.contains("Join"),
+      s"funnel must be one conditional-min pass, not per-stage joins:\n$p")
+    assert(p.contains("partial_min"), s"stage mins not partial-aggregated:\n$p")
+  }
+
   test("join_bucketed_colocated: bucketed scans join with no key exchange") {
     val df = SparkEntry.queries("join_bucketed_colocated")(spark, sf0001)
     val p = executed(df)

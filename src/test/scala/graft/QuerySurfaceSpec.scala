@@ -150,6 +150,47 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_hyperball: sketch agrees with the exact ball everywhere it can") {
+    // recompute exact radius-2 balls naively at sf0.001 and check, per
+    // node: n_sk == min(k, |distinct ball hashes|) (the bottom-k run is
+    // lossless), and wherever the sketch is NOT saturated the "estimate"
+    // IS the exact distinct-hash count — the estimator only estimates
+    // past k
+    val k = 16
+    val M = 1000000007L
+    val e = graft.queries.GraphAlgos.coPurchaseEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (e ++ e.map(_.swap)).groupMap(_._1)(_._2)
+      .map { case (n, v) => n -> v.toSet }
+    val rows = SparkEntry.queries("graph_hyperball")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (node, nSk, est) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val ball = nbrs(node).flatMap(y => nbrs(y) + y) + node
+      val hashes = ball.map(w => (w * 2654435761L) % M + 1L)
+      assert(nSk == math.min(k, hashes.size),
+        s"node $node: n_sk $nSk vs distinct ball hashes ${hashes.size}")
+      if (nSk < k) assert(est == hashes.size,
+        s"node $node: unsaturated sketch must be exact ($est vs ${hashes.size})")
+      else assert(est == 15L * M / hashes.toSeq.sorted.apply(k - 1),
+        s"node $node: saturated estimate drifted from the kth-min formula")
+    }
+  }
+
+  test("host_graph: weights re-sum to the page-level edge count") {
+    val q = SparkEntry.queries("host_graph")(spark, sf0001)
+    val total = q.agg(sum("weight")).head().getLong(0)
+    assert(total == Tables.orders(spark, sf0001).count(),
+      "contraction must conserve edge multiplicity")
+  }
+
+  test("funnel_steps: depth histogram partitions the user set") {
+    val q = SparkEntry.queries("funnel_steps")(spark, sf0001)
+    val total = q.agg(sum("n_users")).head().getLong(0)
+    val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(total == users, "every user lands in exactly one funnel depth")
+  }
+
   test("quality_repetition: top-word count matches an explode-recount") {
     val q = SparkEntry.queries("quality_repetition")(spark, sf0001)
     val recount = Tables.documents(spark, sf0001)
