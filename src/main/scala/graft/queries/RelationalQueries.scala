@@ -745,6 +745,65 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // -- TPC-H Q21's shape (suppliers who ALONE blocked multi-supplier
+    //    orders), adapted to this schema's columns: a returned line
+    //    (l_returnflag = 'R') "blocks" its order; keep blocked lines whose
+    //    order has ANOTHER supplier (left_semi on ok with sk inequality)
+    //    but where NO other supplier's line was returned (left_anti on the
+    //    same pair shape), then count blocked lines per supplier, top-10.
+    //    The semi/anti pair on one fact table is the canonical
+    //    correlated-EXISTS/NOT-EXISTS plan: both compile to one
+    //    co-partitioned join each on the order key (no row explosion —
+    //    semi/anti emit each probe row at most once), and the top-10 is a
+    //    TakeOrderedAndProject under a (numwait, suppkey) total order.
+    "q21_blame_supplier" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk"), col("l_returnflag").as("rf"))
+      val l1 = li.filter(col("rf") === "R").select(col("ok"), col("sk"))
+      val l2 = li.select(col("ok").as("ok2"), col("sk").as("sk2"))
+      val l3 = l1.select(col("ok").as("ok3"), col("sk").as("sk3"))
+      l1.join(l2, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+          "left_semi")
+        .join(l3, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+          "left_anti")
+        .groupBy(col("sk"))
+        .agg(count(lit(1)).as("numwait"))
+        .select(col("sk").as("suppkey"), col("numwait"))
+        .orderBy(col("numwait").desc, col("suppkey"))
+        .limit(10)
+    }),
+
+    // -- TPC-H Q22's shape (well-funded customers with no orders): the
+    //    balance threshold is a 1-row scalar aggregate — computed as
+    //    EXACT integer division over cents (sum DIV count), never a
+    //    floating avg whose accumulation order could flip a boundary row
+    //    between engines — broadcast back over the customer scan (1-row
+    //    build side), then an anti join against orders removes active
+    //    customers (every customer here HAS orders, so "idle" means no
+    //    order since 2000-06-01 — the date filter pushes into the orders
+    //    scan before the anti join), then a per-segment rollup. At
+    //    100 TB: the threshold agg is metadata-sized, the anti join
+    //    co-partitions on custkey, and nothing but the 1-row threshold
+    //    is ever broadcast.
+    "q22_idle_customers" -> ((s, d) => {
+      val cs = customer(s, d)
+        .filter(col("c_mktsegment")
+          .isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val thr = cs.filter(col("bal_c") > 0)
+        .agg(expr("sum(bal_c) div count(1)").as("thr"))
+      cs.crossJoin(broadcast(thr))
+        .filter(col("bal_c") > col("thr"))
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totbal_c"))
+        .orderBy("seg")
+    }),
+
     // -- ordered funnel analysis (view -> click -> purchase): per user,
     //    the FIRST timestamp of each stage via conditional mins (one
     //    partial-aggregated pass — no per-stage self-joins, the naive
@@ -1143,6 +1202,31 @@ object RelationalQueries {
          FROM events
          WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
          ORDER BY event_id""",
+    "q21_blame_supplier" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk, l_returnflag AS rf
+           FROM lineitem),
+         l1 AS (SELECT ok, sk FROM li WHERE rf = 'R')
+         SELECT l1.sk AS suppkey, COUNT(*) AS numwait
+         FROM l1
+         WHERE EXISTS (SELECT 1 FROM li l2
+             WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+           AND NOT EXISTS (SELECT 1 FROM l1 l3
+             WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+         GROUP BY l1.sk
+         ORDER BY numwait DESC, suppkey LIMIT 10""",
+    "q22_idle_customers" ->
+      """WITH cs AS (SELECT c_custkey, c_mktsegment AS seg,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')),
+         thr AS (SELECT SUM(bal_c) // COUNT(*) AS thr FROM cs WHERE bal_c > 0)
+         SELECT seg, COUNT(*) AS numcust, CAST(SUM(bal_c) AS BIGINT) AS totbal_c
+         FROM cs, thr
+         WHERE bal_c > thr
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '2000-06-01')
+         GROUP BY seg ORDER BY seg""",
     "funnel_steps" ->
       """WITH f AS (
            SELECT user_id,

@@ -392,6 +392,21 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("partial_min"), s"stage mins not partial-aggregated:\n$p")
   }
 
+  test("q21: EXISTS/NOT-EXISTS compile to semi/anti joins with a top-k, never row explosion") {
+    val p = executed(SparkEntry.queries("q21_blame_supplier")(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"EXISTS did not compile to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not compile to an anti join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 compiled to a sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q21:\n$p")
+  }
+
+  test("q22: the recency filter reaches the orders scan; only the 1-row threshold broadcasts") {
+    val p = executed(SparkEntry.queries("q22_idle_customers")(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"date filter not pushed into the orders scan:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not compile to an anti join:\n$p")
+  }
+
   test("join_bucketed_colocated: bucketed scans join with no key exchange") {
     val df = SparkEntry.queries("join_bucketed_colocated")(spark, sf0001)
     val p = executed(df)
