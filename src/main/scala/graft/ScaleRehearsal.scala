@@ -83,16 +83,17 @@ object ScaleRehearsal {
     // round keeps the logical plan flat, so driver-side planning stays
     // O(1) per round at ANY data size — this is the measured evidence
     // that the fix scales, not just that it passed at sf0.1
+    val sc = spark.sparkContext
+    def checkpoint(df: org.apache.spark.sql.DataFrame) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(eager = true)
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    def free(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
     val (kcoreRounds, tKcore) = timed {
       val e = g.select(col("id").as("u"), explode(col("successors")).as("v"))
-      val sc = spark.sparkContext
-      def checkpoint(df: org.apache.spark.sql.DataFrame) = {
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val out = df.localCheckpoint(eager = true)
-        (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-      }
-      def free(ids: Set[Int]): Unit = ids.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       val eP = e.persist()
       val (deg, degIds) = checkpoint(
         eP.select(explode(array(col("u"), col("v"))).as("x"))
@@ -188,6 +189,43 @@ object ScaleRehearsal {
       (k, onCycle)
     }
 
+    // HyperBall rehearsal (graph_hyperball's loop at full node coverage):
+    // radius-2 directed-ball size sketches for EVERY node via bottom-k
+    // (k=16) KMV merges — per round one edge-partitioned join + one
+    // bounded-state partial aggregate, state exactly k longs per node.
+    // This is the operation exact ball counting cannot survive (Σdeg²);
+    // the rehearsal measures the sketch loop's real cost at M arcs so
+    // SCALE.md can state it, and cross-checks the average estimate
+    // against the ball's trivial lower bound (outdeg + 1).
+    val ((hbAvgX100, hbMin), tHb) = timed {
+      val kmv = udaf(new graft.functions.SketchAggs.KmvUnion(16))
+      val eDir = g.select(col("id").cast("long").as("x"),
+        explode(col("successors")).as("yy"))
+        .select(col("x"), col("yy").cast("long").as("y"))
+      var st = spark.range(0, n).toDF("x")
+        .select(col("x"),
+          array((col("x") * lit(2654435761L)) % lit(1000000007L) + lit(1L))
+            .as("sk"))
+      var stIds = Set.empty[Int]
+      for (_ <- 1 to 2) {
+        val msgs = eDir.join(st.withColumnRenamed("x", "y"), "y")
+          .select(col("x"), col("sk"))
+        val (ck, ids) = checkpoint(
+          msgs.unionByName(st).groupBy(col("x")).agg(kmv(col("sk")).as("sk")))
+        free(stIds)
+        st = ck
+        stIds = ids
+      }
+      val est = st.select(
+        when(size(col("sk")) < 16, size(col("sk")).cast("long"))
+          .otherwise(expr(s"${15L * 1000000007L} DIV element_at(sk, 16)"))
+          .as("est"))
+      val r = est.agg(
+        floor(avg(col("est")) * 100).cast("long"), min(col("est"))).head()
+      free(stIds)
+      (r.getLong(0), r.getLong(1))
+    }
+
     def graphBytesOf(b: String): Long = {
       val dir = new java.io.File(b + ".d")
       if (dir.isDirectory)
@@ -211,8 +249,10 @@ object ScaleRehearsal {
       s""""slice_edges":$sliceEdges,""" +
       s""""scc_nodes":$sccN,"scc_rounds":$sccRounds,"scc_sec":${f(tScc)},""" +
       s""""scc_on_cycle":$sccOnCycle,""" +
+      s""""hyperball_sec":${f(tHb)},"hyperball_avg_ball2":${f(hbAvgX100 / 100.0)},""" +
       s""""checks":${nn == n && m2 == mm && mGol == mm && rtEdges == expRt &&
-        sccOnCycle >= 1 && sccOnCycle <= sccN}}""")
+        sccOnCycle >= 1 && sccOnCycle <= sccN && hbMin >= 1 &&
+        hbAvgX100 >= 100L * (1 + avgDeg)}}""")
     spark.stop()
   }
 }
