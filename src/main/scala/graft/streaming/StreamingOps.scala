@@ -432,13 +432,23 @@ object StreamingOps {
 
   /** File-based streaming read of an events directory (the batch parquet
     * becomes a stream source unchanged — same schema, same downstream
-    * operators). */
+    * operators). `ts` is normalized to an instant-typed TimestampType
+    * exactly like [[graft.Tables.events]] so watermarks and window()
+    * behave identically to the batch twins across parquet vintages. */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // file stream sources take directories; point at the SF dir and
     // glob-filter to the events file(s)
-    s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // raw nanos vintage
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

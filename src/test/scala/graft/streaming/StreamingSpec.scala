@@ -401,10 +401,8 @@ class StreamingSpec extends AnyFunSuite {
     import s.implicits._
     val src = StreamingOps.eventsStream(spark, sf0001)
     assert(src.isStreaming)
-    val q = StreamingOps.windowedAgg(
-      src.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))),
-      watermark = "0 seconds", width = "1 hour")
+    // eventsStream already normalizes ts to TimestampType across vintages
+    val q = StreamingOps.windowedAgg(src, watermark = "0 seconds", width = "1 hour")
       .writeStream.format("memory").queryName("file_stream")
       .outputMode("append").start()
     try {
