@@ -32,7 +32,7 @@ object SparkEntry {
     }
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries ++
+    RelationalQueries.queries ++ TpchQueries.queries ++ GraphQueries.queries ++
       GraphAlgos.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ CurationQueries.queries ++
@@ -41,7 +41,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ GraphQueries.oracleSql ++
+    RelationalQueries.oracleSql ++ TpchQueries.oracleSql ++ GraphQueries.oracleSql ++
       GraphAlgos.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ TextQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ CurationQueries.oracleSql ++

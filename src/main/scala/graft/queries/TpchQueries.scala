@@ -1,0 +1,418 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** The remaining TPC-H query shapes expressible on the testdata schema
+  * (no partsupp table, no l_commitdate/l_receiptdate/l_shipmode or
+  * p_container columns — queries needing those are adapted to equivalent
+  * plan shapes on the columns that exist, and say so).
+  *
+  * Together with q1/q3/q5/q21/q22 in [[RelationalQueries]] this covers
+  * every TPC-H choke point the schema can express: scan-dominant aggs
+  * (Q6), EXISTS/NOT-EXISTS decorrelation (Q4), multi-way snowflake joins
+  * with two roles for one dimension (Q7/Q8/Q9), outer-join histograms
+  * (Q13), single-visit conditional aggregation (Q8/Q14), scalar-subquery
+  * maxima (Q15), correlated per-group thresholds (Q17/Q18) and
+  * disjunctive multi-column predicates (Q19).
+  *
+  * Scale notes (100 TB): dimensions that stay dimension-sized at scale
+  * (nation, region, part at 1/30th of lineitem's row count, the 1-row
+  * scalar aggregates in Q15/Q17) are broadcast; fact-fact joins shuffle
+  * on their keys with AQE free to re-plan. Dates push into the parquet
+  * scan as TIMESTAMP range filters (the quarter/year windows here prune
+  * row groups via min/max stats). Money is exact integer cents/c4 —
+  * see RelationalQueries' determinism scaladoc.
+  */
+object TpchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: Column): Column = floor(c * 100)
+  private def c4(c: Column): Column = floor(c * 10000)
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  val queries: Map[String, Q] = Map(
+    // -- Q4: priority count of orders with at least one late-shipped line
+    //    (no l_commitdate: "late" = shipped after the order date, same
+    //    EXISTS-decorrelation shape). Plan: pushed quarter filter on
+    //    orders -> LEFT SEMI join on the order key with the extra
+    //    cross-side date predicate evaluated inside the join.
+    "q4_order_priority" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-07-01") &&
+          col("o_orderdate") < ts("1996-10-01"))
+      val l = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // -- Q6: the scan-dominant forecast-revenue agg — one narrow pruned
+    //    scan, every predicate pushable, no shuffle beyond the 1-row
+    //    final agg. Discount is compared in integer cents so no float
+    //    predicate ever differs between engines.
+    "q6_forecast_revenue" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          cents(col("l_discount")).between(3, 7) &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice")).cast("long") *
+            cents(col("l_discount")).cast("long")).as("revenue_c4"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // -- Q7: volume shipping between a nation pair, by ship year. The
+    //    nation dimension plays two roles (supplier's and customer's);
+    //    both sides are restricted to the pair BEFORE touching facts, so
+    //    the fact joins are semi-reduced by broadcast dimension filters.
+    "q7_volume_shipping" -> ((s, d) => {
+      val pair = Seq("NATION_18", "NATION_19")
+      val n1 = nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      val su = supplier(s, d).join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cu = customer(s, d).join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .select(col("c_custkey"), col("cust_nation"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(c4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // -- Q8: NATION_19's market share of STANDARD-part revenue in the
+    //    ASIA customer market, by order year — the conditional-sum-over-
+    //    total shape computed in ONE pass (no self-join), share as an
+    //    exact floor(x*1e4) integer division of BIGINT sums.
+    "q8_market_share" -> ((s, d) => {
+      val asiaCust = customer(s, d)
+        .join(broadcast(nation(s, d)
+            .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNation = supplier(s, d)
+        .join(broadcast(nation(s, d).select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          c4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("long").as("vol_c4"),
+          col("supp_nation"))
+        .groupBy(col("o_year"))
+        .agg(floor(sum(when(col("supp_nation") === "NATION_19", col("vol_c4"))
+            .otherwise(0L)) * 10000 / sum(col("vol_c4"))).as("share_x1e4"))
+        .orderBy("o_year")
+    }),
+
+    // -- Q9: product-type profit by supplier nation and year. No
+    //    partsupp, so cost = p_retailprice * quantity (same join shape:
+    //    part+supplier+nation enrich lineitem, orders supplies the
+    //    year). Profit can be negative — exact signed BIGINT c4 units.
+    "q9_product_profit" -> ((s, d) => {
+      val redParts = part(s, d).filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), cents(col("p_retailprice")).cast("long")
+          .as("retail_cents"))
+      val suppNation = supplier(s, d)
+        .join(broadcast(nation(s, d).select(col("n_nationkey"),
+          col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("nation"))
+      lineitem(s, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"),
+          (c4(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("long") -
+            col("retail_cents") * lit(100L) * col("l_quantity").cast("long"))
+            .as("amount_c4"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("amount_c4")).as("profit_c4"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // -- Q10: returned-item losses per customer for one quarter, top 20
+    //    by revenue. Quarter filter pushes into the orders scan, the
+    //    returnflag filter into lineitem; TakeOrderedAndProject caps the
+    //    driver result at 20 rows.
+    "q10_returned_items" -> ((s, d) => {
+      orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-07-01") &&
+          col("o_orderdate") < ts("1996-10-01"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          cents(col("c_acctbal")).cast("long").as("acctbal_cents"), col("n_name"))
+        .agg(sum(c4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // -- Q13: order-count histogram over customers INCLUDING the
+    //    zero-order ones — the left-outer-join-then-double-aggregate
+    //    shape (the outer join's condition filters the right side only).
+    "q13_order_counts" -> ((s, d) => {
+      customer(s, d).select(col("c_custkey"))
+        .join(orders(s, d).filter(col("o_orderpriority") =!= "5-LOW")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // -- Q14: promo revenue share for one month — conditional sum /
+    //    total sum in one pass, share as exact integer x1e4.
+    "q14_promo_effect" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-09-01") &&
+          col("l_shipdate") < ts("1996-10-01"))
+        .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(c4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("long").as("net_c4"), col("p_type"))
+        .agg(floor(sum(when(col("p_type") === "PROMO", col("net_c4"))
+            .otherwise(0L)) * 10000 / sum(col("net_c4"))).as("promo_share_x1e4"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // -- Q15: the top supplier(s) by quarter revenue — revenue CTE used
+    //    twice: once grouped, once reduced to a 1-row max that comes
+    //    back as a broadcast join (the scalar-subquery shape without a
+    //    driver round-trip).
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(c4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_c4"))
+      rev.join(broadcast(rev.agg(max(col("total_c4")).as("max_c4"))),
+          col("total_c4") === col("max_c4"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_c4"))
+        .orderBy("s_suppkey")
+    }),
+
+    // -- Q17: small-quantity revenue loss for one brand. The per-part
+    //    0.2*avg(qty) threshold is kept exact-integer by algebra:
+    //    qty < sum/(5*cnt)  <=>  5*qty*cnt < sum. The per-part aggregate
+    //    is dimension-sized, so it broadcasts back onto the fact scan.
+    "q17_small_quantity" -> ((s, d) => {
+      val perPart = lineitem(s, d).groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      lineitem(s, d)
+        .join(broadcast(part(s, d)
+            .filter(col("p_brand") === "Brand#3" && col("p_size") < 15)
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sum_qty"))
+        .agg((sum(cents(col("l_extendedprice"))) / lit(7)).cast("long")
+          .as("avg_yearly_cents"), count(lit(1)).as("n_items"))
+    }),
+
+    // -- Q18: large-volume orders — the groupBy-HAVING-semi-join shape:
+    //    qualifying order keys come from an aggregate over the fact
+    //    table itself, then re-join to enrich. Threshold 250 is tuned to
+    //    this data's ~103 avg units/order (TPC-H's 300 over its own
+    //    distribution).
+    "q18_large_orders" -> ((s, d) => {
+      val big = lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), cents(col("o_totalprice")).cast("long")
+            .as("totalprice_cents"), col("sum_qty"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // -- Q19: disjunctive brand/size/quantity predicate — three OR'd
+    //    conjunct groups that no single index serves; the part join is
+    //    broadcast and the disjunction evaluates post-join (partkey
+    //    equality still drives the join itself).
+    "q19_disjunctive" -> ((s, d) => {
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(20, 35)))
+        .agg(sum(c4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c4"), count(lit(1)).as("n_items"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) *
+             CAST(FLOOR(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+         COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND FLOOR(l_discount * 100) BETWEEN 3 AND 7
+           AND l_quantity < 24""",
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+           AND n2.n_name IN ('NATION_18', 'NATION_19')
+           AND n1.n_name <> n2.n_name
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q8_market_share" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(FLOOR(SUM(CASE WHEN n1.n_name = 'NATION_19'
+             THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+             ELSE 0 END) * 10000
+           / SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)))
+           AS BIGINT) AS share_x1e4
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_type = 'STANDARD'
+           AND EXISTS (SELECT 1 FROM customer
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             JOIN region ON n2.n_regionkey = r_regionkey
+             WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+         GROUP BY 1 ORDER BY 1""",
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           - CAST(FLOOR(p_retailprice * 100) AS BIGINT) * 100
+             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_c4
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
+         FROM orders
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""",
+    "q13_order_counts" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q14_promo_effect" ->
+      """SELECT CAST(FLOOR(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+             ELSE 0 END) * 10000
+           / SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)))
+           AS BIGINT) AS promo_share_x1e4,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_c4
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_c4
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_c4 = (SELECT MAX(total_c4) FROM rev)
+         ORDER BY s_suppkey""",
+    "q17_small_quantity" ->
+      """WITH pp AS (
+           SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             COUNT(*) AS cnt
+           FROM lineitem GROUP BY l_partkey)
+         SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT)
+             AS avg_yearly_cents,
+           COUNT(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN pp ON l_partkey = pk
+         WHERE p_brand = 'Brand#3' AND p_size < 15
+           AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty""",
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS totalprice_cents, sum_qty
+         FROM orders
+         JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) big
+           ON o_orderkey = big.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""",
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+             AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+             AND l_quantity BETWEEN 20 AND 35)""")
+}

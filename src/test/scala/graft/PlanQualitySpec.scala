@@ -416,4 +416,48 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       !p.contains("hashpartitioning(l_orderkey"),
       s"join key was reshuffled despite bucketing:\n$p")
   }
+
+  test("q6: scan-dominant agg — date and quantity predicates reach the parquet scan") {
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf0001)
+    val p = executed(df)
+    // plan toString truncates long PushedFilters lists — read the scan
+    // node's untruncated metadata instead
+    val pushed = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"),
+      s"shipdate range not pushed into the scan: $pushed")
+    assert(pushed.contains("LessThan(l_quantity,24.0)"),
+      s"quantity filter not pushed: $pushed")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a 1-row global agg needs no hash exchange:\n$p")
+  }
+
+  test("q4: EXISTS compiles to a left-semi join; the quarter filter reaches the orders scan") {
+    val p = executed(SparkEntry.queries("q4_order_priority")(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"EXISTS did not compile to a semi join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter filter not pushed into the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q4:\n$p")
+  }
+
+  test("q15/q17: scalar-max and per-group thresholds come back as broadcasts, not driver collects") {
+    val p15 = executed(SparkEntry.queries("q15_top_supplier")(spark, sf0001))
+    assert(p15.contains("BroadcastHashJoin"),
+      s"the 1-row max must broadcast back onto the revenue table:\n$p15")
+    assert(!p15.contains("CartesianProduct") &&
+      !p15.contains("BroadcastNestedLoopJoin"), s"non-equi fallback in q15:\n$p15")
+    val p17 = executed(SparkEntry.queries("q17_small_quantity")(spark, sf0001))
+    assert(p17.contains("BroadcastHashJoin"),
+      s"the per-part aggregate must broadcast onto the fact scan:\n$p17")
+    assert(p17.contains("partial_sum"), s"no map-side partial agg in q17:\n$p17")
+  }
+
+  test("q18: the HAVING aggregate partial-aggregates and the top-100 is TakeOrderedAndProject") {
+    val p = executed(SparkEntry.queries("q18_large_orders")(spark, sf0001))
+    assert(p.contains("partial_sum"), s"no map-side partial agg in q18:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 compiled to a sort:\n$p")
+  }
 }
