@@ -34,6 +34,40 @@ object CurationQueries {
     Exprs.toColumn(graft.functions.Shingles(Exprs.toExpr(c), 3, distinct = false))
   }
 
+  /** Per-document C4 quality signals + rule booleans + keep verdict +
+    * the normalized-text md5 (so a downstream dedup stage needs no second
+    * pass over the text). One narrow projection, no shuffle — shared by
+    * `quality_c4_rules` and `pipeline_curate_pack`. */
+  private def c4RulesFrame(s: SparkSession, d: String): DataFrame = {
+    val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    documents(s, d)
+      .select(col("doc_id"), col("text"), grams(col("text")).as("g"),
+        w.as("w"),
+        length(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .cast("long").as("nc"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        // mean token length x1e4 (exact int arithmetic, same recipe as
+        // text_quality): (chars - separators) / tokens
+        floor((col("nc") - (size(col("w")) - 1)) * 10000 / size(col("w")))
+          .as("mean_len_e4"),
+        size(array_intersect(col("w"),
+          array(Seq("the", "and", "of", "to", "in", "is", "it", "for",
+            "on", "with").map(lit): _*))).cast("long").as("n_stop_types"),
+        floor((size(col("g")) - size(array_distinct(col("g"))))
+          * lit(1000000.0) / size(col("g"))).cast("long").as("dup_e6"),
+        md5(graft.queries.DedupQueries.norm(col("text"))).as("text_md5"))
+      .withColumn("r_len",
+        (col("n_tokens") >= 30 && col("n_tokens") <= 1000).cast("long"))
+      .withColumn("r_wordlen",
+        (col("mean_len_e4") >= 20000L && col("mean_len_e4") <= 120000L).cast("long"))
+      .withColumn("r_stop", (col("n_stop_types") >= 1).cast("long"))
+      .withColumn("r_rep", (col("dup_e6") < 600000L).cast("long"))
+      .withColumn("keep",
+        (col("r_len") + col("r_wordlen") + col("r_stop") + col("r_rep") === 4L)
+          .cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
     // -- duplicate n-gram fraction per document: one narrow projection,
     //    no shuffle at all (the quality-filter shape: compute per-doc
@@ -70,34 +104,53 @@ object CurationQueries {
     //    pipeline can report per-rule rejection rates, not just the final
     //    keep count. No shuffle: every signal is per-document.
     "quality_c4_rules" -> ((s, d) => {
-      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
-      documents(s, d)
-        .select(col("doc_id"), col("text"), grams(col("text")).as("g"),
-          w.as("w"),
-          length(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-            .cast("long").as("nc"))
-        .select(col("doc_id"),
-          size(col("w")).cast("long").as("n_tokens"),
-          // mean token length x1e4 (exact int arithmetic, same recipe as
-          // text_quality): (chars - separators) / tokens
-          floor((col("nc") - (size(col("w")) - 1)) * 10000 / size(col("w")))
-            .as("mean_len_e4"),
-          size(array_intersect(col("w"),
-            array(Seq("the", "and", "of", "to", "in", "is", "it", "for",
-              "on", "with").map(lit): _*))).cast("long").as("n_stop_types"),
-          floor((size(col("g")) - size(array_distinct(col("g"))))
-            * lit(1000000.0) / size(col("g"))).cast("long").as("dup_e6"))
-        .withColumn("r_len",
-          (col("n_tokens") >= 30 && col("n_tokens") <= 1000).cast("long"))
-        .withColumn("r_wordlen",
-          (col("mean_len_e4") >= 20000L && col("mean_len_e4") <= 120000L).cast("long"))
-        .withColumn("r_stop", (col("n_stop_types") >= 1).cast("long"))
-        .withColumn("r_rep", (col("dup_e6") < 600000L).cast("long"))
-        .withColumn("keep",
-          (col("r_len") + col("r_wordlen") + col("r_stop") + col("r_rep") === 4L)
-            .cast("long"))
+      c4RulesFrame(s, d)
         .select("doc_id", "n_tokens", "mean_len_e4", "n_stop_types", "dup_e6",
           "r_len", "r_wordlen", "r_stop", "r_rep", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // -- the END-TO-END curation pipeline as ONE optimizer DAG: C4 quality
+    //    gate -> exact dedup among survivors (keep-first canonical) ->
+    //    token counts -> GPT-style 256-token sequence packing. This is the
+    //    composability claim made concrete: the same operators users run
+    //    standalone chain into a single declarative plan — the quality
+    //    signals stay a narrow no-shuffle pass, dedup is one shuffle on
+    //    the 32 B md5 (never raw text), and packing reuses seq_pack's
+    //    two-phase cumsum (per-bucket sums -> metadata-sized bucket cumsum
+    //    broadcast back -> bucket-partitioned windows), so no stage drags
+    //    the corpus into one task at 100 TB. Oracle replays the whole
+    //    chain in SQL CTEs.
+    "pipeline_curate_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val C = 256L
+      val B = 100L
+      val kept = c4RulesFrame(s, d).filter(col("keep") === 1L)
+        .select(col("doc_id"), col("n_tokens").as("n_tok"), col("text_md5"))
+      val canon = kept.groupBy("text_md5")
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+      val surv = kept.join(canon,
+          kept("text_md5") === canon("text_md5") &&
+            kept("doc_id") === canon("canonical_id"))
+        .select(kept("doc_id"), col("n_tok"), col("n_copies"))
+        .withColumn("bkt", floor(col("doc_id") / B).cast("long"))
+      val wB = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = surv.groupBy("bkt").agg(sum(col("n_tok")).as("bt"))
+        .withColumn("base", coalesce(sum(col("bt")).over(wB), lit(0L)))
+        .select("bkt", "base")
+      val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      surv.join(broadcast(base), "bkt")
+        .withColumn("start_off",
+          col("base") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+        .withColumn("start_block", floor(col("start_off") / C).cast("long"))
+        .withColumn("end_block",
+          floor((col("start_off") + col("n_tok") - 1) / C).cast("long"))
+        .withColumn("n_blocks", col("end_block") - col("start_block") + 1)
+        .select("doc_id", "n_tok", "n_copies", "start_off", "start_block",
+          "end_block", "n_blocks")
         .orderBy("doc_id")
     }),
 
@@ -415,6 +468,42 @@ object CurationQueries {
            r_len, r_wordlen, r_stop, r_rep,
            CAST(r_len + r_wordlen + r_stop + r_rep = 4 AS BIGINT) AS keep
          FROM r ORDER BY doc_id""",
+    "pipeline_curate_pack" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+           FROM documents),
+         g AS (SELECT doc_id, w, nt, len(nt) AS nc,
+             CASE WHEN len(w) >= 3 THEN list_transform(
+                    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [nt] END AS g
+           FROM w),
+         b AS (SELECT doc_id, md5(nt) AS text_md5,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(FLOOR((nc - (len(w) - 1)) * 10000 / len(w)) AS BIGINT) AS mean_len_e4,
+             CAST(len(list_intersect(w,
+               ['the','and','of','to','in','is','it','for','on','with'])) AS BIGINT) AS n_stop_types,
+             CAST(FLOOR((len(g) - len(list_distinct(g))) * 1000000.0 / len(g)) AS BIGINT) AS dup_e6
+           FROM g),
+         k AS (SELECT doc_id, n_tokens AS n_tok, text_md5 FROM b
+           WHERE n_tokens BETWEEN 30 AND 1000
+             AND mean_len_e4 BETWEEN 20000 AND 120000
+             AND n_stop_types >= 1 AND dup_e6 < 600000),
+         canon AS (SELECT text_md5, MIN(doc_id) AS canonical_id,
+             COUNT(*) AS n_copies
+           FROM k GROUP BY text_md5),
+         surv AS (SELECT k.doc_id, k.n_tok, c.n_copies
+           FROM k JOIN canon c
+             ON k.text_md5 = c.text_md5 AND k.doc_id = c.canonical_id),
+         o AS (SELECT doc_id, n_tok, n_copies,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+           FROM surv)
+         SELECT doc_id, n_tok, n_copies, CAST(start_off AS BIGINT) AS start_off,
+           CAST(start_off // 256 AS BIGINT) AS start_block,
+           CAST((start_off + n_tok - 1) // 256 AS BIGINT) AS end_block,
+           CAST((start_off + n_tok - 1) // 256 - start_off // 256 + 1 AS BIGINT) AS n_blocks
+         FROM o ORDER BY doc_id""",
     "text_dup_ngrams" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,

@@ -34,8 +34,16 @@ object GraphQueries {
     * data ever passes through the driver — and return the basename. */
   def bvFixture(s: SparkSession, d: String): String = {
     // key the /tmp basename on the sanitized SF-dir path, not a hashCode
-    // (hashCodes collide across dirs, and math.abs(Int.MinValue) < 0)
-    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    // (hashCodes collide across dirs, and math.abs(Int.MinValue) < 0) —
+    // PLUS the source table's (mtime, size), like the jsonl/csv fixtures:
+    // the driver regenerates /root/testdata between rounds, and a
+    // path-only key would serve a stale graph against a fresh oracle.
+    // Derived fixtures (_T/_S/_G transpose/symmetrize/subgraph) append
+    // suffixes to this base, so they inherit the stamp.
+    val src = java.nio.file.Paths.get(d, "orders.parquet")
+    val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
+      s"_${java.nio.file.Files.size(src)}"
+    val key = s"${d}_$stamp".replaceAll("[^A-Za-z0-9._-]", "_")
     val base = s"${sys.props("java.io.tmpdir")}/graft_bv_$key"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(base + ".shards"))) {
       val e = edges(s, d).select(col("src").cast("int").as("src"),

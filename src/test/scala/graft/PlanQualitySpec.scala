@@ -460,4 +460,17 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("partial_sum"), s"no map-side partial agg in q18:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 compiled to a sort:\n$p")
   }
+
+  test("pipeline_curate_pack: dedup shuffles on the digest; packing windows partition by bucket") {
+    val p = executed(SparkEntry.queries("pipeline_curate_pack")(spark, sf0001))
+    assert(p.contains("hashpartitioning(text_md5"),
+      s"dedup stage must shuffle on the 32 B md5, not raw text:\n$p")
+    // the per-doc prefix window must be bucket-partitioned — a global
+    // Window.orderBy would drag the whole corpus into one task; the only
+    // single-partition window allowed is over the metadata-sized bucket
+    // totals. WindowExec prints "..., [partitionSpec], [orderSpec]".
+    assert("""\], \[bkt#\d+L\], \[doc_id#""".r.findFirstIn(p).isDefined,
+      s"the within-bucket window lost its partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the pipeline:\n$p")
+  }
 }
