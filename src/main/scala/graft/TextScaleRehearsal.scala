@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline scale rehearsal: drive the curation/dedup operators well
+  * past the bench SF on a synthetic corpus, and print measured throughput
+  * as one JSON line. The graph family has [[ScaleRehearsal]]; this is the
+  * same auditable backing for SCALE.md's claims on the LLM-pipeline side.
+  * Crucially it exercises the SHARED production code paths —
+  * [[graft.queries.CurationQueries.c4RulesOf]] (the C4 signal pass) and
+  * [[graft.queries.DedupQueries.minhashDupPairsUncached]] (the
+  * signature → banding → exact-verify near-dup engine) — not
+  * rehearsal-only copies.
+  *
+  * Usage: TextScaleRehearsal [docs]   (default 1,000,000)
+  *
+  * The corpus is deterministic (splitmix-style per-doc PRNG, the text a
+  * pure function of the doc id) and generated DISTRIBUTED — no driver
+  * materialization. Duplicates and rejects are PLANTED with known counts
+  * so every stage's output is checkable, not just timeable (n should be
+  * a multiple of 1000 for the exact-count checks):
+  *  - id % 100 == 99   →  exact copy of doc id-2   (1% exact-dup groups)
+  *  - id % 100 == 98   →  doc id-4 plus one appended never-generated
+  *    token: trigram Jaccard D/(D+1) ≥ 0.96 but < 1.0 — above the 0.8
+  *    verify threshold with a safe margin at every doc length, below
+  *    1.0, so it exercises the banding AND the exact verification, not
+  *    just identical-signature collisions (1% near-dup pairs)
+  *  - id % 1000 == 0   →  a 10-token "spam" doc that fails C4's length
+  *    rule, so the quality gate's reject path is measured too
+  */
+object TextScaleRehearsal {
+  /** Deterministic text for a doc id: 30–69 tokens from a 4096-word
+    * vocabulary (mildly skewed by min-of-two draws), every 8th token a
+    * stopword so the C4 stopword rule sees realistic hits. Pure function
+    * of the id — planted duplicates recompute their source doc's text. */
+  def textFor(rawId: Long): String = {
+    val stop = Array("the", "and", "of", "to", "in", "is", "it", "for")
+    val id = (rawId % 100L) match {
+      case 99L => rawId - 2 // exact duplicate
+      case 98L => rawId - 4 // near duplicate (one token appended below)
+      case _   => rawId
+    }
+    var h = id * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+    def next(): Long = { h ^= h >>> 27; h *= 0x94D049BB133111EBL; h ^= h >>> 31; h }
+    def nn(): Long = { val v = next(); if (v < 0) ~v else v }
+    val nTok = if (id % 1000L == 0L) 10 else 30 + (nn() % 40L).toInt
+    val sb = new StringBuilder
+    var i = 0
+    while (i < nTok) {
+      if (i > 0) sb.append(' ')
+      if (i % 8 == 7) sb.append(stop((nn() % stop.length).toInt))
+      else {
+        val w = math.min(nn() % 4096L, nn() % 4096L) // mild skew
+        sb.append('w').append(w)
+      }
+      i += 1
+    }
+    // the near-dup gets one token no generator ever emits: distinct
+    // trigram sets differ by exactly the one new trailing trigram, so
+    // Jaccard = D/(D+1) — always in (0.96, 1.0) at these lengths
+    if (rawId % 100L == 98L) sb.append(" zedited").toString else sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // distributed deterministic corpus; persisted because four stages
+    // consume it (at 100 TB this is the parquet table itself)
+    val corpus = spark.range(0, n).mapPartitions(_.map(i => (i, textFor(i))))
+      .toDF("doc_id", "text").persist()
+    val nDocs = corpus.count() // materialize outside the timed stages
+
+    // stage 1: C4 quality signal pass (the production c4RulesOf) — one
+    // narrow projection, no shuffle; kept fraction should be high (the
+    // generator produces in-band docs) but not vacuously 1.0
+    val ((nKept, totTok), tC4) = timed {
+      val r = graft.queries.CurationQueries.c4RulesOf(corpus)
+        .agg(sum(col("keep")), sum(col("n_tokens"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // stage 2: exact dedup — ONE shuffle on the 32 B md5 of normalized
+    // text, never the text itself; group count is exact and the planted
+    // 1% dup groups must all surface
+    val ((nGroups, nDupGroups), tExact) = timed {
+      val g = corpus
+        .groupBy(md5(graft.queries.DedupQueries.norm(col("text"))).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val r = g.agg(count(lit(1)),
+        sum(when(col("c") > 1, 1L).otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // stage 3: MinHash near-dup — the REAL signature(k=128) → 32x4
+    // banding → exact-Jaccard-verify engine. Expected pairs: n/100 exact
+    // (Jaccard 1.0) + n/100 edited (≈0.88) — both classes must survive
+    // the banding AND the verification
+    val (nPairs, tMinhash) = timed {
+      // same discipline as the production memo wrapper: the shingle sets
+      // feed the signature build AND both exact-verify arms, so they are
+      // persisted for the duration of the pair build
+      val sets = corpus.select(col("doc_id"),
+        graft.queries.DedupQueries.shingles(col("text")).as("sh")).persist()
+      try graft.queries.DedupQueries.minhashDupPairsUncached(spark, sets).count()
+      finally sets.unpersist(blocking = false)
+    }
+
+    // stage 4: sequence packing — the two-phase distributed cumsum
+    // (per-bucket sums → metadata-sized bucket cumsum → bucket-partitioned
+    // windows); the one-task global-window trap is exactly what this
+    // rehearsal proves we do NOT do
+    import org.apache.spark.sql.expressions.Window
+    val C = 2048L; val B = 10000L
+    val ((nPacked, lastEnd), tPack) = timed {
+      val t = corpus.select(col("doc_id"),
+        size(graft.queries.DedupQueries.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+        .withColumn("bkt", floor(col("doc_id") / B).cast("long"))
+      val wB = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = t.groupBy("bkt").agg(sum(col("n_tok")).as("bt"))
+        .withColumn("base", coalesce(sum(col("bt")).over(wB), lit(0L)))
+        .select("bkt", "base")
+      val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packed = t.join(broadcast(base), "bkt")
+        .withColumn("start_off",
+          col("base") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      val r = packed.agg(count(lit(1)),
+        max(col("start_off") + col("n_tok"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    corpus.unpersist(blocking = false)
+    val expDup = n / 100L // planted exact groups == planted near pairs
+    val expSpam = (n + 999L) / 1000L // ids ≡ 0 (mod 1000) incl. id 0
+    def f(v: Double): String = f"$v%.2f"
+    def rate(c: Long, t: Double): String = f(c / t / 1000.0)
+    // the cumsum's final offset must equal the exact token total — the
+    // two-phase scheme is only worth rehearsing if it is provably lossless
+    println(s"""{"docs":$n,"total_tokens":$totTok,""" +
+      s""""c4_sec":${f(tC4)},"c4_kdocs_per_sec":${rate(nDocs, tC4)},""" +
+      s""""c4_kept":$nKept,""" +
+      s""""exact_sec":${f(tExact)},"exact_kdocs_per_sec":${rate(nDocs, tExact)},""" +
+      s""""exact_groups":$nGroups,"exact_dup_groups":$nDupGroups,""" +
+      s""""minhash_sec":${f(tMinhash)},"minhash_kdocs_per_sec":${rate(nDocs, tMinhash)},""" +
+      s""""minhash_pairs":$nPairs,""" +
+      s""""pack_sec":${f(tPack)},"pack_kdocs_per_sec":${rate(nDocs, tPack)},""" +
+      s""""checks":${nDocs == n && nGroups == n - expDup &&
+        nDupGroups == expDup && nPairs == 2 * expDup &&
+        nPacked == n && lastEnd == totTok &&
+        nKept == n - expSpam}}""")
+    spark.stop()
+  }
+}

@@ -37,10 +37,16 @@ object CurationQueries {
   /** Per-document C4 quality signals + rule booleans + keep verdict +
     * the normalized-text md5 (so a downstream dedup stage needs no second
     * pass over the text). One narrow projection, no shuffle — shared by
-    * `quality_c4_rules` and `pipeline_curate_pack`. */
-  private def c4RulesFrame(s: SparkSession, d: String): DataFrame = {
+    * `quality_c4_rules`, `pipeline_curate_pack` and (via [[c4RulesOf]])
+    * the text scale rehearsal. */
+  private def c4RulesFrame(s: SparkSession, d: String): DataFrame =
+    c4RulesOf(documents(s, d))
+
+  /** Same, over any (doc_id, text) frame — `private[graft]` so
+    * TextScaleRehearsal measures the production signal pass, not a copy. */
+  private[graft] def c4RulesOf(docs: DataFrame): DataFrame = {
     val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
-    documents(s, d)
+    docs
       .select(col("doc_id"), col("text"), grams(col("text")).as("g"),
         w.as("w"),
         length(regexp_replace(lower(trim(col("text"))), "\\s+", " "))

@@ -143,7 +143,10 @@ object DedupQueries {
   private val pairsCache =
     new DfMemo[(SparkSession, String, String)](cap = 4)
 
-  private def minhashDupPairsUncached(s: SparkSession, sets: DataFrame): DataFrame = {
+  /** `private[graft]` so TextScaleRehearsal can drive the REAL signature/
+    * banding/verify pipeline on a synthetic corpus — scale evidence must
+    * exercise the shared production code, not a rehearsal-only copy. */
+  private[graft] def minhashDupPairsUncached(s: SparkSession, sets: DataFrame): DataFrame = {
     import s.implicits._
     val k = 128; val bands = 32; val rows = 4
     val feats = sets.select(col("doc_id"), explode(col("sh")).as("sng"))
