@@ -804,6 +804,68 @@ object RelationalQueries {
         .orderBy("seg")
     }),
 
+    // -- deterministic fixed-bin quantile sketch: the bounded-state
+    //    quantile-at-scale path (what distinct_kmv is to count-distinct).
+    //    Exact per-group bounds come back as a broadcast 1-row relation,
+    //    values land in 1024 fixed-width bins (map-side partial counts —
+    //    the shuffle carries at most groups x 1024 rows no matter how
+    //    large the fact table), and the quantile is read off the
+    //    metadata-sized histogram with a cumulative window. Unlike
+    //    t-digest/GK sketches the result is MERGE-ORDER-INDEPENDENT, so
+    //    it hash-matches a serial replay — which is exactly what makes it
+    //    oracle-checkable. Reported value = the bin's lower bound
+    //    (deterministic integer math); error is bounded by the bin width.
+    "quantile_hist" -> ((s, d) => {
+      val B = 1024L
+      val base = orders(s, d).select(col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100).cast("long").as("pc"))
+      val bounds = base.agg(min(col("pc")).as("lo"), max(col("pc")).as("hi"))
+      val hist = base.crossJoin(broadcast(bounds))
+        .withColumn("bin", // integer `div`: no double ever touches a value
+          least(lit(B - 1), expr(s"((pc - lo) * $B) div (hi - lo + 1)")))
+        .groupBy(col("prio"), col("bin"))
+        .agg(count(lit(1)).as("c"), min(col("lo")).as("lo"),
+          min(col("hi")).as("hi"))
+      val w = Window.partitionBy("prio").orderBy("bin")
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("prio")))
+      def pick(k: Column, name: String) =
+        cum.filter(col("cum") >= k && col("cum") - col("c") < k)
+          .select(col("prio"), col("n"),
+            expr(s"lo + (bin * (hi - lo + 1)) div $B").as(name))
+      val p50 = pick(expr("(n + 1) div 2"), "p50_bin_lo")
+      val p90 = pick(expr("(n * 9 + 9) div 10"), "p90_bin_lo")
+      p50.join(p90, Seq("prio", "n")).orderBy("prio")
+    }),
+
+    // -- time-series resample + gap-fill: per event type, daily counts
+    //    over the type's full [min, max] day span with ZERO-filled gaps —
+    //    the feature-engineering precursor every forecasting/monitoring
+    //    pipeline runs. The grid is GENERATED from the metadata-sized
+    //    span relation (sequence + explode — no shuffle of the fact
+    //    table to build it); daily counts partial-aggregate map-side;
+    //    the left join that aligns them is grid-sized, not corpus-sized.
+    //    Days surface as integer epoch-day numbers, not timestamps, so
+    //    both engines render identically.
+    "resample_gapfill" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val c = events(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("dd"))
+        .groupBy(col("event_type"), col("dd"))
+        .agg(count(lit(1)).as("n"))
+      val grid = c.groupBy(col("event_type"))
+        .agg(min(col("dd")).as("lo"), max(col("dd")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 DAY"))).as("dd"))
+      grid.join(c, Seq("event_type", "dd"), "left")
+        .select(col("event_type"),
+          expr(s"unix_micros(dd) div $dayUs").as("day_num"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("event_type", "day_num")
+    }),
+
     // -- ordered funnel analysis (view -> click -> purchase): per user,
     //    the FIRST timestamp of each stage via conditional mins (one
     //    partial-aggregated pass — no per-stage self-joins, the naive
@@ -1227,6 +1289,42 @@ object RelationalQueries {
              WHERE o_custkey = c_custkey
                AND o_orderdate >= TIMESTAMP '2000-06-01')
          GROUP BY seg ORDER BY seg""",
+    "quantile_hist" ->
+      """WITH b AS (SELECT o_orderpriority AS prio,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+         bounds AS (SELECT MIN(pc) AS lo, MAX(pc) AS hi FROM b),
+         h AS (SELECT prio,
+             LEAST(1023, ((pc - lo) * 1024) // (hi - lo + 1)) AS bin,
+             COUNT(*) AS c, MIN(lo) AS lo, MIN(hi) AS hi
+           FROM b, bounds GROUP BY 1, 2),
+         cum AS (SELECT prio, bin, c, lo, hi,
+             SUM(c) OVER (PARTITION BY prio ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY prio) AS n
+           FROM h),
+         p50 AS (SELECT prio, n,
+             CAST(lo + (bin * (hi - lo + 1)) // 1024 AS BIGINT) AS p50_bin_lo
+           FROM cum WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2),
+         p90 AS (SELECT prio, n,
+             CAST(lo + (bin * (hi - lo + 1)) // 1024 AS BIGINT) AS p90_bin_lo
+           FROM cum WHERE cum >= (n * 9 + 9) // 10 AND cum - c < (n * 9 + 9) // 10)
+         SELECT p50.prio AS prio, CAST(p50.n AS BIGINT) AS n,
+           p50_bin_lo, p90_bin_lo
+         FROM p50 JOIN p90 ON p50.prio = p90.prio
+         ORDER BY prio""",
+    "resample_gapfill" ->
+      """WITH c AS (SELECT event_type, date_trunc('day', ts) AS dd,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, MIN(dd) AS lo, MAX(dd) AS hi
+           FROM c GROUP BY 1),
+         g AS (SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS dd
+           FROM s)
+         SELECT g.event_type AS event_type,
+           CAST(epoch_us(g.dd) // 86400000000 AS BIGINT) AS day_num,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+         FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.dd = c.dd
+         ORDER BY event_type, day_num""",
     "funnel_steps" ->
       """WITH f AS (
            SELECT user_id,

@@ -461,6 +461,23 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 compiled to a sort:\n$p")
   }
 
+  test("quantile_hist: bounds broadcast; histogram partial-aggregates map-side") {
+    val p = executed(SparkEntry.queries("quantile_hist")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row bounds must broadcast, never collect:\n$p")
+    assert(p.contains("partial_count"),
+      s"bin counts must partial-aggregate before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in quantile_hist:\n$p")
+  }
+
+  test("resample_gapfill: the day grid is generated, not joined from the corpus") {
+    val p = executed(SparkEntry.queries("resample_gapfill")(spark, sf0001))
+    assert(p.contains("Generate explode"),
+      s"the grid must come from sequence+explode over the span relation:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily counts must partial-aggregate map-side:\n$p")
+  }
+
   test("pipeline_curate_pack: dedup shuffles on the digest; packing windows partition by bucket") {
     val p = executed(SparkEntry.queries("pipeline_curate_pack")(spark, sf0001))
     assert(p.contains("hashpartitioning(text_md5"),
