@@ -131,8 +131,13 @@ object CurationQueries {
       import org.apache.spark.sql.expressions.Window
       val C = 256L
       val B = 100L
-      val kept = c4RulesFrame(s, d).filter(col("keep") === 1L)
-        .select(col("doc_id"), col("n_tokens").as("n_tok"), col("text_md5"))
+      // the kept set feeds the canonical agg AND the survivor join — pin
+      // so the C4 signal pass (shingles + md5 over the text) runs once;
+      // at 100 TB this is the checkpointed post-filter table every
+      // downstream stage reads
+      val kept = graft.Caches.pin(
+        c4RulesFrame(s, d).filter(col("keep") === 1L)
+          .select(col("doc_id"), col("n_tokens").as("n_tok"), col("text_md5")))
       val canon = kept.groupBy("text_md5")
         .agg(min(col("doc_id")).as("canonical_id"),
           count(lit(1)).as("n_copies"))
