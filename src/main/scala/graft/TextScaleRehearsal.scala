@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   *    just identical-signature collisions (1% near-dup pairs)
   *  - id % 1000 == 0   →  a 10-token "spam" doc that fails C4's length
   *    rule, so the quality gate's reject path is measured too
+  *  - id % 100 == 3    →  a fixed 5-token boilerplate phrase appended
+  *    (the web-corpus footer/disclaimer pattern): its interior trigrams
+  *    are HUB shingles with df = n/100 ≫ the rare cap. Without the
+  *    inverted index's df guard these alone would contribute
+  *    ~(n/100)²/2 × 3 candidate pairs (1.5e8 at n=1M — the quadratic
+  *    death); with it they are excluded from candidate generation and
+  *    accounted for exactly by the verify upper bound, so the planted
+  *    pair counts still come out exact.
   */
 object TextScaleRehearsal {
   /** Deterministic text for a doc id: 30–69 tokens from a 4096-word
@@ -59,7 +67,10 @@ object TextScaleRehearsal {
     // the near-dup gets one token no generator ever emits: distinct
     // trigram sets differ by exactly the one new trailing trigram, so
     // Jaccard = D/(D+1) — always in (0.96, 1.0) at these lengths
-    if (rawId % 100L == 98L) sb.append(" zedited").toString else sb.toString
+    if (rawId % 100L == 98L) sb.append(" zedited")
+    // the boilerplate class gets the fixed footer phrase (hub shingles)
+    if (rawId % 100L == 3L) sb.append(" visit zour zgreat zsite ztoday")
+    sb.toString
   }
 
   def main(args: Array[String]): Unit = {
@@ -120,6 +131,28 @@ object TextScaleRehearsal {
       try graft.queries.DedupQueries.minhashDupPairsUncached(spark, sets).count()
       finally sets.unpersist(blocking = false)
     }
+    // release any pinned intermediates before the next heavy stage — the
+    // same per-query sweep discipline SparkEntry applies; without it the
+    // pinned shingle/posting tables of consecutive stages coexist and an
+    // 8 GiB heap dies at 2M docs
+    Caches.sweep(spark)
+
+    // stage 3b: exact n-gram Jaccard via the inverted index — the hub
+    // guard's live demonstration: the planted boilerplate's 3 interior
+    // trigrams have df = n/100 ≫ the rare cap, so WITHOUT the guard
+    // candidate generation would enumerate ~1.5e8 pairs at n=1M from
+    // boilerplate alone; WITH it the stage completes in the same order
+    // of time as minhash and still finds exactly the planted pairs
+    val ((nJacPairs, nHub, maxDf), tJaccard) = timed {
+      val sets = corpus.select(col("doc_id"),
+        graft.queries.DedupQueries.shingles(col("text")).as("sh"))
+      val nP = graft.queries.DedupQueries.jaccardDupPairsOf(spark, sets).count()
+      val dfs = sets.select(explode(col("sh")).as("sng"))
+        .groupBy("sng").agg(count(lit(1)).as("df")).filter(col("df") > 50)
+        .agg(count(lit(1)), max(col("df"))).head()
+      (nP, dfs.getLong(0), if (dfs.isNullAt(1)) 0L else dfs.getLong(1))
+    }
+    Caches.sweep(spark)
 
     // stage 4: sequence packing — the two-phase distributed cumsum
     // (per-bucket sums → metadata-sized bucket cumsum → bucket-partitioned
@@ -161,9 +194,12 @@ object TextScaleRehearsal {
       s""""exact_groups":$nGroups,"exact_dup_groups":$nDupGroups,""" +
       s""""minhash_sec":${f(tMinhash)},"minhash_kdocs_per_sec":${rate(nDocs, tMinhash)},""" +
       s""""minhash_pairs":$nPairs,""" +
+      s""""jaccard_sec":${f(tJaccard)},"jaccard_kdocs_per_sec":${rate(nDocs, tJaccard)},""" +
+      s""""jaccard_pairs":$nJacPairs,"hub_shingles":$nHub,"hub_max_df":$maxDf,""" +
       s""""pack_sec":${f(tPack)},"pack_kdocs_per_sec":${rate(nDocs, tPack)},""" +
       s""""checks":${nDocs == n && nGroups == n - expDup &&
         nDupGroups == expDup && nPairs == 2 * expDup &&
+        nJacPairs == 2 * expDup && nHub >= 3 && maxDf == n / 100L &&
         nPacked == n && lastEnd == totTok &&
         nKept == n - expSpam}}""")
     spark.stop()

@@ -143,6 +143,50 @@ object DedupQueries {
   private val pairsCache =
     new DfMemo[(SparkSession, String, String)](cap = 4)
 
+  /** The exact-Jaccard inverted-index pair engine behind
+    * `dedup_ngram_jaccard`. `private[graft]` so TextScaleRehearsal can
+    * drive it (hub guard and all) on a synthetic corpus — scale evidence
+    * must exercise the shared production code, not a rehearsal-only copy.
+    *
+    * Shingle sets feed 5 subtrees (both self-join arms, sizes, and both
+    * verify arms); pinned so tokenization runs once — the 100 TB
+    * equivalent is checkpointing the shingle table to parquet once and
+    * reusing it across the pipeline. Candidates come from *rare* shingles
+    * only (df <= 50 — the hub guard: a boilerplate shingle shared by f
+    * docs would otherwise contribute O(f²) candidate pairs); the
+    * upper-bound prefilter accounts for the excluded hubs exactly, so
+    * results stay exact. */
+  private[graft] def jaccardDupPairsOf(s: SparkSession, sets0: DataFrame): DataFrame = {
+    val sets = graft.Caches.pin(sets0)
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
+    // 64-bit hashed shingle ids for the index join/agg keys (fixed-width
+    // keys shuffle and hash-join far faster than ~30 B strings); exact
+    // verification below still compares true shingle sets.
+    val ex = graft.Caches.pin(
+      sets.select(col("doc_id"), explode(col("sh")).as("sng"))
+        .select(col("doc_id"), xxhash64(col("sng")).as("sng")))
+    val rare = ex.groupBy("sng").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("sng")
+    val posting = ex.join(rare, "sng")
+    val rareSz = posting.groupBy("doc_id").agg(count(lit(1)).as("rare_sz"))
+    val stats = sizes.join(rareSz, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        coalesce(col("rare_sz"), lit(0L)).as("rare_sz"))
+    val pairCounts = posting.select(col("sng"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("sng"), col("doc_id").as("doc_b")), "sng")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_rare"))
+    val prefiltered = pairCounts
+      .join(stats.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
+        (col("sz") - col("rare_sz")).as("huba")), "doc_a")
+      .join(stats.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+        (col("sz") - col("rare_sz")).as("hubb")), "doc_b")
+      .withColumn("ub_inter", col("inter_rare") + least(col("huba"), col("hubb")))
+      .filter(col("ub_inter") * 10 >= (col("sza") + col("szb") - col("ub_inter")) * 8)
+      .select("doc_a", "doc_b")
+    verifyPairs(prefiltered, sets)
+  }
+
   /** `private[graft]` so TextScaleRehearsal can drive the REAL signature/
     * banding/verify pipeline on a synthetic corpus — scale evidence must
     * exercise the shared production code, not a rehearsal-only copy. */
@@ -188,40 +232,8 @@ object DedupQueries {
     //    expensive step runs on ~|result| pairs, not |candidates|
     //    (measured 57s -> ~4s at sf0.1 with ~1.1M candidates). The bound
     //    is semantically invisible — results are exact, oracle unchanged.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      // shingle sets feed 5 subtrees (both self-join arms, sizes, and both
-      // verify arms); persist so tokenization runs once — the 100 TB
-      // equivalent is checkpointing the shingle table to parquet once and
-      // reusing it across the pipeline
-      val sets = graft.Caches.pin(shingleSets(s, d))
-      val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
-      // 64-bit hashed shingle ids for the index join/agg keys (fixed-width
-      // keys shuffle and hash-join far faster than ~30 B strings); exact
-      // verification below still compares true shingle sets.
-      val ex = graft.Caches.pin(
-        sets.select(col("doc_id"), explode(col("sh")).as("sng"))
-          .select(col("doc_id"), xxhash64(col("sng")).as("sng")))
-      val rare = ex.groupBy("sng").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select("sng")
-      val posting = ex.join(rare, "sng")
-      val rareSz = posting.groupBy("doc_id").agg(count(lit(1)).as("rare_sz"))
-      val stats = sizes.join(rareSz, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("sz"),
-          coalesce(col("rare_sz"), lit(0L)).as("rare_sz"))
-      val pairCounts = posting.select(col("sng"), col("doc_id").as("doc_a"))
-        .join(posting.select(col("sng"), col("doc_id").as("doc_b")), "sng")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_rare"))
-      val prefiltered = pairCounts
-        .join(stats.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
-          (col("sz") - col("rare_sz")).as("huba")), "doc_a")
-        .join(stats.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
-          (col("sz") - col("rare_sz")).as("hubb")), "doc_b")
-        .withColumn("ub_inter", col("inter_rare") + least(col("huba"), col("hubb")))
-        .filter(col("ub_inter") * 10 >= (col("sza") + col("szb") - col("ub_inter")) * 8)
-        .select("doc_a", "doc_b")
-      verifyPairs(prefiltered, sets)
-    }),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      jaccardDupPairsOf(s, shingleSets(s, d))),
 
     // -- MinHash (k=128) + LSH (32 bands x 4 rows): Aggregator signatures,
     //    banded bucket join for candidates, exact verification. At
