@@ -259,6 +259,135 @@ object TpchQueries {
         .limit(100)
     }),
 
+    // -- Q2 SHAPE (adapted — no partsupp): minimum-cost supplier per
+    //    part. Cost = the per-unit price observed on lineitems (exact
+    //    integer cents div integral quantity); eligible suppliers come
+    //    from one region. The correlated-min subquery becomes a grouped
+    //    min joined back on (part, min) — no per-row subquery execution,
+    //    one extra pass over the same shuffled relation.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val asia = supplier(s, d)
+        .join(broadcast(nation(s, d)
+            .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          cents(col("s_acctbal")).cast("long").as("acctbal_cents"))
+      val b = lineitem(s, d)
+        .join(broadcast(asia.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("cast(floor(l_extendedprice * 100) as bigint)" +
+            " div cast(l_quantity as bigint)").as("uc"))
+      val perPS = b.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("uc")).as("sup_min"))
+      val minP = b.groupBy(col("l_partkey").as("pk"))
+        .agg(min(col("uc")).as("min_uc"))
+      perPS.join(minP, col("l_partkey") === col("pk") &&
+          col("sup_min") === col("min_uc"))
+        .join(broadcast(part(s, d).filter(col("p_size") <= 25)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"))
+        .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"), col("min_uc"))
+        .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // -- Q11 SHAPE (adapted — no partsupp): important stock. Inventory
+    //    value per part proxied by shipped value from one nation's
+    //    suppliers; parts whose value exceeds 1/1000 of the nation total
+    //    (exact-integer cross-multiplication against a 1-row broadcast
+    //    total — the scalar-subquery threshold without a driver
+    //    round-trip).
+    "q11_important_stock" -> ((s, d) => {
+      val n19 = supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_19")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = lineitem(s, d)
+        .join(broadcast(n19), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+      v.crossJoin(broadcast(v.agg(sum(col("value_cents")).as("total_cents"))))
+        .filter(col("value_cents") * 1000 > col("total_cents"))
+        .select(col("partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("partkey"))
+    }),
+
+    // -- Q12 SHAPE (adapted — no l_shipmode/l_commitdate): shipping-delay
+    //    analysis. The mode dimension becomes a derived delay bucket
+    //    (> 60 days = SLOW) and the priority split is the same pair of
+    //    conditional sums in one pass. datediff is exact integer days in
+    //    both engines (timestamps sit at midnight).
+    "q12_shipping_delay" -> ((s, d) => {
+      orders(s, d)
+        .join(lineitem(s, d)
+            .filter(col("l_shipdate") >= ts("1996-01-01") &&
+              col("l_shipdate") < ts("1997-01-01")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, "SLOW")
+            .otherwise("FAST").as("delay_bucket"),
+          col("o_orderpriority"))
+        .groupBy(col("delay_bucket"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("delay_bucket")
+    }),
+
+    // -- Q16 SHAPE (adapted — no partsupp): supplier variety per part
+    //    attribute combo. The part-supplier relation is DERIVED from
+    //    lineitem; the complaints blacklist becomes the negative-balance
+    //    suppliers, excluded with an anti join before the distinct count.
+    "q16_supplier_variety" -> ((s, d) => {
+      lineitem(s, d)
+        .join(broadcast(part(s, d)
+            .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(supplier(s, d).filter(col("s_acctbal") < 0)
+            .select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // -- Q20 SHAPE (adapted — no partsupp availqty): suppliers shipping
+    //    an EXCESS share of a part class. The correlated "qty > 0.5 *
+    //    availqty" threshold becomes an exact-integer share test against
+    //    the part's total (10·q > 3·total), computed once per part and
+    //    joined back — the nested-semi-with-correlated-aggregate shape.
+    "q20_excess_suppliers" -> ((s, d) => {
+      val red = part(s, d).filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"))
+      val sq = lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val tot = sq.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("q")).as("tq"))
+      sq.join(tot, col("l_partkey") === col("pk"))
+        .filter(col("q") * 10 > col("tq") * 3)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_excess_parts"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_excess_parts"))
+        .orderBy("s_suppkey")
+    }),
+
     // -- Q19: disjunctive brand/size/quantity predicate — three OR'd
     //    conjunct groups that no single index serves; the part join is
     //    broadcast and the disjunction evaluates post-join (partkey
@@ -278,6 +407,76 @@ object TpchQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH asia AS (SELECT s_suppkey, s_name, n_name,
+             CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'),
+         b AS (SELECT l_partkey, l_suppkey,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+               // CAST(l_quantity AS BIGINT) AS uc
+           FROM lineitem JOIN asia ON l_suppkey = s_suppkey),
+         ps AS (SELECT l_partkey, l_suppkey, MIN(uc) AS sup_min
+           FROM b GROUP BY 1, 2),
+         m AS (SELECT l_partkey AS pk, MIN(uc) AS min_uc FROM b GROUP BY 1)
+         SELECT acctbal_cents, s_name, n_name, p_partkey, p_type,
+           min_uc
+         FROM ps
+         JOIN m ON l_partkey = pk AND sup_min = min_uc
+         JOIN part ON l_partkey = p_partkey
+         JOIN asia ON l_suppkey = s_suppkey
+         WHERE p_size <= 25
+         ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
+    "q11_important_stock" ->
+      """WITH v AS (SELECT l_partkey AS partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_19'
+           GROUP BY 1)
+         SELECT partkey, value_cents
+         FROM v, (SELECT SUM(value_cents) AS total_cents FROM v)
+         WHERE value_cents * 1000 > total_cents
+         ORDER BY value_cents DESC, partkey""",
+    "q12_shipping_delay" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+             THEN 'SLOW' ELSE 'FAST' END AS delay_bucket,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_size <= 25
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q20_excess_suppliers" ->
+      """WITH sq AS (SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE '%red%'
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1, 2),
+         tot AS (SELECT l_partkey AS pk, SUM(q) AS tq FROM sq GROUP BY 1)
+         SELECT s_suppkey, s_name, COUNT(*) AS n_excess_parts
+         FROM sq
+         JOIN tot ON l_partkey = pk
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE q * 10 > tq * 3
+         GROUP BY 1, 2 ORDER BY s_suppkey""",
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
          FROM orders
