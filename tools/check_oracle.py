@@ -36,6 +36,15 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = n_noracle = 0
+    # A declared oracle whose query never produced a result dir is a FAILED
+    # query (graft.Verify catches per-query exceptions and moves on) — count
+    # it, don't let the dir-driven loop silently skip it.
+    dumped = {os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
+              if os.path.isdir(d)}
+    for name in sorted(set(oracles) - dumped):
+        n_fail += 1
+        print(f"  [FAIL] {name}: declared oracle but no result dumped "
+              f"(query threw in graft.Verify — see its stderr)")
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):

@@ -5,7 +5,9 @@ set -e
 cd /root/repo
 SF=${1:-/root/testdata/sf0.1}
 CPUS=${2:-32}
-sbt -batch compile 2>&1 | grep -E 'error|success'
+# copyResources too: a bare `compile` leaves META-INF/services out of the
+# classes dir and the bvgraph short name would fail to resolve
+sbt -batch compile Compile/copyResources 2>&1 | grep -E 'error|success'
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \

@@ -6,7 +6,9 @@ set -e
 cd /root/repo
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
-sbt -batch compile 2>&1 | grep -E 'error|success'
+# copyResources too: a bare `compile` leaves META-INF/services out of the
+# classes dir and the bvgraph short name would fail to resolve
+sbt -batch compile Compile/copyResources 2>&1 | grep -E 'error|success'
 rm -rf "$OUT"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
