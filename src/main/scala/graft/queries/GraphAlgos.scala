@@ -317,6 +317,73 @@ object GraphAlgos {
         .limit(100)
     }),
 
+    // -- edge reciprocity on the DIRECTED co-purchase graph: within each
+    //    order, part A points at part B when A's linenumber precedes B's,
+    //    de-duplicated across orders — two parts bought in opposite
+    //    orderings in different orders yield a reciprocal pair. The build
+    //    is the same bounded within-order self-join as coPurchaseEdges
+    //    (≤7 lineitems/order ⇒ ≤42 directed rows per order), ONE shuffle
+    //    on the order key; the reciprocal test is a self semi-join of the
+    //    edge set against its own swap — shuffle on the (u,v) pair, no
+    //    row explosion. Both scalars come from one tagged-union aggregate
+    //    (no 1x1 combine join); the ratio is exact integer DIV so no
+    //    float ever diverges from the oracle.
+    "graph_reciprocity" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val dir = graft.Caches.pin(
+        li.join(li.select(col("ok"), col("ln").as("ln2"), col("pk").as("pk2")),
+            Seq("ok"))
+          .filter(col("ln") < col("ln2") && col("pk") =!= col("pk2"))
+          .select(col("pk").as("u"), col("pk2").as("v"))
+          .distinct())
+      val recip = dir.join(dir.select(col("v").as("u"), col("u").as("v")),
+        Seq("u", "v"), "left_semi")
+      dir.select(lit(1L).as("ne"), lit(0L).as("nr"))
+        .unionByName(recip.select(lit(0L).as("ne"), lit(1L).as("nr")))
+        .agg(sum(col("ne")).as("n_edges"), sum(col("nr")).as("n_recip"))
+        .select(col("n_edges"), col("n_recip"),
+          expr("n_recip * 1000000 DIV n_edges").as("recip_x1e6"))
+    }),
+
+    // -- global clustering coefficient 3T/W on the undirected co-purchase
+    //    graph: T from the same compact-forward edge-iterator as
+    //    graph_triangles (per-edge sorted-array intersection, never a
+    //    materialized wedge join), W = Σ deg·(deg−1)/2 from the one
+    //    degree pass. Triangles, wedges and the coefficient come out of
+    //    ONE tagged-union aggregate; the coefficient is exact BIGINT
+    //    arithmetic (3·T·1e6 DIV W — ~1e12 at sf0.1, far inside long
+    //    range), so the value is partitioning-independent.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val e = graft.Caches.pin(coPurchaseEdges(s, d))
+      val deg = graft.Caches.pin(
+        e.select(explode(array(col("u"), col("v"))).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("dg")))
+      val dir = graft.Caches.pin(e
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t")))
+      val adj = graft.Caches.pin(dir.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("t"))).as("nbrs")))
+      val closed = dir
+        .join(adj.select(col("s"), col("nbrs").as("na")), Seq("s"))
+        .join(adj.select(col("s").as("t"), col("nbrs").as("nb")),
+          Seq("t"), "left")
+        .select(coalesce(size(array_intersect(col("na"), col("nb"))),
+          lit(0)).cast("long").as("tri"))
+      deg.select(lit(0L).as("tri"),
+          expr("dg * (dg - 1) DIV 2").as("wed"))
+        .unionByName(closed.select(col("tri"), lit(0L).as("wed")))
+        .agg(sum(col("tri")).as("triangles"), sum(col("wed")).as("wedges"))
+        .select(col("triangles"), col("wedges"),
+          expr("3 * triangles * 1000000 DIV wedges").as("cc_x1e6"))
+    }),
+
     // -- BFS levels from the minimum part id over the undirected
     //    co-purchase graph, via GraphX Pregel (min-distance propagation):
     //    edges are partitioned ONCE, each superstep is a co-partitioned
@@ -799,6 +866,32 @@ object GraphAlgos {
              CAST(FLOOR((0.15 + 0.85 * (0.15 / d.odeg)) * 1000000000.0) AS BIGINT) AS pr_e9
            FROM orders o JOIN deg d ON o.o_custkey = d.o_custkey)
          ORDER BY id""",
+    "graph_reciprocity" ->
+      """WITH de AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_linenumber < b.l_linenumber
+            AND a.l_partkey <> b.l_partkey),
+         r AS (SELECT COUNT(*) AS n_recip FROM de x
+           WHERE EXISTS (SELECT 1 FROM de y WHERE y.u = x.v AND y.v = x.u))
+         SELECT (SELECT COUNT(*) FROM de) AS n_edges,
+           CAST(n_recip AS BIGINT) AS n_recip,
+           CAST(n_recip * 1000000 // (SELECT COUNT(*) FROM de) AS BIGINT)
+             AS recip_x1e6
+         FROM r""",
+    "graph_clustering_coeff" ->
+      s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
+         deg AS (SELECT x, COUNT(*) AS dg
+           FROM (SELECT unnest([u, v]) AS x FROM e) GROUP BY x),
+         tri AS (SELECT COUNT(*) AS t
+           FROM e e1 JOIN e e2 ON e2.u = e1.v
+                     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         wed AS (SELECT SUM(dg * (dg - 1) // 2) AS w FROM deg)
+         SELECT CAST(tri.t AS BIGINT) AS triangles,
+           CAST(wed.w AS BIGINT) AS wedges,
+           CAST(3 * tri.t * 1000000 // wed.w AS BIGINT) AS cc_x1e6
+         FROM tri, wed""",
     "graph_triangles" ->
       s"""WITH $edgesCte,
          tri AS (SELECT COUNT(*) AS triangles

@@ -281,6 +281,44 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // -- ORC sink -> source round-trip, same write-once fixture discipline
+    //    as jsonl/csv_roundtrip (stamped dir + atomic-rename publish). ORC
+    //    is the OTHER columnar warehouse format; unlike the text formats
+    //    it carries real TIMESTAMP and DOUBLE types plus per-stripe
+    //    min/max statistics, so the read-back applies a predicate that the
+    //    ORC reader can push to stripe level (gated in PlanQualitySpec:
+    //    the scan shows the pushed filters). The oracle is the ORIGINAL
+    //    parquet table under the same predicate — fidelity AND pushdown
+    //    correctness in one gate.
+    "orc_roundtrip" -> ((s, d) => {
+      val src = java.nio.file.Paths.get(d, "events.parquet")
+      val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
+        s"_${java.nio.file.Files.size(src)}"
+      val key = s"${d}_$stamp".replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_$key"
+      val flat = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("props"), col("value"), col("ts"))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+        val staging = java.nio.file.Paths.get(
+          s"$dir.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+        flat.write.mode("overwrite").orc(staging.toString)
+        try java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists)
+        }
+      }
+      s.read.orc(dir)
+        .filter(col("event_type") === "purchase" && col("value") > 50.0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("props"),
+          floor(col("value") * 100).cast("long").as("value_cents"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id")
+    }),
+
     // -- correlated scalar subquery + correlated EXISTS: Catalyst
     //    decorrelates both into joins (RewriteCorrelatedScalarSubquery /
     //    RewriteNonCorrelatedExists + RewritePredicateSubquery), so the
@@ -1041,6 +1079,13 @@ object RelationalQueries {
          CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
          epoch_us(ts) AS ts_us
          FROM events ORDER BY event_id""",
+    "orc_roundtrip" ->
+      """SELECT event_id, user_id, event_type, props,
+         CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+         epoch_us(ts) AS ts_us
+         FROM events
+         WHERE event_type = 'purchase' AND value > 50.0
+         ORDER BY event_id""",
     "win_ntile" ->
       """SELECT o_orderpriority, o_orderkey,
          CAST(NTILE(8) OVER (PARTITION BY o_orderpriority

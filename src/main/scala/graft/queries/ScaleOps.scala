@@ -74,6 +74,36 @@ object ScaleOps {
   private def zval(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Write-once events-as-Hive-partitioned-parquet fixture: (event_type,
+    * day) directories, stamped on the source table's (mtime, size) with
+    * atomic-rename publish — the same discipline as the jsonl/csv/BV
+    * fixtures. Shared by `layout_partitioned_prune` (static pruning) and
+    * `join_dpp` (dynamic pruning). */
+  private[graft] def partitionedEventsFixture(s: SparkSession, d: String): String = {
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
+      s"_${java.nio.file.Files.size(src)}"
+    val key = s"${d}_$stamp".replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_part_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      val staging = java.nio.file.Paths.get(
+        s"$dir.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .write.mode("overwrite").partitionBy("event_type", "day")
+        .parquet(staging.toString)
+      try java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists)
+      }
+    }
+    dir
+  }
+
   val queries: Map[String, Q] = Map(
     // -- runtime Bloom prefilter on a semi join: build side aggregates to a
     //    2 KB bitset (map-side partial ORs), one driver scalar collect
@@ -156,6 +186,53 @@ object ScaleOps {
         .orderBy("o_orderpriority")
     }),
 
+    // -- Hive-partitioned layout + partition pruning: events are written
+    //    ONCE as parquet partitioned by (event_type, day) — 150 directories
+    //    at every SF — with the same stamped-dir + atomic-rename fixture
+    //    discipline as the jsonl/csv roundtrips. The read-back applies a
+    //    predicate on BOTH partition columns, which Catalyst resolves
+    //    against the directory listing alone: 3 of 150 partitions are ever
+    //    opened (gated in ScaleOpsSpec via the scan's selected-partition
+    //    count), no file footer of a pruned partition is touched. This is
+    //    THE first-order 100 TB lever — a date-partitioned corpus makes a
+    //    one-day query read 1/1000th of the bytes before any filter
+    //    pushdown even runs; at scale the write side is exactly this
+    //    `partitionBy` with per-partition file sizing. Values are gated by
+    //    the unpartitioned oracle: layout must not change a single row.
+    "layout_partitioned_prune" -> ((s, d) => {
+      s.read.parquet(partitionedEventsFixture(s, d))
+        .filter(col("event_type") === "purchase" &&
+          col("day").cast("string").between("2024-01-10", "2024-01-12"))
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("day")
+    }),
+
+    // -- DYNAMIC partition pruning (DPP): the star-schema runtime twin of
+    //    layout_partitioned_prune. The fact side is the (event_type, day)-
+    //    partitioned fixture; the dim side is a filtered distinct-types
+    //    relation whose surviving keys are only known at RUN time — so
+    //    Catalyst injects a dynamic pruning subquery into the fact scan's
+    //    PartitionFilters (gated in PlanQualitySpec), executes the dim
+    //    first, and the fact scan lists only the 3 surviving types' 90
+    //    directories. At 100 TB this is the difference between scanning a
+    //    fact table and scanning the 3 partitions a dimension filter
+    //    selects — no manual predicate copying onto the fact side. The
+    //    oracle replays the join as a plain filter.
+    "join_dpp" -> ((s, d) => {
+      val fact = s.read.parquet(partitionedEventsFixture(s, d))
+      val dim = events(s, d).select(col("event_type")).distinct()
+        .filter(length(col("event_type")) <= 5)
+      fact.join(dim, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("n_days"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     // -- Z-order layout: assign each row a Morton code over
     //    (l_partkey, l_suppkey), lay rows out in 1000-row "files" in
     //    z order, and report per-file bounding boxes + whether the file
@@ -199,6 +276,24 @@ object ScaleOps {
          (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616)"""
 
   val oracleSql: Map[String, String] = Map(
+    "layout_partitioned_prune" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events
+         WHERE event_type = 'purchase'
+           AND strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+         GROUP BY 1 ORDER BY 1""",
+
+    "join_dpp" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+         COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events
+         WHERE length(event_type) <= 5
+         GROUP BY 1 ORDER BY 1""",
+
     "join_bucketed_colocated" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
          CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4

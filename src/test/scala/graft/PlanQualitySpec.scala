@@ -407,6 +407,66 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("LeftAnti"), s"NOT EXISTS did not compile to an anti join:\n$p")
   }
 
+  test("layout_partitioned_prune: only the 3 matching partitions are ever opened") {
+    val df = SparkEntry.queries("layout_partitioned_prune")(spark, sf0001)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the plan")
+    // 150 (event_type, day) partitions exist; the predicate selects exactly
+    // purchase x {10,11,12 Jan} — directory-listing pruning, no file I/O
+    // for the other 147
+    val parts = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(parts == 3, s"expected 3 pruned partitions, scanned $parts")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), s"no partition filters in scan:\n$p")
+  }
+
+  test("join_dpp: the fact scan carries a dynamic pruning subquery and opens 90/150 partitions") {
+    val df = SparkEntry.queries("join_dpp")(spark, sf0001)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("graft_part_")) => f
+    }
+    assert(scans.nonEmpty, "no partitioned fact scan in the plan")
+    assert(scans.exists(_.partitionFilters.exists(
+      _.toString.contains("dynamicpruning"))),
+      s"no dynamic pruning subquery on the fact scan:\n" +
+        scans.map(_.partitionFilters.mkString(", ")).mkString("\n"))
+    // 3 of 5 event types survive the dim filter x 30 days = 90 of the 150
+    // directories; the other 60 are never listed into the scan
+    val parts = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(parts == 90, s"expected 90 dynamically pruned partitions, scanned $parts")
+  }
+
+  test("orc_roundtrip: the predicate is pushed into the ORC scan") {
+    val df = SparkEntry.queries("orc_roundtrip")(spark, sf0001)
+    val pushed = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("EqualTo(event_type,purchase)") &&
+      pushed.contains("GreaterThan(value,50.0)"),
+      s"predicate not pushed into the ORC scan: $pushed")
+  }
+
+  test("graph_reciprocity: semi-join probe, no cartesian, one tagged-union aggregate") {
+    val p = executed(SparkEntry.queries("graph_reciprocity")(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"reciprocal test must be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"row-explosion join in reciprocity:\n$p")
+  }
+
+  test("graph_clustering_coeff: edge-iterator intersection, never a wedge join") {
+    val p = executed(SparkEntry.queries("graph_clustering_coeff")(spark, sf0001))
+    assert(p.contains("intersect_count") || p.contains("array_intersect"),
+      s"triangle closure must be an in-row intersection:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge-join explosion in clustering coeff:\n$p")
+  }
+
   test("join_bucketed_colocated: bucketed scans join with no key exchange") {
     val df = SparkEntry.queries("join_bucketed_colocated")(spark, sf0001)
     val p = executed(df)
