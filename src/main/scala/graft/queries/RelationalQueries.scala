@@ -319,6 +319,45 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // -- CDC upsert / incremental state maintenance — the MERGE shape every
+    //    incremental pipeline runs daily: `state` is the latest-event-per-
+    //    user snapshot over the first half of the month, `delta` is the
+    //    second half's batch pre-aggregated the same way, and the merge is
+    //    ONE full-outer join on the key with latest-wins resolution
+    //    ((ts, event_id) total order, so ties are impossible and the
+    //    result is partitioning-independent). The upsert output provably
+    //    equals recomputing latest-per-user over ALL events — which is
+    //    exactly what the oracle does — so the gate proves the incremental
+    //    path loses nothing. At 100 TB: state lives bucketed on user_id,
+    //    the daily delta is batch-aggregated map-side (max_by partials)
+    //    then shuffled once onto the state partitioning; history is never
+    //    rescanned — same shape as dedup_incremental for dedup state.
+    "cdc_upsert" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"), floor(col("value") * 100).cast("long").as("value_cents"))
+      def latest(df: DataFrame) = df.groupBy("user_id")
+        .agg(max_by(
+          struct(col("ts_us"), col("event_id"), col("event_type"),
+            col("value_cents")),
+          struct(col("ts_us"), col("event_id"))).as("r"))
+      val cut = lit(1705276800000000L) // 2024-01-15T00:00:00Z in micros
+      val state = latest(ev.filter(col("ts_us") < cut))
+        .withColumnRenamed("r", "s")
+      val delta = latest(ev.filter(col("ts_us") >= cut))
+        .withColumnRenamed("r", "d")
+      state.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("s").isNull || (col("d").isNotNull &&
+            struct(col("d.ts_us"), col("d.event_id")) >
+              struct(col("s.ts_us"), col("s.event_id"))), col("d"))
+            .otherwise(col("s")).as("w"))
+        .select(col("user_id"), col("w.ts_us").as("last_ts_us"),
+          col("w.event_type").as("last_type"),
+          col("w.value_cents").as("last_value_cents"))
+        .orderBy("user_id")
+    }),
+
     // -- correlated scalar subquery + correlated EXISTS: Catalyst
     //    decorrelates both into joins (RewriteCorrelatedScalarSubquery /
     //    RewriteNonCorrelatedExists + RewritePredicateSubquery), so the
@@ -1079,6 +1118,15 @@ object RelationalQueries {
          CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
          epoch_us(ts) AS ts_us
          FROM events ORDER BY event_id""",
+    "cdc_upsert" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, ts_us AS last_ts_us, event_type AS last_type,
+           value_cents AS last_value_cents
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     "orc_roundtrip" ->
       """SELECT event_id, user_id, event_type, props,
          CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,

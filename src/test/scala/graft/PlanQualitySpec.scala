@@ -441,6 +441,15 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(parts == 90, s"expected 90 dynamically pruned partitions, scanned $parts")
   }
 
+  test("cdc_upsert: map-side max_by partials, one full-outer merge, no explosion join") {
+    val p = executed(SparkEntry.queries("cdc_upsert")(spark, sf0001))
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      p.contains("max_by"), s"no partial-aggregated latest-per-key:\n$p")
+    assert(p.contains("FullOuter"), s"merge must be a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"explosion join in the upsert:\n$p")
+  }
+
   test("orc_roundtrip: the predicate is pushed into the ORC scan") {
     val df = SparkEntry.queries("orc_roundtrip")(spark, sf0001)
     val pushed = collectWithSubqueries(df.queryExecution.executedPlan) {
