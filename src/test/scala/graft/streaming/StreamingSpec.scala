@@ -47,6 +47,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed agg resumes from its checkpoint across restarts; file sink stays exactly-once") {
+    // The recovery contract a 100 TB/day deployment actually relies on:
+    // each .start() below is a NEW StreamingQuery that must restore
+    // offsets, watermark, and window state from the checkpoint alone.
+    // Three query incarnations each process one micro-batch; the file
+    // sink's commit log must dedupe across restarts so every finalized
+    // window lands EXACTLY once.
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_restart_ckpt_$id"
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_restart_out_$id"
+    val in = MemoryStream[Event]
+    def startQuery() = StreamingOps.windowedAgg(in.toDF(),
+        watermark = "10 minutes", width = "5 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = startQuery()
+    try {
+      in.addData(Event(ts(0), 1, "click", 1.0), Event(ts(1), 2, "click", 2.0),
+        Event(ts(6), 1, "view", 3.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart 1: watermark is still behind the first windows, so nothing
+    // may have been finalized yet; this batch advances it to 10:30 and the
+    // RESTORED state for windows [10:00,10:05) and [10:05,10:10) flushes
+    val q2 = startQuery()
+    try {
+      in.addData(Event(ts(40), 3, "click", 4.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // restart 2: advances the watermark to 10:45, flushing [10:40,10:45)
+    val q3 = startQuery()
+    try {
+      in.addData(Event(ts(55), 3, "click", 5.0))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3)))
+    // exactly-once: the three finalized windows, no duplicates from any
+    // restart, the still-open [10:55,...) window not emitted
+    assert(rows.length == 3, s"expected 3 finalized windows once each, got ${rows.toSeq}")
+    assert(rows.toSet == Set(
+      ("2026-01-01 10:00:00.0", "click", 2L),
+      ("2026-01-01 10:05:00.0", "view", 1L),
+      ("2026-01-01 10:40:00.0", "click", 1L)), rows.toSeq.toString)
+  }
+
   test("stream_session_window equals the batch session_window_agg row-for-row") {
     // the oracle-gated streaming query: its deterministic replay schedule
     // (midpoint batch split + sentinel watermark flush) must reproduce the
