@@ -141,6 +141,28 @@ object GraphQueries {
         .orderBy("src", "dst")
     }),
 
+    // -- BV source composed with the relational surface: the degree-only
+    //    fast path (one γ decode per node, successors never touched)
+    //    feeds a broadcast dimension join — per-nation order counts
+    //    computed from the COMPRESSED graph plus the customer dim. This
+    //    is the integration shape a webgraph warehouse runs daily:
+    //    graph-side metadata scan (no adjacency I/O), dim broadcast, one
+    //    partial-aggregated rollup. The oracle recomputes from the raw
+    //    orders table, so the whole encode→decode→join→agg chain is
+    //    value-gated.
+    "bv_enrich_join" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      s.read.format("bvgraph").option("basename", base).option("splits", 8).load()
+        .filter(col("outdegree") > 0) // custkey nodes; orderkey ids are sinks
+        .select(col("id").cast("long").as("custkey"),
+          col("outdegree").cast("long").as("n_orders"))
+        .join(broadcast(customer(s, d).select(
+          col("c_custkey").as("custkey"), col("c_nationkey"))), "custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("n_orders")).as("n_orders"))
+        .orderBy("c_nationkey")
+    }),
+
     // -- graph transposition THROUGH the engine's own sink: scan the BV
     //    fixture, swap edge endpoints, re-compress the reversed adjacency
     //    as a new sharded BVGraph (range shuffle + stream-encode), scan
@@ -308,6 +330,12 @@ object GraphQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "bv_enrich_join" ->
+      """WITH a AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+         SELECT c_nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(n) AS BIGINT) AS n_orders
+         FROM a JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY 1""",
     "bv_roundtrip" ->
       """SELECT o_custkey AS src, o_orderkey AS dst
          FROM orders ORDER BY src, dst""",

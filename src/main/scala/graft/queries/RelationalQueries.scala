@@ -319,6 +319,30 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // -- daily OHLC resample — the time-series rollup shape: per
+    //    (event_type, day), the first/last values under the (ts, event_id)
+    //    total order (min_by/max_by with struct keys — ONE partial-
+    //    aggregated pass, no window, no self-join) plus min/max/count.
+    //    The total order makes open/close deterministic under any
+    //    partitioning even if two events share a timestamp; the oracle
+    //    replays it as row_number windows. At 100 TB: one shuffle on the
+    //    (type, day) key with map-side min_by/max_by partials — state per
+    //    group is four scalars, never the day's rows.
+    "resample_ohlc" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          min_by(col("cents"), struct(col("us"), col("event_id"))).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max_by(col("cents"), struct(col("us"), col("event_id"))).as("close_cents"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type", "day")
+    }),
+
     // -- CDC upsert / incremental state maintenance — the MERGE shape every
     //    incremental pipeline runs daily: `state` is the latest-event-per-
     //    user snapshot over the first half of the month, `delta` is the
@@ -1118,6 +1142,23 @@ object RelationalQueries {
          CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
          epoch_us(ts) AS ts_us
          FROM events ORDER BY event_id""",
+    "resample_ohlc" ->
+      """WITH t AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             epoch_us(ts) AS us, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events),
+         o AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type, day
+               ORDER BY us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, day
+               ORDER BY us DESC, event_id DESC) AS rn_d
+           FROM t)
+         SELECT event_type, day,
+           MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+           MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+           MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+           COUNT(*) AS n_events
+         FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
     "cdc_upsert" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,

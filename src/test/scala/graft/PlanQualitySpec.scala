@@ -441,6 +441,27 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(parts == 90, s"expected 90 dynamically pruned partitions, scanned $parts")
   }
 
+  test("bv_enrich_join: degree-only BV scan (successors never decoded) + broadcast dim") {
+    val df = SparkEntry.queries("bv_enrich_join")(spark, sf0001)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no DSv2 scan in the plan")
+    assert(scans.exists(_.scan.readSchema().fieldNames.toSeq == Seq("id", "outdegree")),
+      s"scan must prune to the outdegree fast path: " +
+        scans.map(_.scan.readSchema().fieldNames.mkString(",")).mkString(" | "))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+  }
+
+  test("resample_ohlc: one partial-aggregated pass, no window exchange per row") {
+    val p = executed(SparkEntry.queries("resample_ohlc")(spark, sf0001))
+    assert(p.contains("partial_min_by") || p.contains("min_by"),
+      s"no map-side min_by partials:\n$p")
+    assert(!p.contains("Window"), s"OHLC must not be a window query:\n$p")
+  }
+
   test("cdc_upsert: map-side max_by partials, one full-outer merge, no explosion join") {
     val p = executed(SparkEntry.queries("cdc_upsert")(spark, sf0001))
     assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
