@@ -319,6 +319,46 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // -- interval-overlap join — the interval×interval shape Spark has no
+    //    native operator for (asof/range joins cover point-in-interval
+    //    only): each click opens a 30-min attention window, each purchase
+    //    a 1-h lookback window, and the query counts overlapping
+    //    (click, purchase) windows per user. A naive theta join is a
+    //    per-user cross product; the scalable form EXPLODES each interval
+    //    into the fixed-width time buckets it touches (bounded length /
+    //    bucket width ⇒ ≤2 buckets per interval — a constant replication
+    //    factor), equi-joins on (user_id, bucket), applies the exact
+    //    overlap predicate, and de-dups pairs that co-occur in two
+    //    buckets. Every exchange is a hash equi-join on a bounded-fanout
+    //    key (plan-gated: no BNLJ/cartesian); the oracle runs the plain
+    //    theta join, proving the bucketization loses and invents nothing.
+    "join_interval_overlap" -> ((s, d) => {
+      val W = 3600000000L // 1h bucket width in micros
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      // click window [us, us+30min); purchase window [us-1h, us)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("us").as("c_lo"), (col("us") + 1800000000L).as("c_hi"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("us") - W).as("p_lo"), col("us").as("p_hi"))
+      def bucketed(df: DataFrame, lo: String, hi: String): DataFrame = df
+        .withColumn("bkt", explode(sequence(
+          floor(col(lo) / W).cast("long"),
+          floor((col(hi) - 1) / W).cast("long"))))
+      bucketed(clicks, "c_lo", "c_hi")
+        .join(bucketed(purch, "p_lo", "p_hi"), Seq("user_id", "bkt"))
+        .filter(col("c_lo") < col("p_hi") && col("p_lo") < col("c_hi"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .distinct()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("click_id")).as("n_clicks"),
+          countDistinct(col("purchase_id")).as("n_purchases"))
+        .orderBy("user_id")
+    }),
+
     // -- daily OHLC resample — the time-series rollup shape: per
     //    (event_type, day), the first/last values under the (ts, event_id)
     //    total order (min_by/max_by with struct keys — ONE partial-
@@ -1142,6 +1182,20 @@ object RelationalQueries {
          CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
          epoch_us(ts) AS ts_us
          FROM events ORDER BY event_id""",
+    "join_interval_overlap" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+             epoch_us(ts) AS c_lo, epoch_us(ts) + 1800000000 AS c_hi
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id,
+             epoch_us(ts) - 3600000000 AS p_lo, epoch_us(ts) AS p_hi
+           FROM events WHERE event_type = 'purchase'),
+         pairs AS (SELECT c.user_id, click_id, purchase_id
+           FROM c JOIN p ON c.user_id = p.user_id
+           WHERE c_lo < p_hi AND p_lo < c_hi)
+         SELECT user_id, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT click_id) AS n_clicks,
+           COUNT(DISTINCT purchase_id) AS n_purchases
+         FROM pairs GROUP BY 1 ORDER BY 1""",
     "resample_ohlc" ->
       """WITH t AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
              epoch_us(ts) AS us, event_id,

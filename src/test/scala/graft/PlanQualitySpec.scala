@@ -462,6 +462,14 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("Window"), s"OHLC must not be a window query:\n$p")
   }
 
+  test("join_interval_overlap: bucketized equi-join, never a theta cross product") {
+    val p = executed(SparkEntry.queries("join_interval_overlap")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a cross product:\n$p")
+    // the overlap predicate must ride an equi-join on (user_id, bkt)
+    assert(p.contains("bkt"), s"no bucket key in the join:\n$p")
+  }
+
   test("cdc_upsert: map-side max_by partials, one full-outer merge, no explosion join") {
     val p = executed(SparkEntry.queries("cdc_upsert")(spark, sf0001))
     assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||

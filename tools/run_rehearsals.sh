@@ -1,0 +1,32 @@
+#!/bin/bash
+# Run all three scale rehearsals (graph / curation / relational), each of
+# which CHECKS its planted or closed-form expectations and exits non-zero
+# on any mismatch. Sizes are the SCALE.md-documented defaults; pass
+# smaller ones for a smoke run:
+#   tools/run_rehearsals.sh [graphNodes] [textDocs] [relRows]
+set -e
+cd /root/repo
+GN=${1:-10000000}
+TD=${2:-1000000}
+RR=${3:-50000000}
+# copyResources too: a bare `compile` leaves META-INF/services out of the
+# classes dir and the bvgraph short name would fail to resolve
+sbt -batch compile Compile/copyResources 2>&1 | grep -E 'error|success'
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+run() {
+  java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@" 2>/dev/null \
+    | grep -E '^\{'
+}
+echo "== graph (ScaleRehearsal $GN nodes) =="
+run graft.ScaleRehearsal "$GN"
+echo "== curation (TextScaleRehearsal $TD docs) =="
+run graft.TextScaleRehearsal "$TD"
+echo "== relational (RelationalScaleRehearsal $RR rows) =="
+run graft.RelationalScaleRehearsal "$RR"
