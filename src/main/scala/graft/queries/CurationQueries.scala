@@ -348,6 +348,48 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // -- deterministic negative sampling (the contrastive-pairs step of an
+    //    embedding-training pipeline): every anchor doc (doc_id ≡ 0 mod 10)
+    //    draws k=3 pseudo-random negatives via exact BIGINT hash arithmetic
+    //    over a DENSE document index — no RNG, no engine hash, so the draw
+    //    is a pure function of the data that is stable under
+    //    re-partitioning, re-ingest and cluster size (the same
+    //    content-determinism argument as sample_stratified). The dense
+    //    index is built with the two-phase bucketed cumsum (per-bucket
+    //    counts → metadata-sized bucket window → per-bucket row_number —
+    //    never a global-window rank), a self-collision bumps to the next
+    //    index mod n, and the draw resolves to a doc via one equi join
+    //    against the index (node-sized; AQE broadcasts it while small).
+    //    Scale shape: anchors×k rows total, embarrassingly parallel in the
+    //    anchor key — the corpus itself is read once for the index and
+    //    never shuffled again.
+    "sample_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 100L
+      val ids = documents(s, d).select(col("doc_id"))
+        .withColumn("bkt", floor(col("doc_id") / B).cast("long"))
+      val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val bases = ids.groupBy("bkt").agg(count(lit(1)).as("c"))
+        .withColumn("base", coalesce(sum(col("c")).over(wB), lit(0L)))
+        .select("bkt", "base")
+      val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+      val idx = graft.Caches.pin(ids.join(broadcast(bases), "bkt")
+        .withColumn("i", (col("base") + row_number().over(wIn) - 1).cast("long"))
+        .select("doc_id", "i"))
+      val nn = idx.agg(count(lit(1)).as("n"))
+      idx.filter(col("doc_id") % 10 === 0)
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("i"), col("n"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("raw",
+          (col("i") * 2654435761L + col("j") * 1000003L) % col("n"))
+        .withColumn("ni", when(col("raw") === col("i"),
+          (col("raw") + 1) % col("n")).otherwise(col("raw")))
+        .join(idx.select(col("i").as("ni"), col("doc_id").as("neg_doc_id")), "ni")
+        .select(col("doc_id"), col("j"), col("neg_doc_id"))
+        .orderBy("doc_id", "j")
+    }),
+
     // -- corpus-level bigram novelty (a CCNet-style commonness signal
     //    computed from the corpus itself instead of an external LM): a
     //    doc's bigram is "known" if it occurs in >= 2 distinct documents;
@@ -388,6 +430,21 @@ object CurationQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "sample_negatives" ->
+      """WITH idx AS MATERIALIZED (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+           FROM documents),
+         nn AS (SELECT COUNT(*) AS n FROM idx),
+         a AS (SELECT doc_id, i FROM idx WHERE doc_id % 10 = 0),
+         e AS (SELECT a.doc_id, a.i, j.j, nn.n,
+             (a.i * 2654435761 + j.j * 1000003) % nn.n AS raw
+           FROM a, nn, (SELECT unnest([1, 2, 3]) AS j) j),
+         x AS (SELECT doc_id, j,
+             CASE WHEN raw = i THEN (raw + 1) % n ELSE raw END AS ni
+           FROM e)
+         SELECT x.doc_id, CAST(x.j AS BIGINT) AS j, b.doc_id AS neg_doc_id
+         FROM x JOIN idx b ON b.i = x.ni
+         ORDER BY x.doc_id, j""",
     "quality_repetition" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,

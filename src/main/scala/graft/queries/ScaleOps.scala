@@ -233,6 +233,40 @@ object ScaleOps {
         .orderBy("event_type")
     }),
 
+    // -- small-file compaction planning (the table-maintenance half of the
+    //    layout story next to layout_partitioned_prune): the 150
+    //    (event_type, day) partitions stand in for a manifest of small
+    //    files; each is bin-packed — in (event_type, day) manifest order,
+    //    WITHOUT splitting — into compacted output files of ≥2000 rows via
+    //    a global row-offset cumsum, out_file = floor(start_off / target).
+    //    The cumsum is the TWO-PHASE bucketed shape (per-type sums →
+    //    metadata-sized type window → per-type day window), so no window
+    //    ever sees more than one type's manifest rows — and the manifest
+    //    itself is metadata-sized at any corpus scale (a 100 TB table is
+    //    ~1e6 files), which is what makes compaction PLANNING cheap even
+    //    when the rewrite it drives is not. Every value is exact integer
+    //    arithmetic; the oracle replays the plan with one window.
+    "layout_compaction" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val T = 2000L
+      val parts = events(s, d)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      val wB = Window.orderBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = parts.groupBy("event_type").agg(sum(col("n_rows")).as("bt"))
+        .withColumn("base", coalesce(sum(col("bt")).over(wB), lit(0L)))
+        .select("event_type", "base")
+      val wIn = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      parts.join(broadcast(base), "event_type")
+        .withColumn("start_off",
+          col("base") + coalesce(sum(col("n_rows")).over(wIn), lit(0L)))
+        .withColumn("out_file", floor(col("start_off") / T).cast("long"))
+        .select("event_type", "day", "n_rows", "start_off", "out_file")
+        .orderBy("event_type", "day")
+    }),
+
     // -- Z-order layout: assign each row a Morton code over
     //    (l_partkey, l_suppkey), lay rows out in 1000-row "files" in
     //    z order, and report per-file bounding boxes + whether the file
@@ -276,6 +310,19 @@ object ScaleOps {
          (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616)"""
 
   val oracleSql: Map[String, String] = Map(
+    "layout_compaction" ->
+      """WITH p AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(*) AS n_rows
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, day, n_rows,
+             COALESCE(SUM(n_rows) OVER (ORDER BY event_type, day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+           FROM p)
+         SELECT event_type, day, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(start_off // 2000 AS BIGINT) AS out_file
+         FROM o ORDER BY event_type, day""",
+
     "layout_partitioned_prune" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
          COUNT(*) AS n_events,

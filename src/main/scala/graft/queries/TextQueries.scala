@@ -193,6 +193,82 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // -- vocabulary build + token-id encoding (the tokenizer-adjacent step
+    //    of a training-data pipeline): the top-K tokens by corpus count
+    //    (ties broken lexicographically) get ids 1..K, every other token
+    //    encodes as OOV id 0, and each document surfaces its full id
+    //    sequence (as a CSV string so the oracle hash-compares it) plus
+    //    its OOV count. Scale shape: the count agg map-side-combines to
+    //    vocabulary size; the top-K cut is TakeOrderedAndProject (never a
+    //    global sort of the vocabulary); the rank window then runs over
+    //    the ALREADY-LIMITED K rows — bounded by construction, so the
+    //    single-partition window is safe at any corpus size; encoding is
+    //    one broadcast hash join against the K-row vocab, corpus shuffles
+    //    once on doc_id to reassemble sequences.
+    "vocab_encode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 20
+      val base = documents(s, d).select(col("doc_id"), toks(col("text")).as("w"))
+      val vocab = base.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(K)
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("c").desc, col("t"))).cast("long"))
+        .select("t", "id")
+      base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "t")))
+        .join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"),
+              coalesce(col("id"), lit(0L)).as("id")))),
+            x => x.getField("id").cast("string")), ",").as("ids_csv"))
+        .orderBy("doc_id")
+    }),
+
+    // -- BM25 search scoring (k1=1.2, b=0.75) for a fixed 3-term query,
+    //    with the LOG DROPPED from the idf: the rational core
+    //    (n−df+0.5)/(df+0.5) keeps per-term idf monotone in df while
+    //    every operation stays an exactly-rounded IEEE-754 double op
+    //    (libm's log is not correctly rounded and drifts between engines
+    //    — same reasoning as text_tfidf's rational idf). The per-doc
+    //    score is a FIXED-ORDER expression tree (three term scores summed
+    //    left-to-right, one floor at the end), so the e6-quantized value
+    //    is bit-identical in Spark and DuckDB. Scale shape: tf per term
+    //    comes from a narrow per-row array filter (no explode, no token
+    //    shuffle); n/avgdl/df all come from ONE map-side-combined global
+    //    aggregate broadcast back as a 1-row frame; the top-20 is
+    //    TakeOrderedAndProject. The corpus is scanned once and never
+    //    shuffled.
+    "bm25_search" -> ((s, d) => {
+      val terms = Seq("dup", "join", "spark") // rare / common / common df mix
+      val base = documents(s, d)
+        .select(col("doc_id") +: size(toks(col("text"))).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(toks(col("text")), x => x === t)).cast("long")
+              .as(s"tf${i + 1}") }: _*)
+      val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("t") +:
+        terms.indices.map(i =>
+          sum((col(s"tf${i + 1}") > 0).cast("long")).as(s"df${i + 1}"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      def termScore(tf: Column, dfc: Column): Column = {
+        val n = col("n").cast("double")
+        val avgdl = col("t").cast("double") / n
+        val idf = (n - dfc.cast("double") + lit(0.5)) / (dfc.cast("double") + lit(0.5))
+        val den = tf.cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+        idf * (tf.cast("double") * lit(2.2)) / den
+      }
+      base.crossJoin(broadcast(stats))
+        .withColumn("score_e6", floor(
+          (termScore(col("tf1"), col("df1"))
+            + termScore(col("tf2"), col("df2"))
+            + termScore(col("tf3"), col("df3"))) * lit(1000000.0)).cast("long"))
+        .select("doc_id", "dl", "tf1", "tf2", "tf3", "score_e6")
+        .orderBy(col("score_e6").desc, col("doc_id")).limit(20)
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       def fnv(c: Column): Column = Exprs.toColumn(Fnv64(Exprs.toExpr(c)))
       documents(s, d)
@@ -239,6 +315,60 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "vocab_encode" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         u AS (SELECT unnest(w) AS t FROM w),
+         c AS (SELECT t, COUNT(*) AS c FROM u GROUP BY t),
+         v AS (SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT) AS id
+               FROM c ORDER BY c DESC, t LIMIT 20),
+         tok AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+               i -> struct_pack(pos := i, t := w[i]))) AS pt FROM w),
+         e AS (SELECT doc_id, pt.pos AS pos, COALESCE(v.id, 0) AS id
+               FROM tok LEFT JOIN v ON v.t = pt.t)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+         FROM e GROUP BY doc_id ORDER BY doc_id""",
+    // identical double-op structure as the Spark expression tree — every
+    // op is exactly-rounded IEEE, so the floor'd e6 value hash-matches
+    "bm25_search" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         b AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS dl,
+             CAST(len(list_filter(w, x -> x = 'dup')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf2,
+             CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf3
+           FROM w),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+           FROM b),
+         sc AS (SELECT b.doc_id, b.dl, b.tf1, b.tf2, b.tf3,
+             (CAST(st.n AS DOUBLE) - CAST(st.df1 AS DOUBLE) + 0.5)
+               / (CAST(st.df1 AS DOUBLE) + 0.5)
+               * (CAST(b.tf1 AS DOUBLE) * 2.2)
+               / (CAST(b.tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                   * (CAST(b.dl AS DOUBLE) / (CAST(st.t AS DOUBLE) / CAST(st.n AS DOUBLE)))))
+           + (CAST(st.n AS DOUBLE) - CAST(st.df2 AS DOUBLE) + 0.5)
+               / (CAST(st.df2 AS DOUBLE) + 0.5)
+               * (CAST(b.tf2 AS DOUBLE) * 2.2)
+               / (CAST(b.tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                   * (CAST(b.dl AS DOUBLE) / (CAST(st.t AS DOUBLE) / CAST(st.n AS DOUBLE)))))
+           + (CAST(st.n AS DOUBLE) - CAST(st.df3 AS DOUBLE) + 0.5)
+               / (CAST(st.df3 AS DOUBLE) + 0.5)
+               * (CAST(b.tf3 AS DOUBLE) * 2.2)
+               / (CAST(b.tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                   * (CAST(b.dl AS DOUBLE) / (CAST(st.t AS DOUBLE) / CAST(st.n AS DOUBLE)))))
+           AS score
+           FROM b, st)
+         SELECT doc_id, dl, tf1, tf2, tf3,
+           CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_e6
+         FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 20""",
     "text_collocations" ->
       """WITH w AS (SELECT string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

@@ -588,4 +588,42 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"the within-bucket window lost its partitioning:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in the pipeline:\n$p")
   }
+
+  test("vocab_encode: top-K vocab is TakeOrdered and broadcasts into the encode join") {
+    val p = executed(SparkEntry.queries("vocab_encode")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocabulary top-K must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the K-row vocab must broadcast into the encode join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in vocab_encode:\n$p")
+  }
+
+  test("bm25_search: no token explode, 1-row stats broadcast, top-20 is TakeOrdered") {
+    val p = executed(SparkEntry.queries("bm25_search")(spark, sf0001))
+    // tf comes from per-row array filters — the token stream must never
+    // explode into rows (that is the whole point of the shape)
+    assert(!p.contains("Generate explode"),
+      s"bm25 must not explode the token stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must be TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must not shuffle — only the 1-row stats move:\n$p")
+  }
+
+  test("sample_negatives: bucket-partitioned index windows; equi-join draw resolution") {
+    val p = executed(SparkEntry.queries("sample_negatives")(spark, sf0001))
+    assert("""\], \[bkt#\d+L\], \[doc_id#""".r.findFirstIn(p).isDefined,
+      s"the dense-index window lost its bucket partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in sample_negatives (the 1-row n frame must broadcast):\n$p")
+  }
+
+  test("layout_compaction: manifest agg partial-aggregates; windows partition by type") {
+    val p = executed(SparkEntry.queries("layout_compaction")(spark, sf0001))
+    assert(p.contains("partial_count"),
+      s"the manifest row counts must partial-aggregate map-side:\n$p")
+    assert("""\], \[event_type#\d+\], \[day#""".r.findFirstIn(p).isDefined,
+      s"the within-type window lost its partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in layout_compaction:\n$p")
+  }
 }
