@@ -69,6 +69,16 @@ object GraphAlgos {
       .union(e.select(col("dst").as("id"))).distinct())
     val outdeg = graft.Caches.pin(
       e.groupBy("src").agg(count(lit(1)).as("odeg")))
+    pageRankLoop(s, e, nodes, outdeg, iters, checkpointEachIter)
+  }
+
+  /** The iteration itself, over caller-pinned (src,dst) / (id) / (src,odeg)
+    * frames — shared by the orders-graph `graph_pagerank` and the
+    * BV-source `bv_pagerank` so both run the IDENTICAL loop (checkpoint
+    * hygiene included) over different graph sources. */
+  private[graft] def pageRankLoop(s: SparkSession, e: DataFrame,
+      nodes: DataFrame, outdeg: DataFrame, iters: Int,
+      checkpointEachIter: Boolean): DataFrame = {
     var pr = nodes.select(col("id"), lit(1.0).as("pr"))
     var prIds = Set.empty[Int]
     for (_ <- 1 to iters) {
@@ -237,6 +247,34 @@ object GraphAlgos {
     //    surfaced value is floor(pr·1e9).
     "graph_pagerank" -> ((s, d) => pageRank(s, d, iters = 3,
       checkpointEachIter = true)),
+
+    // -- the reference's HEADLINE workload end-to-end: PageRank over a
+    //    COMPRESSED graph (/root/reference/README.md:37-48 runs exactly
+    //    this through its GraphX handoff). The customer→order adjacency is
+    //    BV-compressed through the distributed sharded sink, scanned back
+    //    with the DSv2 source (edges from the successor decode; the node
+    //    set and out-degrees from the degree-only γ fast path — successors
+    //    never decoded for those two frames), and pushed through the SAME
+    //    checkpointed iteration as graph_pagerank ([[pageRankLoop]]).
+    //    Unlike graph_pagerank's shifted bipartite ids, the BV graph keeps
+    //    the RAW overlapping id space [0, n) including degree-0 sinks —
+    //    every order node has exactly one in-edge, so each rank sum has at
+    //    most one term and the doubles stay order-independent; the oracle
+    //    replays all 3 iterations as chained CTEs over generate_series.
+    "bv_pagerank" -> ((s, d) => {
+      val base = GraphQueries.bvFixture(s, d)
+      def bv = s.read.format("bvgraph").option("basename", base)
+        .option("splits", 8).load()
+      val e = graft.Caches.pin(bv
+        .select(col("id").cast("long").as("src"),
+          explode(col("successors")).as("dq"))
+        .select(col("src"), col("dq").cast("long").as("dst")))
+      val nodes = graft.Caches.pin(bv.select(col("id").cast("long").as("id")))
+      val outdeg = graft.Caches.pin(bv.filter(col("outdegree") > 0)
+        .select(col("id").cast("long").as("src"),
+          col("outdegree").cast("long").as("odeg")))
+      pageRankLoop(s, e, nodes, outdeg, iters = 3, checkpointEachIter = true)
+    }),
 
     // -- SCC by pointer doubling on the functional part graph: see
     //    [[sccFunctional]] — the O(log n)-round composition primitive,
@@ -855,6 +893,28 @@ object GraphAlgos {
            CAST(FLOOR(CAST(n_samples * sxy - sx * sx AS DOUBLE) * 1000000000.0
              / CAST(n_samples * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS assort_e9
          FROM s""",
+    "bv_pagerank" -> {
+      // 3 chained iteration CTEs; each contribution sum has at most one
+      // term (every order node has exactly one in-edge), so the doubles
+      // are accumulation-order-free and the floor'd e9 value hash-matches
+      val iterCtes = (1 to 3).map { k =>
+        s"""c$k AS (SELECT e.dst AS id, SUM(p.pr / od.odeg) AS csum
+             FROM e JOIN p${k - 1} p ON p.id = e.src
+             JOIN od ON od.src = e.src GROUP BY e.dst),
+           p$k AS (SELECT nodes.id,
+               0.15 + 0.85 * COALESCE(c$k.csum, CAST(0.0 AS DOUBLE)) AS pr
+             FROM nodes LEFT JOIN c$k ON c$k.id = nodes.id)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS MATERIALIZED (
+           SELECT o_custkey AS src, o_orderkey AS dst FROM orders),
+         nodes AS MATERIALIZED (SELECT unnest(generate_series(0,
+             (SELECT greatest(max(src), max(dst)) FROM e))) AS id),
+         od AS MATERIALIZED (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+         p0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+         $iterCtes
+         SELECT id, CAST(FLOOR(pr * 1000000000.0) AS BIGINT) AS pr_e9
+         FROM p3 ORDER BY id"""
+    },
     "graph_pagerank" ->
       """WITH deg AS (SELECT o_custkey, COUNT(*) AS odeg FROM orders GROUP BY 1)
          SELECT id, pr_e9 FROM (

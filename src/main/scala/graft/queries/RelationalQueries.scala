@@ -383,6 +383,33 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // -- statistical outlier detection (the data-quality monitor shape):
+    //    per event_type, flag values beyond 2σ of the type's mean using
+    //    EXACT integer moments on cents — the test |x−μ| > 2σ is evaluated
+    //    as (n·x − Sx)² > 4·(n·Sxx − Sx²), which clears every float (and
+    //    every sqrt) out of the comparison, so the flag is a deterministic
+    //    pure function of the data under any partitioning. Scale shape:
+    //    ONE corpus pass for the per-type moments (map-side partials to
+    //    |types| rows), the tiny stats relation broadcast back onto a
+    //    second pass, final agg map-side-combines — the corpus never
+    //    shuffles. (Magnitudes: n·Sxx at cents scale stays inside BIGINT
+    //    up to ~1e9 rows per type; beyond that, shift to per-day strata.)
+    "events_outliers" -> ((s, d) => {
+      val b = events(s, d).select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("xc"))
+      val st = b.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"), sum(col("xc") * col("xc")).as("sxx"))
+      b.join(broadcast(st), "event_type")
+        .groupBy(col("event_type"), col("n"), col("sx"), col("sxx"))
+        .agg(sum(when((col("n") * col("xc") - col("sx"))
+            * (col("n") * col("xc") - col("sx"))
+            > lit(4L) * (col("n") * col("sxx") - col("sx") * col("sx")), 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          expr("sx div n").as("mean_c"), col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // -- CDC upsert / incremental state maintenance — the MERGE shape every
     //    incremental pipeline runs daily: `state` is the latest-event-per-
     //    user snapshot over the first half of the month, `delta` is the
@@ -1213,6 +1240,20 @@ object RelationalQueries {
            MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
            COUNT(*) AS n_events
          FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_outliers" ->
+      """WITH b AS (SELECT event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS xc FROM events),
+         st AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(xc) AS BIGINT) AS sx,
+             CAST(SUM(xc * xc) AS BIGINT) AS sxx
+           FROM b GROUP BY 1)
+         SELECT b.event_type, st.n,
+           CAST(st.sx // st.n AS BIGINT) AS mean_c,
+           CAST(SUM(CASE WHEN (st.n * b.xc - st.sx) * (st.n * b.xc - st.sx)
+                 > 4 * (st.n * st.sxx - st.sx * st.sx)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM b JOIN st USING (event_type)
+         GROUP BY 1, 2, 3 ORDER BY 1""",
     "cdc_upsert" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,

@@ -618,6 +618,32 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"cartesian in sample_negatives (the 1-row n frame must broadcast):\n$p")
   }
 
+  test("bv_pagerank: the final plan is a checkpointed leaf — the BV graph is never rescanned") {
+    val df = SparkEntry.queries("bv_pagerank")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // checkpoint hygiene: after 3 iterations the rank frame must be a
+    // LogicalRDD leaf (sort + project over it), with every BV decode
+    // confined to the pinned/checkpointed upstream jobs — a BatchScan or
+    // a hash exchange here would mean the loop re-derives the compressed
+    // graph each iteration
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"the iterated rank frame must be a checkpointed leaf:\n$p")
+    assert(!p.contains("BatchScan"),
+      s"final iteration must not rescan the BV source:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no join/agg exchange may survive past the checkpoint:\n$p")
+  }
+
+  test("events_outliers: 1-row-per-type stats broadcast; moments partial-aggregate") {
+    val p = executed(SparkEntry.queries("events_outliers")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-type stats must broadcast back onto the corpus pass:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the moments must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in events_outliers:\n$p")
+  }
+
   test("layout_compaction: manifest agg partial-aggregates; windows partition by type") {
     val p = executed(SparkEntry.queries("layout_compaction")(spark, sf0001))
     assert(p.contains("partial_count"),
