@@ -44,12 +44,25 @@ object StreamingOps {
   /** Gap-based sessionization: events for a user belong to one session
     * while consecutive gaps stay under `gapMs`; a session closes when the
     * event-time watermark passes its end + gap (EventTimeTimeout), keeping
-    * per-user state O(1). */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+    * per-user state O(1). State tracks event time in MICROSECONDS
+    * (`Timestamp.getTime` is ms and would truncate the testdata's real
+    * µs components — the emitted boundaries must round-trip exactly for
+    * the oracle hash gate); the state-timeout clock is ms-granular, so
+    * the timeout rounds UP one ms — firing a sub-ms late never changes
+    * the output, firing early could. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: Option[String] = Some("10 minutes"))
       (implicit s: SparkSession): Dataset[SessionOut] = {
     import s.implicits._
-    events
-      .withWatermark("ts", "10 minutes")
+    val gapUs = gapMs * 1000L
+    def usOf(t: Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def tsOf(us: Long): Timestamp = Timestamp.from(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L))
+    watermark.fold(events)(w => events.withWatermark("ts", w))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -57,21 +70,21 @@ object StreamingOps {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, new Timestamp(st.start),
-              new Timestamp(st.end), st.n, st.total))
+            Iterator.single(SessionOut(userId, tsOf(st.start),
+              tsOf(st.end), st.n, st.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => usOf(e.ts))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
               cur match {
-                case Some(st) if t - st.end <= gapMs =>
+                case Some(st) if t - st.end <= gapUs =>
                   cur = Some(SessionState(st.start, math.max(st.end, t),
                     st.n + 1, st.total + e.value))
                 case Some(st) =>
-                  closed ::= SessionOut(userId, new Timestamp(st.start),
-                    new Timestamp(st.end), st.n, st.total)
+                  closed ::= SessionOut(userId, tsOf(st.start),
+                    tsOf(st.end), st.n, st.total)
                   cur = Some(SessionState(t, t, 1L, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1L, e.value))
@@ -79,7 +92,7 @@ object StreamingOps {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.end + gapMs)
+              state.setTimeoutTimestamp((st.end + gapUs) / 1000L + 1L)
             }
             closed.reverseIterator
           }
@@ -240,6 +253,37 @@ object StreamingOps {
         .filter(col("user_id") >= 0)
         .orderBy("user_id", "start_us")),
 
+    // -- CUSTOM-STATE sessionization through the streaming engine: the
+    //    same gap rule as stream_session_window but implemented with
+    //    [[sessionize]]'s flatMapGroupsWithState — hand-managed per-user
+    //    state, EventTimeTimeout eviction — instead of the built-in
+    //    session_window. This is the escape hatch for session semantics
+    //    the built-in cannot express (value-dependent gaps, session
+    //    budgets, inline enrichment), oracle-gated here to prove the
+    //    custom-state machinery (state round-trip through the store,
+    //    cross-batch merge, timeout flush) is value-correct, not just
+    //    spec-shaped. Emitted ends are LAST-EVENT times (the built-in
+    //    reports end+gap), value is exact integer cents carried through
+    //    the double state field (< 2^53, order-free).
+    "stream_custom_sessionize" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import s.implicits._
+      replayThroughStream(s, d, "stream_custom_sessionize_sink",
+        expand = identity,
+        build = src => sessionize(
+          src.select(col("ts"), col("user_id"), col("event_type"),
+            col("v_cents").cast("double").as("value")).as[Event],
+          watermark = None) // the replay source is already watermarked
+          .toDF()
+          .select(col("user_id"),
+            unix_micros(col("start")).as("start_us"),
+            unix_micros(col("end")).as("end_us"),
+            col("n_events"),
+            col("sum_value").cast("long").as("value_cents")))
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "start_us")
+    }),
+
     // -- tumbling event-time windows through the streaming engine — the
     //    streaming twin of `time_window_agg`, same oracle SQL. Window
     //    state lives per (window x event_type) and is emitted once the
@@ -392,6 +436,16 @@ object StreamingOps {
            MAX(us) + 1800000000 AS end_us,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""",
+    "stream_custom_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events),
+         l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+         sx AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS UNBOUNDED PRECEDING) AS sess_no FROM n)
+         SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+           COUNT(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS value_cents
          FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""",
     "stream_time_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
