@@ -226,6 +226,34 @@ object ScaleRehearsal {
       (r.getLong(0), r.getLong(1))
     }
 
+    // PageRank over the compressed graph (bv_pagerank's loop at M arcs):
+    // 3 eagerly-checkpointed iterations of GraphAlgos.pageRankLoop fed
+    // straight from the BV scan — edges decoded ONCE into a pinned frame,
+    // the node set and out-degrees off the degree-only γ fast path. Each
+    // iteration is one edge-partitioned join + partial/final agg + a
+    // node-sized refresh join; the checkpoint keeps the logical plan a
+    // LogicalRDD leaf so driver planning stays O(1) per iteration at any
+    // scale. Checks: every node surfaces, and rank ≥ 0.15 (the damping
+    // floor) everywhere — a dropped node or a lost contribution breaks
+    // one of the two.
+    val ((prCount, prMin), tPr) = timed {
+      import graft.queries.GraphAlgos
+      val e = g.select(col("id").cast("long").as("src"),
+        explode(col("successors")).as("dq"))
+        .select(col("src"), col("dq").cast("long").as("dst")).persist()
+      val nodes = g.select(col("id").cast("long").as("id")).persist()
+      val outdeg = g.filter(col("outdegree") > 0)
+        .select(col("id").cast("long").as("src"),
+          col("outdegree").cast("long").as("odeg")).persist()
+      val pr = GraphAlgos.pageRankLoop(spark, e, nodes, outdeg, iters = 3,
+        checkpointEachIter = true)
+      val r = pr.agg(count(lit(1)), min(col("pr_e9"))).head()
+      e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+      outdeg.unpersist(blocking = false)
+      Caches.sweep(spark) // run the loop's deferred final-generation free
+      (r.getLong(0), r.getLong(1))
+    }
+
     def graphBytesOf(b: String): Long = {
       val dir = new java.io.File(b + ".d")
       if (dir.isDirectory)
@@ -250,9 +278,11 @@ object ScaleRehearsal {
       s""""scc_nodes":$sccN,"scc_rounds":$sccRounds,"scc_sec":${f(tScc)},""" +
       s""""scc_on_cycle":$sccOnCycle,""" +
       s""""hyperball_sec":${f(tHb)},"hyperball_avg_ball2":${f(hbAvgX100 / 100.0)},""" +
+      s""""pagerank_sec":${f(tPr)},""" +
       s""""checks":${nn == n && m2 == mm && mGol == mm && rtEdges == expRt &&
         sccOnCycle >= 1 && sccOnCycle <= sccN && hbMin >= 1 &&
-        hbAvgX100 >= 100L * (1 + avgDeg)}}""")
+        hbAvgX100 >= 100L * (1 + avgDeg) &&
+        prCount == n && prMin >= 150000000L}}""")
     spark.stop()
   }
 }
