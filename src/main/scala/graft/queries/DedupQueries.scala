@@ -187,6 +187,50 @@ object DedupQueries {
     verifyPairs(prefiltered, sets)
   }
 
+  /** Directed containment pairs: (a, b) with |A∩B| >= 0.9·|A|, a ≠ b —
+    * the doc-in-doc / near-superset detector Jaccard structurally misses
+    * when |B| >> |A| (J = |A∩B|/|A∪B| → 0 while containment → 1). Same
+    * rare-shingle inverted index and exact hub bound as
+    * [[jaccardDupPairsOf]], but candidates keep BOTH directions and the
+    * upper bound is measured against |A| alone:
+    * inter <= inter_rare + min(hub_a, hub_b), so any pair with
+    * ub·10 < |A|·9 is exactly unreachable. Survivors get the exact
+    * array_intersect verify. */
+  private[graft] def containmentPairsOf(s: SparkSession, sets0: DataFrame): DataFrame = {
+    val sets = graft.Caches.pin(sets0)
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
+    val ex = graft.Caches.pin(
+      sets.select(col("doc_id"), explode(col("sh")).as("sng"))
+        .select(col("doc_id"), xxhash64(col("sng")).as("sng")))
+    val rare = ex.groupBy("sng").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("sng")
+    val posting = ex.join(rare, "sng")
+    val rareSz = posting.groupBy("doc_id").agg(count(lit(1)).as("rare_sz"))
+    val stats = sizes.join(rareSz, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        coalesce(col("rare_sz"), lit(0L)).as("rare_sz"))
+    val pairCounts = posting.select(col("sng"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("sng"), col("doc_id").as("doc_b")), "sng")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_rare"))
+    val prefiltered = pairCounts
+      .join(stats.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
+        (col("sz") - col("rare_sz")).as("huba")), "doc_a")
+      .join(stats.select(col("doc_id").as("doc_b"),
+        (col("sz") - col("rare_sz")).as("hubb")), "doc_b")
+      .withColumn("ub_inter", col("inter_rare") + least(col("huba"), col("hubb")))
+      .filter(col("ub_inter") * 10 >= col("sza") * 9)
+      .select("doc_a", "doc_b")
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    prefiltered.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("inter") * 10 >= size(col("sha")) * 9)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("inter") * lit(1000000.0) / size(col("sha"))).as("cont_e6"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** `private[graft]` so TextScaleRehearsal can drive the REAL signature/
     * banding/verify pipeline on a synthetic corpus — scale evidence must
     * exercise the shared production code, not a rehearsal-only copy. */
@@ -234,6 +278,16 @@ object DedupQueries {
     //    is semantically invisible — results are exact, oracle unchanged.
     "dedup_ngram_jaccard" -> ((s, d) =>
       jaccardDupPairsOf(s, shingleSets(s, d))),
+
+    // -- containment dedup (the doc-in-doc / near-superset detector used
+    //    to strip quoted or embedded duplicates): directed pairs where
+    //    >= 90% of A's shingles appear in B. Jaccard structurally misses
+    //    these when |B| >> |A|; the same rare-shingle inverted index
+    //    surfaces them with the hub-exact bound re-based on |A| alone.
+    //    At 100 TB the df cap keeps the posting self-join linear in
+    //    corpus size, exactly as in dedup_ngram_jaccard.
+    "dedup_containment" -> ((s, d) =>
+      containmentPairsOf(s, shingleSets(s, d))),
 
     // -- MinHash (k=128) + LSH (32 bands x 4 rows): Aggregator signatures,
     //    banded bucket join for candidates, exact verification. At
@@ -487,7 +541,7 @@ object DedupQueries {
   /** Shared CTE chain producing the exact-verified Jaccard pairs in `v`
     * (filter: inter*10 >= un*8) — the oracle core for dedup_ngram_jaccard,
     * dedup_minhash, and dedup_clusters. */
-  private val jaccardCtes: String =
+  private val shingleIndexCtes: String =
     """w AS (SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
@@ -498,7 +552,10 @@ object DedupQueries {
               ELSE [nt] END AS sh
        FROM w),
      ex AS (SELECT doc_id, unnest(sh) AS sng FROM sh),
-     rare AS (SELECT sng FROM ex GROUP BY sng HAVING COUNT(*) <= 50),
+     rare AS (SELECT sng FROM ex GROUP BY sng HAVING COUNT(*) <= 50)"""
+
+  private val jaccardCtes: String =
+    s"""$shingleIndexCtes,
      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM ex a JOIN rare r ON a.sng = r.sng JOIN ex b ON b.sng = a.sng
        WHERE a.doc_id < b.doc_id),
@@ -507,6 +564,28 @@ object DedupQueries {
          len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
        FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
                    JOIN sh sb ON sb.doc_id = c.doc_b)"""
+
+  /** Directed containment >= 9/10 of |A| — oracle for dedup_containment.
+    * Candidate definition matches the Spark side exactly: pairs sharing
+    * >= 1 RARE (df <= 50) shingle. Both engines share the same deliberate
+    * recall cut (a pair whose entire intersection is hub shingles is
+    * never a candidate — the df cap is what keeps the index linear), and
+    * within candidates the Spark ub prefilter is exact, so the two
+    * results are identical by construction. */
+  private val containmentOracle: String =
+    s"""WITH $shingleIndexCtes,
+     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM ex a JOIN rare r ON a.sng = r.sng JOIN ex b ON b.sng = a.sng
+       WHERE a.doc_id <> b.doc_id),
+     v AS (SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) AS sza
+       FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                   JOIN sh sb ON sb.doc_id = c.doc_b)
+     SELECT doc_a, doc_b,
+       CAST(FLOOR(inter * 1000000.0 / sza) AS BIGINT) AS cont_e6
+     FROM v WHERE inter * 10 >= sza * 9
+     ORDER BY doc_a, doc_b"""
 
   /** dedup_minhash's banding (32x4 at J>=0.8 → candidate prob ≈ 1 minus
     * (1-0.8^4)^32 ≈ 5e-8 worst case) plus exact verification makes its
@@ -636,6 +715,7 @@ object DedupQueries {
          FROM documents
          GROUP BY 1 ORDER BY canonical_id""",
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_containment" -> containmentOracle,
     "dedup_embed_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          twin AS (SELECT vec_id + 100000 AS tid,

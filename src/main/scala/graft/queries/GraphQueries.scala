@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -61,6 +61,32 @@ object GraphQueries {
         .option("shards", 8).option("nodes", n).mode("overwrite").save()
     }
     base
+  }
+
+  /** Dense rank of every node under (outdegree DESC, id ASC) WITHOUT a
+    * global window: bucket by (outdeg, id DIV 4096), count per bucket,
+    * cumsum the counts on the metadata-sized bucket relation (the only
+    * single-partition step — |degrees| × |id ranges| rows), then
+    * row_number only WITHIN each bounded bucket. The seq_pack two-phase
+    * cumsum shape applied to rank computation: no stage drags the node
+    * table into one task even when one degree class holds most of the
+    * graph. Returns (old_id, new_id). `private[graft]` so the plan gate
+    * can assert the window shapes on the build itself. */
+  private[graft] def degreeOrderPerm(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = g.select(col("id"), col("outdegree").as("odeg"))
+      .withColumn("idb", expr("id div 4096"))
+    val counts = bucketed.groupBy(col("odeg"), col("idb"))
+      .agg(count(lit(1)).as("c"))
+    val wOff = Window.orderBy(col("odeg").desc, col("idb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+    val wIn = Window.partitionBy(col("odeg"), col("idb")).orderBy(col("id"))
+    bucketed
+      .join(offs.select(col("odeg"), col("idb"), col("off")), Seq("odeg", "idb"))
+      .withColumn("new_id", col("off") + row_number().over(wIn) - 1)
+      .select(col("id").as("old_id"), col("new_id"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -259,6 +285,105 @@ object GraphQueries {
         .orderBy("src", "dst")
     }),
 
+    // -- degree-ordered renumbering (WebGraph's Transform.map with a
+    //    DATA-DERIVED permutation — the compression-ordering workload: BV
+    //    gap coding rewards orderings that cluster high-degree nodes, and
+    //    degree order is the classic cheap baseline before LLP). The dense
+    //    global rank over (outdeg DESC, id) is computed WITHOUT a global
+    //    window: bucket nodes by (outdeg, id DIV 4096), count per bucket,
+    //    cumsum the counts on the metadata-sized bucket relation, then
+    //    row_number only WITHIN each bounded bucket — the seq_pack
+    //    two-phase shape, so no stage drags the node table into one task
+    //    even when one degree class holds most of the graph. Endpoint
+    //    mapping is two equi-joins on the node-sized perm table
+    //    (co-partitioned at 100 TB); the permuted adjacency re-compresses
+    //    through the distributed sink and is scanned back — encoder AND
+    //    decoder re-gated on a non-identity ordering.
+    "bv_permute" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      val pbase = base + "_P"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pbase + ".shards"))) {
+        val g = s.read.format("bvgraph").option("basename", base).load()
+        val n = g.agg(max(col("id"))).head().getInt(0) + 1
+        val perm = degreeOrderPerm(g)
+        val e = g.select(col("id").as("src"), explode(col("successors")).as("dst"))
+        e.join(perm.select(col("old_id").as("src"), col("new_id").as("nsrc")), "src")
+          .join(perm.select(col("old_id").as("dst"), col("new_id").as("ndst")), "dst")
+          .groupBy(col("nsrc"))
+          .agg(sort_array(collect_list(col("ndst").cast("int"))).as("successors"))
+          .select(col("nsrc").cast("int").as("id"), col("successors"))
+          .withColumn("outdegree", size(col("successors")))
+          .write.format("bvgraph").option("basename", pbase)
+          .option("shards", 8).option("nodes", n).mode("overwrite").save()
+      }
+      s.read.format("bvgraph").option("basename", pbase).option("splits", 8).load()
+        .select(col("id").cast("long").as("src"),
+          explode(col("successors")).as("d"))
+        .select(col("src"), col("d").cast("long").as("dst"))
+        .orderBy("src", "dst")
+    }),
+
+    // -- codec cost advisor (the layout-planning workload: choose each
+    //    shard's residual coding from ONE metadata-pass cost model instead
+    //    of trial-encoding the shard three times). For every 2048-id
+    //    bucket: the EXACT bit cost of the residual-only stream
+    //    (windowsize=0, minintervallength=0 → outdegree γ + zigzag'd
+    //    first residual + gap stream) under γ / δ / ζ₃, plus the argmin
+    //    coding. All integer arithmetic — bit lengths via bin(), no logs,
+    //    no floats; the formulas ARE BitIO.writeGamma/Delta/Zeta's cost
+    //    (asserted bit-for-bit against the real encoder output in
+    //    BvAdvisorSpec). Scale shape: gap transform inside the scan stage
+    //    (narrow), one partial-agg shuffle on the bucket key, output is
+    //    manifest-sized — per-shard coding choice stays free at 100 TB.
+    "bv_coding_advisor" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      def blen(v: Column): Column = length(bin(v)).cast("long")
+      def gBits(x: Column): Column = lit(2L) * blen(x + 1L) - lit(1L)
+      def dBits(x: Column): Column =
+        blen(x + 1L) - lit(1L) + lit(2L) * blen(blen(x + 1L)) - lit(1L)
+      def zBits(x: Column): Column = {
+        val n = blen(x + 1L)
+        val h = floor((n - lit(1L)) / lit(3.0)).cast("long")
+        h + lit(1L) + h * lit(3L) + lit(2L) +
+          when(n > h * lit(3L) + lit(1L), lit(1L)).otherwise(lit(0L))
+      }
+      val g = s.read.format("bvgraph").option("basename", base)
+        .option("splits", 8).load()
+        .select(col("id").cast("long").as("id"),
+          col("outdegree").cast("long").as("odeg"),
+          col("successors").as("succ"))
+      val vals = g.filter(col("odeg") > 0)
+        .select(expr("id div 2048").as("bkt"),
+          explode(transform(sequence(lit(1), size(col("succ"))), i => {
+            val cur = element_at(col("succ"), i).cast("long")
+            val prev = element_at(col("succ"), i - lit(1)).cast("long")
+            val diff = cur - col("id")
+            when(i === 1,
+              when(diff >= 0, diff * 2).otherwise(-diff * 2 - 1))
+              .otherwise(cur - prev - 1)
+          })).as("v"))
+      val res = vals.groupBy("bkt").agg(
+        count(lit(1)).as("n_links"),
+        sum(gBits(col("v"))).as("rg"),
+        sum(dBits(col("v"))).as("rd"),
+        sum(zBits(col("v"))).as("rz"))
+      g.select(expr("id div 2048").as("bkt"), col("odeg"))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n_nodes"), sum(gBits(col("odeg"))).as("odb"))
+        .join(res, Seq("bkt"), "left")
+        .select(col("bkt"), col("n_nodes"),
+          coalesce(col("n_links"), lit(0L)).as("n_links"),
+          (col("odb") + coalesce(col("rg"), lit(0L))).as("bits_gamma"),
+          (col("odb") + coalesce(col("rd"), lit(0L))).as("bits_delta"),
+          (col("odb") + coalesce(col("rz"), lit(0L))).as("bits_zeta3"))
+        .withColumn("best",
+          when(col("bits_gamma") <= col("bits_delta") &&
+            col("bits_gamma") <= col("bits_zeta3"), lit("gamma"))
+            .when(col("bits_delta") <= col("bits_zeta3"), lit("delta"))
+            .otherwise(lit("zeta3")))
+        .orderBy("bkt")
+    }),
+
     // -- connected components via GraphX (the reference README's GraphX
     //    handoff, /root/reference/README.md:37-48, driving a real graph
     //    algorithm end-to-end). Node space: customers as-is, orders
@@ -390,5 +515,60 @@ object GraphQueries {
       """SELECT o_custkey // 3 AS src, o_orderkey // 3 AS dst
          FROM orders
          WHERE o_custkey % 3 = 0 AND o_orderkey % 3 = 0
-         ORDER BY src, dst""")
+         ORDER BY src, dst""",
+    "bv_permute" ->
+      """WITH e AS MATERIALIZED (
+           SELECT o_custkey AS src, o_orderkey AS dst FROM orders),
+         nodes AS (SELECT unnest(generate_series(0,
+             (SELECT greatest(max(src), max(dst)) FROM e))) AS id),
+         deg AS (SELECT nodes.id, COALESCE(c.c, 0) AS odeg
+           FROM nodes LEFT JOIN (
+             SELECT src, COUNT(*) AS c FROM e GROUP BY src) c
+             ON c.src = nodes.id),
+         perm AS (SELECT id,
+             ROW_NUMBER() OVER (ORDER BY odeg DESC, id) - 1 AS new_id
+           FROM deg)
+         SELECT pa.new_id AS src, pb.new_id AS dst
+         FROM e JOIN perm pa ON pa.id = e.src
+                JOIN perm pb ON pb.id = e.dst
+         ORDER BY src, dst""",
+    "bv_coding_advisor" ->
+      """WITH e AS MATERIALIZED (
+           SELECT o_custkey AS src, o_orderkey AS dst FROM orders),
+         nodes AS (SELECT unnest(generate_series(0,
+             (SELECT greatest(max(src), max(dst)) FROM e))) AS id),
+         adj AS (SELECT src AS id, list_sort(list(dst)) AS succ
+           FROM e GROUP BY src),
+         nd AS (SELECT nodes.id, COALESCE(len(a.succ), 0) AS odeg, a.succ
+           FROM nodes LEFT JOIN adj a ON a.id = nodes.id),
+         nb AS (SELECT id // 2048 AS bkt, COUNT(*) AS n_nodes,
+             SUM(2 * length(bin(odeg + 1)) - 1) AS odb
+           FROM nd GROUP BY 1),
+         vals AS (SELECT id // 2048 AS bkt, unnest(list_transform(
+             generate_series(1, len(succ)), i -> CASE WHEN i = 1 THEN
+               (CASE WHEN succ[1] - id >= 0 THEN (succ[1] - id) * 2
+                     ELSE (id - succ[1]) * 2 - 1 END)
+               ELSE succ[i] - succ[i-1] - 1 END)) AS v
+           FROM nd WHERE odeg > 0),
+         c AS (SELECT bkt, COUNT(*) AS n_links,
+             SUM(2 * length(bin(v + 1)) - 1) AS rg,
+             SUM(length(bin(v + 1)) - 1
+               + 2 * length(bin(length(bin(v + 1)))) - 1) AS rd,
+             SUM((length(bin(v + 1)) - 1) // 3 + 1
+               + ((length(bin(v + 1)) - 1) // 3) * 3 + 2
+               + CASE WHEN length(bin(v + 1)) >
+                   ((length(bin(v + 1)) - 1) // 3) * 3 + 1
+                 THEN 1 ELSE 0 END) AS rz
+           FROM vals GROUP BY 1)
+         SELECT nb.bkt, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(c.n_links, 0) AS BIGINT) AS n_links,
+           CAST(nb.odb + COALESCE(c.rg, 0) AS BIGINT) AS bits_gamma,
+           CAST(nb.odb + COALESCE(c.rd, 0) AS BIGINT) AS bits_delta,
+           CAST(nb.odb + COALESCE(c.rz, 0) AS BIGINT) AS bits_zeta3,
+           CASE WHEN nb.odb + COALESCE(c.rg, 0) <= nb.odb + COALESCE(c.rd, 0)
+                 AND nb.odb + COALESCE(c.rg, 0) <= nb.odb + COALESCE(c.rz, 0)
+                THEN 'gamma'
+                WHEN nb.odb + COALESCE(c.rd, 0) <= nb.odb + COALESCE(c.rz, 0)
+                THEN 'delta' ELSE 'zeta3' END AS best
+         FROM nb LEFT JOIN c ON c.bkt = nb.bkt ORDER BY nb.bkt""")
 }

@@ -410,6 +410,54 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // -- cohort retention (the product-analytics staple): cohort = each
+    //    user's first active day; for every (cohort day, day offset) count
+    //    the distinct users active at that offset. Scale shape: pass 1 is
+    //    one map-side-combined min() per user (output is user-sized, not
+    //    event-sized); the join back is co-partitioned at 100 TB — both
+    //    sides hash on user_id; the final count-distinct agg's key space
+    //    is bounded by days² — metadata-sized however big the corpus.
+    //    Days are exact integer epoch days; no timestamp arithmetic
+    //    crosses the final aggregate.
+    "retention_cohorts" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("eday"))
+      val cohort = ev.groupBy("user_id").agg(min(col("eday")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("eday") - col("cohort_day")).as("offset_d"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "offset_d")
+    }),
+
+    // -- SCD-2 history build (the dimension-maintenance shape): collapse
+    //    each user's event stream into type-change intervals — one row per
+    //    run of equal event_type under the (ts, event_id) total order,
+    //    valid from its first event until the next run opens (NULL = the
+    //    current version, exactly the SCD-2 open row). Gaps-and-islands
+    //    with a user-partitioned window (state bounded by the user's own
+    //    history — no global ordering anywhere), exact epoch-µs bounds.
+    //    At 100 TB this is one hash shuffle on user_id and a sort within
+    //    each partition; the oracle replays the identical SQL.
+    "scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val runs = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.groupBy(col("user_id"), col("ver"), col("event_type"))
+        .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("ver"))))
+        .orderBy("user_id", "ver")
+    }),
+
     // -- CDC upsert / incremental state maintenance — the MERGE shape every
     //    incremental pipeline runs daily: `state` is the latest-event-per-
     //    user snapshot over the first half of the month, `delta` is the
@@ -1254,6 +1302,32 @@ object RelationalQueries {
                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM b JOIN st USING (event_type)
          GROUP BY 1, 2, 3 ORDER BY 1""",
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday
+           FROM events),
+         c AS (SELECT user_id, MIN(eday) AS cohort_day FROM e GROUP BY 1)
+         SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+           CAST(e.eday - c.cohort_day AS BIGINT) AS offset_d,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events),
+         l AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+             THEN 1 ELSE 0 END AS chg FROM l),
+         v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+             ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS ver FROM n),
+         g AS (SELECT user_id, ver, event_type, MIN(us) AS valid_from_us,
+             COUNT(*) AS n_events FROM v GROUP BY 1, 2, 3)
+         SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type,
+           valid_from_us, CAST(n_events AS BIGINT) AS n_events,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
+             AS valid_to_us
+         FROM g ORDER BY user_id, ver""",
     "cdc_upsert" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,

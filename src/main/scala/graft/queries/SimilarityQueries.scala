@@ -134,6 +134,33 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // -- k-NN graph construction (the semantic-dedup / clustering
+    //    precursor: EVERY vector gets its k nearest in-cell neighbors,
+    //    not just a few probes). Blocking is the same coarse-cell idea as
+    //    IVF: pairs form only within a cell, so the self-join is
+    //    cell-partitioned — at 100 TB one shuffle on the cell key,
+    //    ~n²/cells pairs instead of n², and the top-k window is
+    //    per-vector (bounded state, partial rank prunes under AQE). The
+    //    exact unblocked baseline is dedup_embed's block join; this is
+    //    the production shape for building match graphs over a corpus.
+    "knn_graph" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorm(embeddings(s, d)
+        .select(col("vec_id"), col("label").as("cell"),
+          asDouble(col("embedding")).as("v")))
+      val other = e.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("v").as("nv"), col("nrm").as("nn"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("nbr_id"))
+      e.join(other, Seq("cell")).filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("sim", dot(col("v"), col("nv")) / (col("nrm") * col("nn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
+          col("nbr_id"), floor(col("sim") * 1000000).cast("long").as("sim_e6"))
+        .orderBy("vec_id", "rnk")
+    }),
+
     // -- int8 scalar quantization (the memory-bound ANN production trick:
     //    4x smaller vectors, integer dot products): per-vector symmetric
     //    quantization q[i] = floor(x[i]*127/max|x| + 0.5), then exact
@@ -275,6 +302,24 @@ object SimilarityQueries {
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM p)
          SELECT qid, rnk, vec_id, bucket, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
          FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "knn_graph" ->
+      """WITH e AS (SELECT vec_id, label AS cell,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, cell, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           FROM e),
+         p AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+           FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         r AS (SELECT vec_id, nbr_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id)
+               AS rnk FROM p)
+         SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id,
+           CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
+         FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""",
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,

@@ -652,4 +652,43 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"the within-type window lost its partitioning:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in layout_compaction:\n$p")
   }
+
+  test("retention_cohorts: per-user min partial-aggregates; cohort join never explodes") {
+    val p = executed(SparkEntry.queries("retention_cohorts")(spark, sf0001))
+    assert(p.contains("partial_min"),
+      s"the per-user first-day pass must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort join degenerated:\n$p")
+  }
+
+  test("scd2_intervals: every window stays user-partitioned — no global sort of the stream") {
+    val p = executed(SparkEntry.queries("scd2_intervals")(spark, sf0001))
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"windows lost the user partitioning:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global single-partition exchange crept into the SCD-2 build:\n$p")
+  }
+
+  test("knn_graph: the self-join is cell-keyed (hash or broadcast), never a cross product") {
+    val p = executed(SparkEntry.queries("knn_graph")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"knn self-join degenerated to all-pairs:\n$p")
+    assert(p.contains("windowspecdefinition(vec_id"),
+      s"top-k window lost its per-vector partitioning:\n$p")
+  }
+
+  test("dedup_containment: posting self-join shuffles on the 8 B shingle hash") {
+    val p = executed(SparkEntry.queries("dedup_containment")(spark, sf0001))
+    assert("""hashpartitioning\(sng#\d+L""".r.findFirstIn(p).isDefined,
+      s"posting join must key on the xxhash64 shingle id:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in dedup_containment:\n$p")
+  }
+
+  test("bv_coding_advisor: gap transform is narrow; costs partial-aggregate on the bucket key") {
+    val p = executed(SparkEntry.queries("bv_coding_advisor")(spark, sf0001))
+    assert(p.contains("partial_sum"),
+      s"bit costs must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"advisor join degenerated:\n$p")
+  }
 }
