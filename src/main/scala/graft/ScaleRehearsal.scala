@@ -262,6 +262,66 @@ object ScaleRehearsal {
     }
     val bitsPerLink = graphBytesOf(base) * 8.0 / mm
     val bitsPerLinkGol = graphBytesOf(baseGol) * 8.0 / mm
+
+    // Coding advisor at scale: price γ/δ/ζ₃ for every shard-sized id
+    // bucket with the exact bit model (the SAME codingCostFrame behind
+    // bv_coding_advisor), then hold the model to account — write the
+    // graph residual-only under uniform γ and uniform ζ₃ and require the
+    // summed model to equal the .graph bytes to within per-shard byte
+    // padding. The per-bucket argmin total is what a per-shard-coding
+    // deployment would pay; its delta vs the best uniform coding is the
+    // advisor's projected gain, measured not guessed.
+    val advBucket = math.max(1L, n.toLong / shards)
+    val (advRows, tAdv) = timed {
+      graft.queries.GraphQueries.codingCostFrame(
+        g.select(col("id").cast("long").as("id"),
+          col("outdegree").cast("long").as("odeg"),
+          col("successors").as("succ")), advBucket).collect()
+    }
+    val advG = advRows.map(_.getAs[Long]("bits_gamma")).sum
+    val advD = advRows.map(_.getAs[Long]("bits_delta")).sum
+    val advZ = advRows.map(_.getAs[Long]("bits_zeta3")).sum
+    val advMixed = advRows.map(r => math.min(r.getAs[Long]("bits_gamma"),
+      math.min(r.getAs[Long]("bits_delta"), r.getAs[Long]("bits_zeta3")))).sum
+    val advUniformBest = math.min(advG, math.min(advD, advZ))
+    def writeResidual(b: String, flag: String): Unit =
+      adj.write.format("bvgraph").option("basename", b)
+        .option("shards", shards).option("nodes", n)
+        .option("windowsize", 0).option("minintervallength", 0)
+        .option("compressionflags", flag).mode("overwrite").save()
+    writeResidual(base + "_rg", "RESIDUALS_GAMMA")
+    writeResidual(base + "_rz", "RESIDUALS_ZETA")
+    val actualRg = graphBytesOf(base + "_rg") * 8L
+    val actualRz = graphBytesOf(base + "_rz") * 8L
+    val modelOk = actualRg >= advG && actualRg <= advG + 8L * shards &&
+      actualRz >= advZ && actualRz <= advZ + 8L * shards
+    val advGainPct = 100.0 * (advUniformBest - advMixed) / advUniformBest
+
+    // Degree-ordered renumbering at scale (bv_permute's build): the
+    // two-phase bucketed rank over all n nodes, both endpoint-mapping
+    // joins, re-compression through the sink, and a full decode of the
+    // permuted graph. The generator plants locality around the NATURAL
+    // order (successors within ±20k of the source), so degree ordering
+    // destroys it — the measured bits/link delta quantifies what node
+    // ordering is worth on a BV graph, which is exactly why the
+    // production path is a locality-preserving ordering (LLP/BFS) and
+    // the permutation machinery here is the tool that applies it.
+    val ((permArcs, permBpl), tPerm) = timed {
+      val perm = graft.queries.GraphQueries.degreeOrderPerm(g)
+      val pbase = base + "_perm"
+      g.select(col("id").as("src"), explode(col("successors")).as("dst"))
+        .join(perm.select(col("old_id").as("src"), col("new_id").as("nsrc")), "src")
+        .join(perm.select(col("old_id").as("dst"), col("new_id").as("ndst")), "dst")
+        .groupBy(col("nsrc"))
+        .agg(sort_array(collect_list(col("ndst").cast("int"))).as("successors"))
+        .select(col("nsrc").cast("int").as("id"), col("successors"))
+        .withColumn("outdegree", size(col("successors")))
+        .write.format("bvgraph").option("basename", pbase)
+        .option("shards", shards).option("nodes", n).mode("overwrite").save()
+      val arcs = spark.read.format("bvgraph").option("basename", pbase).load()
+        .select(explode(col("successors"))).count()
+      (arcs, graphBytesOf(pbase) * 8.0 / arcs)
+    }
     def f(v: Double): String = f"$v%.2f"
     println(s"""{"nodes":$n,"arcs":$mm,"shards":$shards,""" +
       s""""bits_per_link":${f(bitsPerLink)},"write_sec":${f(tWrite)},""" +
@@ -279,10 +339,17 @@ object ScaleRehearsal {
       s""""scc_on_cycle":$sccOnCycle,""" +
       s""""hyperball_sec":${f(tHb)},"hyperball_avg_ball2":${f(hbAvgX100 / 100.0)},""" +
       s""""pagerank_sec":${f(tPr)},""" +
+      s""""advisor_sec":${f(tAdv)},"advisor_buckets":${advRows.length},""" +
+      s""""advisor_uniform_best_bits":$advUniformBest,""" +
+      s""""advisor_mixed_bits":$advMixed,""" +
+      s""""advisor_gain_pct":${f(advGainPct)},""" +
+      s""""advisor_model_matches_encoder":$modelOk,""" +
+      s""""perm_sec":${f(tPerm)},"perm_bits_per_link":${f(permBpl)},""" +
       s""""checks":${nn == n && m2 == mm && mGol == mm && rtEdges == expRt &&
         sccOnCycle >= 1 && sccOnCycle <= sccN && hbMin >= 1 &&
         hbAvgX100 >= 100L * (1 + avgDeg) &&
-        prCount == n && prMin >= 150000000L}}""")
+        prCount == n && prMin >= 150000000L &&
+        modelOk && permArcs == mm}}""")
     spark.stop()
   }
 }

@@ -63,6 +63,59 @@ object GraphQueries {
     base
   }
 
+  /** The advisor's exact per-bucket bit-cost model — the residual-only
+    * stream (windowsize=0, minintervallength=0: outdegree γ + zigzag'd
+    * first residual + gaps) priced under γ / δ / ζ₃ with pure integer
+    * arithmetic (bit lengths via bin(); no logs, no floats). The formulas
+    * are BitIO.writeGamma/Delta/Zeta's cost functions, asserted
+    * bit-for-bit against the real encoder in BvAdvisorSpec, and the
+    * SAME frame backs both the `bv_coding_advisor` query and the 10M-node
+    * rehearsal's measured advisor section. Input must be
+    * (id: long, odeg: long, succ: array<int>) covering the dense node
+    * space; output one row per `bucketSize`-id bucket with totals and the
+    * argmin coding. */
+  private[graft] def codingCostFrame(g: DataFrame, bucketSize: Long): DataFrame = {
+    def blen(v: Column): Column = length(bin(v)).cast("long")
+    def gBits(x: Column): Column = lit(2L) * blen(x + 1L) - lit(1L)
+    def dBits(x: Column): Column =
+      blen(x + 1L) - lit(1L) + lit(2L) * blen(blen(x + 1L)) - lit(1L)
+    def zBits(x: Column): Column = {
+      val n = blen(x + 1L)
+      val h = floor((n - lit(1L)) / lit(3.0)).cast("long")
+      h + lit(1L) + h * lit(3L) + lit(2L) +
+        when(n > h * lit(3L) + lit(1L), lit(1L)).otherwise(lit(0L))
+    }
+    val vals = g.filter(col("odeg") > 0)
+      .select(expr(s"id div $bucketSize").as("bkt"),
+        explode(transform(sequence(lit(1), size(col("succ"))), i => {
+          val cur = element_at(col("succ"), i).cast("long")
+          val prev = element_at(col("succ"), i - lit(1)).cast("long")
+          val diff = cur - col("id")
+          when(i === 1,
+            when(diff >= 0, diff * 2).otherwise(-diff * 2 - 1))
+            .otherwise(cur - prev - 1)
+        })).as("v"))
+    val res = vals.groupBy("bkt").agg(
+      count(lit(1)).as("n_links"),
+      sum(gBits(col("v"))).as("rg"),
+      sum(dBits(col("v"))).as("rd"),
+      sum(zBits(col("v"))).as("rz"))
+    g.select(expr(s"id div $bucketSize").as("bkt"), col("odeg"))
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("n_nodes"), sum(gBits(col("odeg"))).as("odb"))
+      .join(res, Seq("bkt"), "left")
+      .select(col("bkt"), col("n_nodes"),
+        coalesce(col("n_links"), lit(0L)).as("n_links"),
+        (col("odb") + coalesce(col("rg"), lit(0L))).as("bits_gamma"),
+        (col("odb") + coalesce(col("rd"), lit(0L))).as("bits_delta"),
+        (col("odb") + coalesce(col("rz"), lit(0L))).as("bits_zeta3"))
+      .withColumn("best",
+        when(col("bits_gamma") <= col("bits_delta") &&
+          col("bits_gamma") <= col("bits_zeta3"), lit("gamma"))
+          .when(col("bits_delta") <= col("bits_zeta3"), lit("delta"))
+          .otherwise(lit("zeta3")))
+  }
+
   /** Dense rank of every node under (outdegree DESC, id ASC) WITHOUT a
     * global window: bucket by (outdeg, id DIV 4096), count per bucket,
     * cumsum the counts on the metadata-sized bucket relation (the only
@@ -337,51 +390,12 @@ object GraphQueries {
     //    manifest-sized — per-shard coding choice stays free at 100 TB.
     "bv_coding_advisor" -> ((s, d) => {
       val base = bvFixture(s, d)
-      def blen(v: Column): Column = length(bin(v)).cast("long")
-      def gBits(x: Column): Column = lit(2L) * blen(x + 1L) - lit(1L)
-      def dBits(x: Column): Column =
-        blen(x + 1L) - lit(1L) + lit(2L) * blen(blen(x + 1L)) - lit(1L)
-      def zBits(x: Column): Column = {
-        val n = blen(x + 1L)
-        val h = floor((n - lit(1L)) / lit(3.0)).cast("long")
-        h + lit(1L) + h * lit(3L) + lit(2L) +
-          when(n > h * lit(3L) + lit(1L), lit(1L)).otherwise(lit(0L))
-      }
       val g = s.read.format("bvgraph").option("basename", base)
         .option("splits", 8).load()
         .select(col("id").cast("long").as("id"),
           col("outdegree").cast("long").as("odeg"),
           col("successors").as("succ"))
-      val vals = g.filter(col("odeg") > 0)
-        .select(expr("id div 2048").as("bkt"),
-          explode(transform(sequence(lit(1), size(col("succ"))), i => {
-            val cur = element_at(col("succ"), i).cast("long")
-            val prev = element_at(col("succ"), i - lit(1)).cast("long")
-            val diff = cur - col("id")
-            when(i === 1,
-              when(diff >= 0, diff * 2).otherwise(-diff * 2 - 1))
-              .otherwise(cur - prev - 1)
-          })).as("v"))
-      val res = vals.groupBy("bkt").agg(
-        count(lit(1)).as("n_links"),
-        sum(gBits(col("v"))).as("rg"),
-        sum(dBits(col("v"))).as("rd"),
-        sum(zBits(col("v"))).as("rz"))
-      g.select(expr("id div 2048").as("bkt"), col("odeg"))
-        .groupBy("bkt")
-        .agg(count(lit(1)).as("n_nodes"), sum(gBits(col("odeg"))).as("odb"))
-        .join(res, Seq("bkt"), "left")
-        .select(col("bkt"), col("n_nodes"),
-          coalesce(col("n_links"), lit(0L)).as("n_links"),
-          (col("odb") + coalesce(col("rg"), lit(0L))).as("bits_gamma"),
-          (col("odb") + coalesce(col("rd"), lit(0L))).as("bits_delta"),
-          (col("odb") + coalesce(col("rz"), lit(0L))).as("bits_zeta3"))
-        .withColumn("best",
-          when(col("bits_gamma") <= col("bits_delta") &&
-            col("bits_gamma") <= col("bits_zeta3"), lit("gamma"))
-            .when(col("bits_delta") <= col("bits_zeta3"), lit("delta"))
-            .otherwise(lit("zeta3")))
-        .orderBy("bkt")
+      codingCostFrame(g, bucketSize = 2048L).orderBy("bkt")
     }),
 
     // -- connected components via GraphX (the reference README's GraphX

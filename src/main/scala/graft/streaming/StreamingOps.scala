@@ -5,7 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` schema (SURVEY.md §2.3
   * "Streaming" row — absent in the reference, declared in the engine plan):
@@ -149,6 +150,38 @@ object StreamingOps {
   case class Replay(event_id: Long, user_id: Long, us: Long,
       v_cents: Long, event_type: String)
 
+  case class RunOut(event_id: Long, user_id: Long, run_n: Long, run_cents: Long)
+  // public: the state encoder's generated code must reach the accessors
+  case class RunTotals(n: Long, cents: Long)
+
+  /** Per-user running totals on the NEW arbitrary-state API
+    * (`transformWithState`, Spark 4 — the typed-state successor to
+    * flatMapGroupsWithState, RocksDB-backed): one ValueState[RunTotals]
+    * per user, rows folded in (event-time, event_id) order within each
+    * micro-batch. The time-ordered replay makes every emitted prefix
+    * deterministic — batch k's rows are all earlier than batch k+1's and
+    * the handler sorts within the batch — so the streaming output equals
+    * the batch window-function result the oracle replays. State is two
+    * longs per user (production would bound idle keys with a TTLConfig);
+    * no timers — this is the pure cross-batch state-fold shape. */
+  private class RunningTotals extends StatefulProcessor[Long, Replay, RunOut] {
+    @transient private var st: ValueState[RunTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RunTotals]("totals",
+        org.apache.spark.sql.Encoders.product[RunTotals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Replay],
+        tv: TimerValues): Iterator[RunOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.us, r.event_id))
+      var cur = if (st.exists()) st.get() else RunTotals(0L, 0L)
+      val out = sorted.map { r =>
+        cur = RunTotals(cur.n + 1, cur.cents + r.v_cents)
+        RunOut(r.event_id, key, cur.n, cur.cents)
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
   private def replayRows(s: SparkSession, d: String): Array[Replay] = {
     import s.implicits._
     graft.Tables.events(s, d)
@@ -282,6 +315,41 @@ object StreamingOps {
             col("sum_value").cast("long").as("value_cents")))
         .filter(col("user_id") >= 0)
         .orderBy("user_id", "start_us")
+    }),
+
+    // -- the Spark 4 ARBITRARY-STATE API (transformWithState) through the
+    //    oracle gate: per-user running (count, cents) prefix totals — the
+    //    per-key accumulator shape (running balances, rate counters,
+    //    feature aggregates) that production state pipelines run on the
+    //    RocksDB store. Every input row emits its prefix, so the gate
+    //    value-checks the cross-batch state round-trip (batch 1's totals
+    //    must be restored exactly when batch 2's rows fold in), not just
+    //    the final state. Scale: one shuffle on user_id per batch,
+    //    state = two longs per active key, independent of stream length.
+    "stream_tws_running" -> ((s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        replayThroughStream(s, d, "stream_tws_running_sink",
+          expand = identity,
+          build = src => src
+            .select(col("event_id"), col("user_id"), col("us"),
+              col("v_cents"), col("event_type"))
+            .as[Replay]
+            .groupByKey(_.user_id)
+            .transformWithState(new RunningTotals, TimeMode.None(),
+              OutputMode.Append())
+            .toDF())
+          .filter(col("event_id") >= 0)
+          .orderBy("user_id", "run_n")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
     }),
 
     // -- tumbling event-time windows through the streaming engine — the
@@ -420,6 +488,15 @@ object StreamingOps {
     * reuses the `time_window_agg` bucketing; `stream_dedup`'s first
     * arrivals under exact redelivery are simply the distinct event set. */
   val oracleSql: Map[String, String] = Map(
+    "stream_tws_running" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+         SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS run_n,
+           CAST(SUM(cents) OVER w AS BIGINT) AS run_cents
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING)
+         ORDER BY user_id, run_n""",
     "stream_static_join" ->
       """SELECT e.event_id, e.user_id, c.c_name,
          CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
