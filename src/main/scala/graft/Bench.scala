@@ -26,6 +26,19 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Exception => -1.0 }
 
+  /** (steal+iowait, total) jiffies from /proc/stat's aggregate cpu line.
+    * Loadavg is 1-min smoothed and misses short bursts of hypervisor
+    * steal or disk stalls entirely — a 15 s stall at "load 1.7" reads as
+    * a code regression without this. The per-run delta of stolen+iowait
+    * over total jiffies is the direct contention measurement. */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal [guest guest_nice]
+      ((if (f.length > 7) f(7) else 0L) + (if (f.length > 4) f(4) else 0L), f.sum)
+    } catch { case _: Exception => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,10 +71,14 @@ object Bench {
       val samples = (1 to nRuns).flatMap { _ =>
         Caches.hardSweep(spark) // order-independent: no inherited caches
         val ld = load1()
+        val c0 = cpuStat()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some(((System.nanoTime() - t0) / 1e9, ld))
+          val dt = (System.nanoTime() - t0) / 1e9
+          val c1 = cpuStat()
+          val steal = 100.0 * (c1._1 - c0._1) / math.max(1L, c1._2 - c0._2)
+          Some((dt, ld, steal))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -70,23 +87,27 @@ object Bench {
       }
       val times = samples.map(_._1)
       val loads = samples.map(_._2)
-      if (times.isEmpty) (name, -1.0, -1.0, times, loads)
+      val steals = samples.map(_._3)
+      if (times.isEmpty) (name, -1.0, -1.0, times, loads, steals)
       else {
         val sorted = times.sorted
-        (name, sorted(sorted.length / 2), sorted.last, times, loads)
+        (name, sorted(sorted.length / 2), sorted.last, times, loads, steals)
       }
     }
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, _, mx, _, _) => "\"" + k + "\":" + fmt(mx) }
+    val qsMax = results.map { case (k, _, mx, _, _, _) => "\"" + k + "\":" + fmt(mx) }
       .mkString("{", ",", "}")
-    val qsRuns = results.map { case (k, _, _, ts, _) =>
+    val qsRuns = results.map { case (k, _, _, ts, _, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsLoad = results.map { case (k, _, _, _, lds) =>
+    val qsLoad = results.map { case (k, _, _, _, lds, _) =>
       "\"" + k + "\":" + lds.map(l => f"$l%.2f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, med, _, _, _) if med < 0 => "\"" + k + "\"" }
+    val qsSteal = results.map { case (k, _, _, _, _, sts) =>
+      "\"" + k + "\":" + sts.map(s => f"$s%.1f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, med, _, _, _, _) if med < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     // stdout gets the SHORT line (medians only): the round-4 harness
     // truncated the long line mid-JSON and recovered nothing. The full
@@ -98,6 +119,7 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_max":$qsMax,"queries_runs":$qsRuns,"queries_load":$qsLoad,""" +
+        s""""queries_steal_pct":$qsSteal,""" +
         s""""runs":$runs,"runs_noisy":$runsNoisy,""" +
         f""""load_start":$benchLoadStart%.2f,"load_end":${load1()}%.2f,""" +
         s""""errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
@@ -107,8 +129,11 @@ object Bench {
       val md = s"# BENCH\n\nFull bench record (medians of $runs runs — " +
         s"$runsNoisy for the noisy graph family — with hard cache sweeps; " +
         "`queries_max` = worst run, `queries_runs` = every per-run time, " +
-        "`queries_load` = 1-min /proc/loadavg at each run's start, so a " +
-        "contended run is self-evident from the record).\n\n" +
+        "`queries_load` = 1-min /proc/loadavg at each run's start, " +
+        "`queries_steal_pct` = hypervisor-steal + iowait share of total " +
+        "CPU jiffies during each run — loadavg is 1-min smoothed and " +
+        "misses short stalls entirely, steal share is the direct contention " +
+        "reading — so a contended run is self-evident from the record).\n\n" +
         s"```json\n$fullLine\n```\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         md.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -154,6 +154,23 @@ object TextScaleRehearsal {
     }
     Caches.sweep(spark)
 
+    // stage 3c: containment (doc-in-doc) on the same corpus — the
+    // directed near-superset detector over the same rare-shingle index.
+    // Planted expectations are EXACT: each exact-dup pair is mutually
+    // contained (2 directed pairs), and each appended-token near-dup is
+    // contained 1.0 forward and (|B|-1)/|B| ≥ 0.9 backward (2 directed
+    // pairs) — 4·(n/100) total. The boilerplate footer's hub trigrams
+    // are excluded by the df cap, so that class contributes ZERO
+    // candidates: the hub guard is load-bearing for the asymmetric
+    // threshold too (a footer shared by n/100 docs would otherwise
+    // enumerate the same quadratic candidate set as in 3b).
+    val (nContPairs, tCont) = timed {
+      val sets = corpus.select(col("doc_id"),
+        graft.queries.DedupQueries.shingles(col("text")).as("sh"))
+      graft.queries.DedupQueries.containmentPairsOf(spark, sets).count()
+    }
+    Caches.sweep(spark)
+
     // stage 4: sequence packing — the two-phase distributed cumsum
     // (per-bucket sums → metadata-sized bucket cumsum → bucket-partitioned
     // windows); the one-task global-window trap is exactly what this
@@ -196,10 +213,14 @@ object TextScaleRehearsal {
       s""""minhash_pairs":$nPairs,""" +
       s""""jaccard_sec":${f(tJaccard)},"jaccard_kdocs_per_sec":${rate(nDocs, tJaccard)},""" +
       s""""jaccard_pairs":$nJacPairs,"hub_shingles":$nHub,"hub_max_df":$maxDf,""" +
+      s""""containment_sec":${f(tCont)},""" +
+      s""""containment_kdocs_per_sec":${rate(nDocs, tCont)},""" +
+      s""""containment_pairs":$nContPairs,""" +
       s""""pack_sec":${f(tPack)},"pack_kdocs_per_sec":${rate(nDocs, tPack)},""" +
       s""""checks":${nDocs == n && nGroups == n - expDup &&
         nDupGroups == expDup && nPairs == 2 * expDup &&
         nJacPairs == 2 * expDup && nHub >= 3 && maxDf == n / 100L &&
+        nContPairs == 4 * expDup &&
         nPacked == n && lastEnd == totTok &&
         nKept == n - expSpam}}""")
     spark.stop()

@@ -376,6 +376,41 @@ object GraphQueries {
         .orderBy("src", "dst")
     }),
 
+    // -- integrity check / fsck (the storage-ops workload: validate a
+    //    compressed graph against its format invariants after any
+    //    write/transform, without trusting the writer): per 2048-id
+    //    bucket, node and arc totals plus violation counts for the three
+    //    decode invariants — successors strictly ascending and
+    //    duplicate-free, outdegree == |successors|, successor ids inside
+    //    [0, n). The oracle recomputes the totals from the SOURCE table
+    //    and pins every violation count at zero, so a decoder or encoder
+    //    defect anywhere in the pipeline surfaces as a hash mismatch —
+    //    not just a spec failure. One narrow decode pass + a bucket-keyed
+    //    partial agg; the report is manifest-sized at any graph size.
+    "bv_check" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      val g = s.read.format("bvgraph").option("basename", base)
+        .option("splits", 8).load()
+      val n = g.agg(max(col("id"))).head().getInt(0) + 1
+      g.select(expr("id div 2048").as("bkt"),
+          col("outdegree").cast("long").as("odeg"),
+          col("successors").as("succ"))
+        .withColumn("unsorted",
+          when(col("succ") === array_sort(array_distinct(col("succ"))), 0L)
+            .otherwise(1L))
+        .withColumn("deg_bad",
+          when(col("odeg") === size(col("succ")).cast("long"), 0L).otherwise(1L))
+        .withColumn("range_bad",
+          when(size(filter(col("succ"), x => x < 0 || x >= lit(n))) > 0, 1L)
+            .otherwise(0L))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("odeg")).as("n_arcs"),
+          sum(col("unsorted")).as("n_unsorted"),
+          sum(col("deg_bad")).as("n_degree_mismatch"),
+          sum(col("range_bad")).as("n_out_of_range"))
+        .orderBy("bkt")
+    }),
+
     // -- codec cost advisor (the layout-planning workload: choose each
     //    shard's residual coding from ONE metadata-pass cost model instead
     //    of trial-encoding the shard three times). For every 2048-id
@@ -546,6 +581,21 @@ object GraphQueries {
          FROM e JOIN perm pa ON pa.id = e.src
                 JOIN perm pb ON pb.id = e.dst
          ORDER BY src, dst""",
+    "bv_check" ->
+      """WITH e AS MATERIALIZED (
+           SELECT o_custkey AS src, o_orderkey AS dst FROM orders),
+         nodes AS (SELECT unnest(generate_series(0,
+             (SELECT greatest(max(src), max(dst)) FROM e))) AS id),
+         deg AS (SELECT nodes.id, COALESCE(c.c, 0) AS odeg
+           FROM nodes LEFT JOIN (
+             SELECT src, COUNT(*) AS c FROM e GROUP BY src) c
+             ON c.src = nodes.id)
+         SELECT id // 2048 AS bkt, COUNT(*) AS n_nodes,
+           CAST(SUM(odeg) AS BIGINT) AS n_arcs,
+           CAST(0 AS BIGINT) AS n_unsorted,
+           CAST(0 AS BIGINT) AS n_degree_mismatch,
+           CAST(0 AS BIGINT) AS n_out_of_range
+         FROM deg GROUP BY 1 ORDER BY 1""",
     "bv_coding_advisor" ->
       """WITH e AS MATERIALIZED (
            SELECT o_custkey AS src, o_orderkey AS dst FROM orders),

@@ -164,6 +164,41 @@ object StreamingOps {
     * the batch window-function result the oracle replays. State is two
     * longs per user (production would bound idle keys with a TTLConfig);
     * no timers — this is the pure cross-batch state-fold shape. */
+  case class ScdOut(user_id: Long, event_type: String, valid_from_us: Long,
+      valid_to_us: Long, n_events: Long)
+  case class ScdState(event_type: String, since_us: Long, n: Long)
+
+  /** Streaming SCD-2 maintenance — the CDC-feed dimension-history shape,
+    * the streaming twin of the batch `scd2_intervals`: per-user
+    * ValueState holds the OPEN version (type, since, count); a row with
+    * a different type CLOSES it (emit) and opens the next. Append-mode
+    * emission is exactly the closed-interval set — the batch query's
+    * rows minus its NULL-valid_to open rows, which is what the oracle
+    * selects. Same determinism argument as [[RunningTotals]]: time-split
+    * batches + in-handler sort give a total (ts, event_id) order. */
+  private class ScdIntervals extends StatefulProcessor[Long, Replay, ScdOut] {
+    @transient private var st: ValueState[ScdState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ScdState]("scd",
+        org.apache.spark.sql.Encoders.product[ScdState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Replay],
+        tv: TimerValues): Iterator[ScdOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.us, r.event_id))
+      var cur = if (st.exists()) st.get() else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[ScdOut]
+      for (r <- sorted) {
+        if (cur == null) cur = ScdState(r.event_type, r.us, 1L)
+        else if (cur.event_type == r.event_type) cur = cur.copy(n = cur.n + 1)
+        else {
+          out += ScdOut(key, cur.event_type, cur.since_us, r.us, cur.n)
+          cur = ScdState(r.event_type, r.us, 1L)
+        }
+      }
+      if (cur != null) st.update(cur)
+      out.iterator
+    }
+  }
+
   private class RunningTotals extends StatefulProcessor[Long, Replay, RunOut] {
     @transient private var st: ValueState[RunTotals] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -352,6 +387,40 @@ object StreamingOps {
       }
     }),
 
+    // -- streaming SCD-2 dimension maintenance (transformWithState +
+    //    change detection): closed type-intervals emit as the NEXT
+    //    version opens — the CDC-feed history build running continuously
+    //    instead of as a batch window job. Oracle = the batch
+    //    scd2_intervals chain restricted to closed rows; the open rows
+    //    live in state, exactly SCD-2's current versions. Scale: one
+    //    shuffle on user_id per batch, state = one (type, since, n)
+    //    triple per key.
+    "stream_scd2" -> ((s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        replayThroughStream(s, d, "stream_scd2_sink",
+          expand = identity,
+          build = src => src
+            .select(col("event_id"), col("user_id"), col("us"),
+              col("v_cents"), col("event_type"))
+            .as[Replay]
+            .groupByKey(_.user_id)
+            .transformWithState(new ScdIntervals, TimeMode.None(),
+              OutputMode.Append())
+            .toDF())
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "valid_from_us")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
     // -- tumbling event-time windows through the streaming engine — the
     //    streaming twin of `time_window_agg`, same oracle SQL. Window
     //    state lives per (window x event_type) and is emitted once the
@@ -488,6 +557,25 @@ object StreamingOps {
     * reuses the `time_window_agg` bucketing; `stream_dedup`'s first
     * arrivals under exact redelivery are simply the distinct event set. */
   val oracleSql: Map[String, String] = Map(
+    "stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events),
+         l AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+             THEN 1 ELSE 0 END AS chg FROM l),
+         v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+             ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS ver FROM n),
+         g AS (SELECT user_id, ver, event_type, MIN(us) AS valid_from_us,
+             COUNT(*) AS n_events FROM v GROUP BY 1, 2, 3),
+         iv AS (SELECT user_id, event_type, valid_from_us,
+             CAST(n_events AS BIGINT) AS n_events,
+             LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
+               AS valid_to_us
+           FROM g)
+         SELECT user_id, event_type, valid_from_us, valid_to_us, n_events
+         FROM iv WHERE valid_to_us IS NOT NULL
+         ORDER BY user_id, valid_from_us""",
     "stream_tws_running" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
              CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)

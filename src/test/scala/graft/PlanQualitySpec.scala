@@ -684,6 +684,13 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"), s"cartesian in dedup_containment:\n$p")
   }
 
+  test("bv_check: one narrow decode pass, bucket-keyed partial agg, no joins") {
+    val p = executed(SparkEntry.queries("bv_check")(spark, sf0001))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"invariant counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join"), s"the fsck pass must not join anything:\n$p")
+  }
+
   test("bv_coding_advisor: gap transform is narrow; costs partial-aggregate on the bucket key") {
     val p = executed(SparkEntry.queries("bv_coding_advisor")(spark, sf0001))
     assert(p.contains("partial_sum"),
