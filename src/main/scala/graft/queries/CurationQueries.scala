@@ -427,9 +427,69 @@ object CurationQueries {
             .otherwise(floor((col("n_bigrams") - col("n_known"))
               * lit(1000000.0) / col("n_bigrams")).cast("long")))
         .orderBy("doc_id")
+    }),
+
+    // -- k-anonymity release planning (the privacy gate a corpus passes
+    //    before metadata is published alongside training data): each doc's
+    //    quasi-identifier is (lang, source, 128-char length bucket); a doc
+    //    releases at level 0 if its exact QID class has ≥ k members,
+    //    generalizes source→'*' (level 1) if the coarser (lang, bucket)
+    //    class reaches k, else is suppressed (level 2). Deterministic
+    //    full-domain generalization — class sizes are data facts, so the
+    //    whole decision ladder is exact-integer and oracle-checkable.
+    //    Scale shape: two partial-aggregated class-size tables (QID
+    //    cardinality ≪ corpus — broadcast joins back), corpus scanned
+    //    once, no window over the corpus.
+    "anon_kanonymity" -> ((s, d) => {
+      val k = 8L
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 128").as("len_bkt"))
+      val s0 = docs.groupBy("lang", "source", "len_bkt")
+        .agg(count(lit(1)).as("n0"))
+      val s1 = docs.groupBy("lang", "len_bkt")
+        .agg(count(lit(1)).as("n1"))
+      docs
+        .join(broadcast(s0), Seq("lang", "source", "len_bkt"))
+        .join(broadcast(s1), Seq("lang", "len_bkt"))
+        .withColumn("level",
+          when(col("n0") >= k, lit(0L))
+            .when(col("n1") >= k, lit(1L)).otherwise(lit(2L)))
+        .select(col("doc_id"), col("level"),
+          when(col("level") === 2L, lit("*")).otherwise(col("lang"))
+            .as("rel_lang"),
+          when(col("level") === 0L, col("source")).otherwise(lit("*"))
+            .as("rel_source"),
+          when(col("level") === 2L, lit(-1L))
+            .otherwise(col("len_bkt")).as("rel_len_bkt"),
+          when(col("level") === 0L, col("n0"))
+            .when(col("level") === 1L, col("n1")).otherwise(lit(0L))
+            .as("class_size"))
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "anon_kanonymity" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars // 128 AS len_bkt
+           FROM documents),
+         s0 AS (SELECT lang, source, len_bkt, COUNT(*) AS n0
+           FROM d GROUP BY 1, 2, 3),
+         s1 AS (SELECT lang, len_bkt, COUNT(*) AS n1 FROM d GROUP BY 1, 2),
+         j AS (SELECT d.doc_id, d.lang, d.source, d.len_bkt, s0.n0, s1.n1,
+             CASE WHEN s0.n0 >= 8 THEN 0 WHEN s1.n1 >= 8 THEN 1 ELSE 2 END
+               AS level
+           FROM d
+           JOIN s0 ON s0.lang = d.lang AND s0.source = d.source
+                  AND s0.len_bkt = d.len_bkt
+           JOIN s1 ON s1.lang = d.lang AND s1.len_bkt = d.len_bkt)
+         SELECT doc_id, CAST(level AS BIGINT) AS level,
+           CASE WHEN level = 2 THEN '*' ELSE lang END AS rel_lang,
+           CASE WHEN level = 0 THEN source ELSE '*' END AS rel_source,
+           CAST(CASE WHEN level = 2 THEN -1 ELSE len_bkt END AS BIGINT)
+             AS rel_len_bkt,
+           CAST(CASE WHEN level = 0 THEN n0 WHEN level = 1 THEN n1 ELSE 0 END
+             AS BIGINT) AS class_size
+         FROM j ORDER BY doc_id""",
     "sample_negatives" ->
       """WITH idx AS MATERIALIZED (
            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i

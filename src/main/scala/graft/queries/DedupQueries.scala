@@ -504,39 +504,90 @@ object DedupQueries {
     //    narrow per-row signature pass, a self-join on (band, bucket)
     //    keys touching ~n·bands·avg-bucket-size candidate rows, and exact
     //    verification of survivors — never Θ(n²).
-    "dedup_embed_lsh" -> ((s, d) => {
-      val base = embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      val planted = base.select((col("vec_id") + 100000).as("vec_id"),
-        transform(col("v"), (x, i) =>
-          x * (lit(1.0) + lit(0.005) *
-            (pmod(col("vec_id") + i, lit(5)) - lit(2)).cast("double"))).as("v"))
-      // the corpus subtree feeds four consumers (both self-join arms and
-      // both verify arms); persist so the union + norms + 64 SRP dot
-      // products run once — at 100 TB this is the checkpointed signature
-      // table every LSH dedup pipeline materializes anyway
-      val corpus = graft.Caches.pin(
-        SimilarityQueries.withNorm(base.unionByName(planted))
-          .withColumn("bands", SimilarityQueries.srpBands(col("v"), 8, 8)))
-      val sig = corpus.select(col("vec_id"), posexplode(col("bands")))
-        .select(col("vec_id"), col("pos").as("band"), col("col").as("bkt"))
-      val cand = sig.select(col("band"), col("bkt"), col("vec_id").as("ida"))
-        .join(sig.select(col("band"), col("bkt"), col("vec_id").as("idb")),
-          Seq("band", "bkt"))
-        .filter(col("ida") < col("idb"))
-        .select("ida", "idb").distinct()
-      val va = corpus.select(col("vec_id").as("ida"), col("v").as("va"),
-        col("nrm").as("na"))
-      val vb = corpus.select(col("vec_id").as("idb"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      cand.join(va, "ida").join(vb, "idb")
-        .withColumn("sim",
-          SimilarityQueries.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("sim") > 0.95)
-        .select(col("ida").as("vec_a"), col("idb").as("vec_b"),
-          floor(col("sim") * 1000000).cast("long").as("sim_e6"))
-        .orderBy("vec_a", "vec_b")
+    "dedup_embed_lsh" -> ((s, d) =>
+      embedLshVerifiedPairs(s, d)
+        .select(col("vec_a"), col("vec_b"), col("sim_e6"))
+        .orderBy("vec_a", "vec_b")),
+
+    // -- SEMANTIC dedup end-to-end (the embedding-cluster canonicalization
+    //    every modern curation pipeline runs after its ANN pass): the
+    //    LSH-surfaced + exactly-verified near-dup pairs close transitively
+    //    into clusters (GraphX connectedComponents — the same match-graph
+    //    machinery as dedup_clusters, here over COSINE pairs instead of
+    //    Jaccard pairs), and every corpus vector gets its canonical
+    //    representative (min vec_id in its cluster) plus a keep flag.
+    //    The oracle recomputes the exact all-pairs ≥ 0.95 relation and
+    //    closes it with a recursive CTE, so the whole
+    //    signature→band→verify→cluster→canonicalize chain is value-gated.
+    //    Scale shape: pairs come from the banded self-join (never Θ(n²)),
+    //    CC supersteps shuffle only the pair graph (≪ corpus), and the
+    //    final left join is canonical-table–sized.
+    "dedup_semantic" -> ((s, d) => {
+      import org.apache.spark.graphx._
+      import s.implicits._
+      val pairs = embedLshVerifiedPairs(s, d).select(col("vec_a"), col("vec_b"))
+      val nPairs = pairs.count()
+      val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (nPairs / 10000L).toInt))
+      val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+        .coalesce(parts)
+      val g = Graph.fromEdges(edgeRdd, ())
+      val ccG = g.connectedComponents()
+      graft.Caches.defer(s) {
+        ccG.unpersistVertices(blocking = false)
+        ccG.edges.unpersist(blocking = false)
+        g.unpersistVertices(blocking = false)
+        g.edges.unpersist(blocking = false)
+      }
+      val cc = ccG.vertices.map { case (id, comp) => (id, comp) }
+        .toDF("vec_id", "comp")
+      val ids = embeddings(s, d).select(col("vec_id").cast("long"))
+      ids.unionByName(ids.select((col("vec_id") + 100000).as("vec_id")))
+        .join(cc, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("vec_id")).as("canonical_id"))
+        .withColumn("keep",
+          (col("vec_id") === col("canonical_id")).cast("int"))
+        .orderBy("vec_id")
     }))
+
+  /** The shared LSH-candidate + exact-verify pair pipeline behind
+    * dedup_embed_lsh and dedup_semantic: base corpus ∪ deterministic
+    * planted twins, banded SRP signatures, candidate self-join on
+    * (band, bucket), exact cosine verification at > 0.95. Returns
+    * (vec_a, vec_b, sim_e6) with vec_a < vec_b, unordered. */
+  private[graft] def embedLshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val planted = base.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        x * (lit(1.0) + lit(0.005) *
+          (pmod(col("vec_id") + i, lit(5)) - lit(2)).cast("double"))).as("v"))
+    // the corpus subtree feeds four consumers (both self-join arms and
+    // both verify arms); persist so the union + norms + 64 SRP dot
+    // products run once — at 100 TB this is the checkpointed signature
+    // table every LSH dedup pipeline materializes anyway
+    val corpus = graft.Caches.pin(
+      SimilarityQueries.withNorm(base.unionByName(planted))
+        .withColumn("bands", SimilarityQueries.srpBands(col("v"), 8, 8)))
+    val sig = corpus.select(col("vec_id"), posexplode(col("bands")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bkt"))
+    val cand = sig.select(col("band"), col("bkt"), col("vec_id").as("ida"))
+      .join(sig.select(col("band"), col("bkt"), col("vec_id").as("idb")),
+        Seq("band", "bkt"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    val va = corpus.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = corpus.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    cand.join(va, "ida").join(vb, "idb")
+      .withColumn("sim",
+        SimilarityQueries.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") > 0.95)
+      .select(col("ida").as("vec_a"), col("idb").as("vec_b"),
+        floor(col("sim") * 1000000).cast("long").as("sim_e6"))
+  }
 
   /** Shared CTE chain producing the exact-verified Jaccard pairs in `v`
     * (filter: inter*10 >= un*8) — the oracle core for dedup_ngram_jaccard,
@@ -716,6 +767,40 @@ object DedupQueries {
          GROUP BY 1 ORDER BY canonical_id""",
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_containment" -> containmentOracle,
+    "dedup_semantic" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         twin AS (SELECT vec_id + 100000 AS tid,
+             list_transform(range(1, len(v) + 1),
+               i -> v[i] * (1.0 + 0.005 *
+                 CAST((vec_id + i - 1) % 5 - 2 AS DOUBLE))) AS v
+           FROM e),
+         c AS (SELECT vec_id, v FROM e
+               UNION ALL SELECT tid AS vec_id, v FROM twin),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           FROM c),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) > 0.95),
+         und AS (SELECT vec_a AS a, vec_b AS b FROM p
+                 UNION ALL SELECT vec_b, vec_a FROM p),
+         reach AS (
+           SELECT a AS id, b AS r FROM und
+           UNION
+           SELECT reach.id, und.b FROM reach JOIN und ON und.a = reach.r
+         ),
+         comp AS (SELECT id, MIN(r) AS mn FROM reach GROUP BY id)
+         SELECT i.vec_id,
+           COALESCE(LEAST(comp.mn, i.vec_id), i.vec_id) AS canonical_id,
+           CASE WHEN COALESCE(LEAST(comp.mn, i.vec_id), i.vec_id) = i.vec_id
+                THEN 1 ELSE 0 END AS keep
+         FROM (SELECT vec_id FROM c) i
+         LEFT JOIN comp ON comp.id = i.vec_id
+         ORDER BY i.vec_id""",
     "dedup_embed_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          twin AS (SELECT vec_id + 100000 AS tid,

@@ -142,6 +142,20 @@ object GraphQueries {
       .select(col("id").as("old_id"), col("new_id"))
   }
 
+  /** The bv_union merge frame: base snapshot (BV decode) ∪ delta batch
+    * (lineitem's order→part links), deduped on (src, dst). `private[graft]`
+    * so the plan gate can assert the WRITE pipeline's shape (the read-back
+    * side of the query is just a scan once the fixture exists). */
+  private[graft] def unionEdges(s: SparkSession, d: String): DataFrame = {
+    val base = bvFixture(s, d)
+    val g = s.read.format("bvgraph").option("basename", base).load()
+    val e1 = g.select(col("id").cast("int").as("src"),
+      explode(col("successors")).as("dst"))
+    val e2 = lineitem(s, d).select(col("l_orderkey").cast("int").as("src"),
+      col("l_partkey").cast("int").as("dst"))
+    e1.unionByName(e2).distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // -- Q1-equivalent: adjacency rows (id, successors). Successors surface
     //    as a comma-joined ascending string so the hash compare is
@@ -376,6 +390,38 @@ object GraphQueries {
         .orderBy("src", "dst")
     }),
 
+    // -- graph union THROUGH the sink (WebGraph's Transform.union job —
+    //    the incremental-crawl merge: yesterday's compressed snapshot ∪
+    //    today's delta batch re-compressed as one graph). Delta edges come
+    //    from a second relation (lineitem's order→part links) over the
+    //    same id space; the merged edge set is deduped (an arc present in
+    //    both inputs must appear once — BV adjacency is a set) and
+    //    re-compressed through the distributed sharded sink, then scanned
+    //    back. Cost shape at 100 TB: the base side is a narrow BV decode,
+    //    the union is one distinct-shuffle on (src, dst), plus the sink's
+    //    range shuffle — same as the original compression job; nothing is
+    //    ever collected.
+    "bv_union" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      val ubase = base + "_U"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ubase + ".shards"))) {
+        val e = unionEdges(s, d)
+        val n = e.agg(greatest(max(col("src")), max(col("dst"))))
+          .head().getInt(0) + 1
+        e.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("successors"))
+          .select(col("src").as("id"), col("successors"))
+          .withColumn("outdegree", size(col("successors")))
+          .write.format("bvgraph").option("basename", ubase)
+          .option("shards", 8).option("nodes", n).mode("overwrite").save()
+      }
+      s.read.format("bvgraph").option("basename", ubase).option("splits", 8).load()
+        .select(col("id").cast("long").as("src"),
+          explode(col("successors")).as("d"))
+        .select(col("src"), col("d").cast("long").as("dst"))
+        .orderBy("src", "dst")
+    }),
+
     // -- integrity check / fsck (the storage-ops workload: validate a
     //    compressed graph against its format invariants after any
     //    write/transform, without trusting the writer): per 2048-id
@@ -554,6 +600,12 @@ object GraphQueries {
     "bv_transpose" ->
       """SELECT o_orderkey AS src, o_custkey AS dst
          FROM orders ORDER BY src, dst""",
+    "bv_union" ->
+      """SELECT src, dst FROM (
+           SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+           UNION
+           SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem)
+         ORDER BY src, dst""",
     "bv_symmetrize" ->
       """SELECT src, dst FROM (
            SELECT o_custkey AS src, o_orderkey AS dst FROM orders

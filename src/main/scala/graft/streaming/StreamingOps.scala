@@ -436,6 +436,26 @@ object StreamingOps {
         .filter(col("event_type") =!= "~sentinel")
         .orderBy("win_start", "event_type")),
 
+    // -- SLIDING event-time windows through the streaming engine (1 h
+    //    width, 30 min slide — each event lands in exactly 2 overlapping
+    //    windows): the trend-smoothing shape dashboards run. State is one
+    //    row per (window × type) and both windows of an event are emitted
+    //    once the watermark passes their ends; the sentinel flush drains
+    //    the final slide. The oracle expands each event into its two
+    //    30-min-grid window starts and re-aggregates — Spark's epoch-
+    //    aligned window grid equals DuckDB's time_bucket grid.
+    "stream_sliding_window" -> ((s, d) =>
+      replayThroughStream(s, d, "stream_sliding_window_sink",
+        expand = identity,
+        build = src => src
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("value_cents"))
+          .select(col("win.start").as("win_start"), col("event_type"),
+            col("n"), col("value_cents")))
+        .filter(col("event_type") =!= "~sentinel")
+        .orderBy("win_start", "event_type")),
+
     // -- streaming exact dedup under at-least-once delivery: every batch
     //    is fed TWICE (exact redelivery), dropDuplicatesWithinWatermark
     //    keeps the first arrival per event_id — duplicates carry identical
@@ -617,6 +637,15 @@ object StreamingOps {
          COUNT(*) AS n,
          CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "stream_sliding_window" ->
+      """WITH e AS (SELECT ts, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events),
+         w AS (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+             AS win_start, event_type, vc FROM e)
+         SELECT win_start, event_type, COUNT(*) AS n,
+           CAST(SUM(vc) AS BIGINT) AS value_cents
+         FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS us,
          CAST(FLOOR(value * 100) AS BIGINT) AS v_cents, event_type

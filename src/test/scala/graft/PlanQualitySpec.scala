@@ -698,4 +698,35 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"advisor join degenerated:\n$p")
   }
+
+  test("bv_union: the merge dedups on (src,dst) map-side before one hash exchange") {
+    // gate the WRITE pipeline's merge frame (the query's read-back side is
+    // just a BV scan once the fixture exists)
+    val p = executed(graft.queries.GraphQueries.unionEdges(spark, sf0001))
+    // the distinct over base ∪ delta must partial-aggregate before its
+    // exchange (map-side dedup — at 100 TB the duplicate mass between a
+    // snapshot and its delta batch never crosses the wire twice)
+    assert("""hashpartitioning\(src#\d+, dst#\d+""".r.findFirstIn(p).isDefined,
+      s"union dedup must shuffle on the edge key:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"dedup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"bv_union merge must be union+distinct, no join:\n$p")
+  }
+
+  test("anon_kanonymity: both class-size tables broadcast back; corpus scanned once") {
+    val p = executed(SparkEntry.queries("anon_kanonymity")(spark, sf0001))
+    // two QID-cardinality-sized aggregates join back as broadcasts — the
+    // document table itself must never be exchanged for the join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"class-size joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"k-anonymity corpus join degenerated to a shuffle:\n$p")
+  }
+
+  test("dedup_semantic: pairs come from the banded key join, never an all-pairs product") {
+    val p = executed(SparkEntry.queries("dedup_semantic")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup must never form the all-pairs product:\n$p")
+  }
 }
