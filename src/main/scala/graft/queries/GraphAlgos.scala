@@ -233,7 +233,107 @@ object GraphAlgos {
       .distinct()
   }
 
+  /** Weighted co-purchase edges (u < v, weight = number of orders
+    * containing the pair) — the weighted-graph input for graph_msf. Same
+    * per-order set expansion as [[coPurchaseEdges]], aggregated instead
+    * of deduped. */
+  private[graft] def weightedCoPurchase(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.groupBy(col("ok")).agg(array_sort(collect_set(col("pk"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // -- minimum spanning forest via BORŮVKA (2 synchronous rounds — the
+    //    weighted-graph companion to graph_scc's pointer doubling): each
+    //    round every component selects its minimum incident cross edge
+    //    under the TOTAL order (w, u, v) — packed into one BIGINT key so
+    //    the argmin is a plain min_by in both engines — the selected
+    //    parent pointers form a functional forest whose only cycles are
+    //    mutual min-pairs (broken to the smaller id), and components
+    //    relabel by POINTER DOUBLING to the forest roots (15 doublings
+    //    cover depth 2^15 ≥ any component count at test SF; ~40 cover a
+    //    trillion — the production fixpoint uses graph_scc's
+    //    skew-adaptive loop). Fixed 2 rounds keep the oracle replayable
+    //    as chained materialized CTEs; the full MSF is the same loop to
+    //    fixpoint (≤ log₂ n rounds, components at least halve). Output:
+    //    the forest edges with the round that selected them. Scale shape
+    //    per round: edges ⋈ comp ⋈ comp (two node-sized equi-joins), one
+    //    partial-aggregated argmin on the component key, then
+    //    comp-table-sized doubling self-joins — the EDGE set is touched
+    //    once per round, all iteration state is node-sized, every round
+    //    eagerly localCheckpoint'ed (kcore hygiene). Early exit when the
+    //    pointers stop changing is result-identical to running all 15
+    //    doublings (fixpoint of an idempotent map).
+    "graph_msf" -> ((s, d) => {
+      val rounds = 2
+      val doublings = 15
+      val deferFree = scala.collection.mutable.Set.empty[Int]
+      val (we, weIds) = checkpointWithIds(
+        weightedCoPurchase(s, d).select(col("u"), col("v"), col("w"),
+          (col("w") * lit(1L << 44) + col("u") * lit(1L << 22) + col("v"))
+            .as("pk")))
+      deferFree ++= weIds
+      var comp = we.select(explode(array(col("u"), col("v"))).as("id"))
+        .distinct().select(col("id"), col("id").as("comp"))
+      var compIds = Set.empty[Int]
+      var chosen = List.empty[DataFrame]
+      for (r <- 1 to rounds) {
+        val ec = we
+          .join(comp.select(col("id").as("u"), col("comp").as("cu")), "u")
+          .join(comp.select(col("id").as("v"), col("comp").as("cv")), "v")
+          .filter(col("cu") =!= col("cv"))
+        val inc = ec.select(col("cu").as("c"), col("cv").as("o"), col("pk"))
+          .unionByName(ec.select(col("cv").as("c"), col("cu").as("o"), col("pk")))
+        val (sel, selIds) = checkpointWithIds(inc.groupBy(col("c"))
+          .agg(min_by(col("o"), col("pk")).as("p"), min(col("pk")).as("mk")))
+        deferFree ++= selIds // chosen's lineage roots here until the collect
+        chosen ::= sel.select(lit(r.toLong).as("round"), col("mk").as("pk"))
+          .distinct()
+        // break mutual min-pairs (the only cycles, by the distinct-key
+        // Borůvka argument) toward the smaller id → acyclic forest with
+        // self-pointing roots; isolated components stay their own root
+        val brk = sel.select(col("c"), col("p"))
+          .join(sel.select(col("c").as("p"), col("p").as("pp")), "p")
+          .select(col("c"),
+            when(col("pp") === col("c"), least(col("c"), col("p")))
+              .otherwise(col("p")).as("p"))
+        val isolated = comp.select(col("comp").as("c")).distinct()
+          .join(sel.select(col("c")), Seq("c"), "left_anti")
+          .select(col("c"), col("c").as("p"))
+        var (ptr, ptrIds) = checkpointWithIds(brk.unionByName(isolated))
+        var changed = true
+        var k = 0
+        while (k < doublings && changed) {
+          val (nxt, nxtIds) = checkpointWithIds(
+            ptr.join(ptr.select(col("c").as("p"), col("p").as("p2")), "p")
+              .select(col("c"), col("p").as("old"), col("p2").as("p")))
+          changed = nxt.filter(col("p") =!= col("old")).limit(1).count() > 0
+          freeRdds(s, ptrIds)
+          ptr = nxt.select(col("c"), col("p"))
+          ptrIds = nxtIds
+          k += 1
+        }
+        val (nextComp, nextCompIds) = checkpointWithIds(
+          comp.join(ptr.select(col("c").as("comp"), col("p")), "comp")
+            .select(col("id"), col("p").as("comp")))
+        freeRdds(s, ptrIds)
+        freeRdds(s, compIds)
+        comp = nextComp
+        compIds = nextCompIds
+      }
+      deferFree ++= compIds
+      graft.Caches.defer(s)(freeRdds(s, deferFree.toSet))
+      chosen.reduce(_ unionByName _)
+        .join(we.select(col("pk"), col("u"), col("v"), col("w")), "pk")
+        .select(col("round"), col("u"), col("v"), col("w"))
+        .orderBy("round", "u", "v")
+    }),
+
     // -- fixed-iteration PageRank (damping 0.85, 3 iterations, init 1.0)
     //    on the customer→order graph. A genuine distributed iteration:
     //    contributions = edges ⋈ ranks (shuffle on src), partial+final
@@ -771,7 +871,58 @@ object GraphAlgos {
         FROM s$k a JOIN s$k b ON b.i = a.p)"""
   }.mkString(",\n         ")
 
+  /** One Borůvka round of graph_msf's oracle: cross edges under comp$r-1,
+    * per-component argmin (sel), mutual-pair break (brk), root pointers ∪
+    * isolated self-loops, 15 materialized doubling CTEs, relabel. Mirrors
+    * the Spark loop CTE-for-stage. */
+  private def msfRoundCtes(r: Int, doublings: Int): String = {
+    val prev = s"comp${r - 1}"
+    val d = (0 until doublings).map { k =>
+      s"""ptr${r}_${k + 1} AS MATERIALIZED (SELECT a.c, b.p
+          FROM ptr${r}_$k a JOIN ptr${r}_$k b ON b.c = a.p)"""
+    }.mkString(",\n         ")
+    s"""ec$r AS (SELECT e.pk, a.comp AS cu, b.comp AS cv
+         FROM we e JOIN $prev a ON a.id = e.u JOIN $prev b ON b.id = e.v
+         WHERE a.comp <> b.comp),
+       inc$r AS (SELECT cu AS c, cv AS o, pk FROM ec$r
+                 UNION ALL SELECT cv, cu, pk FROM ec$r),
+       sel$r AS MATERIALIZED (SELECT c, min_by(o, pk) AS p, MIN(pk) AS mk
+         FROM inc$r GROUP BY c),
+       brk$r AS (SELECT a.c,
+           CASE WHEN b.p = a.c THEN LEAST(a.c, a.p) ELSE a.p END AS p
+         FROM sel$r a JOIN sel$r b ON b.c = a.p),
+       ptr${r}_0 AS MATERIALIZED (
+         SELECT c, p FROM brk$r
+         UNION ALL
+         SELECT comp AS c, comp AS p
+         FROM (SELECT DISTINCT comp FROM $prev) t
+         WHERE comp NOT IN (SELECT c FROM sel$r)),
+       $d,
+       comp$r AS MATERIALIZED (SELECT n.id, t.p AS comp
+         FROM $prev n JOIN ptr${r}_$doublings t ON t.c = n.comp)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "graph_msf" ->
+      s"""WITH we AS MATERIALIZED (
+           SELECT u, v, w, w * 17592186044416 + u * 4194304 + v AS pk FROM (
+             SELECT a.l_partkey AS u, b.l_partkey AS v,
+               COUNT(DISTINCT a.l_orderkey) AS w
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2)),
+         comp0 AS MATERIALIZED (SELECT id, id AS comp FROM
+           (SELECT u AS id FROM we UNION SELECT v FROM we)),
+         ${msfRoundCtes(1, 15)},
+         ${msfRoundCtes(2, 15)},
+         ch AS (SELECT CAST(1 AS BIGINT) AS round, mk
+                FROM (SELECT DISTINCT mk FROM sel1)
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), mk
+                FROM (SELECT DISTINCT mk FROM sel2))
+         SELECT ch.round, we.u, we.v, CAST(we.w AS BIGINT) AS w
+         FROM ch JOIN we ON we.pk = ch.mk
+         ORDER BY round, u, v""",
     "graph_scc" ->
       s"""WITH nodes AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS pk
            FROM lineitem),

@@ -270,7 +270,8 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // reaching the optimized plan must be seconds, not minutes, at the
     // smallest SF. (Execution cost is Bench's job; PLANNING cost is this
     // test's.)
-    Seq("graph_pagerank", "graph_bfs", "graph_cc", "graph_scc").foreach { name =>
+    Seq("graph_pagerank", "graph_bfs", "graph_cc", "graph_scc",
+        "graph_msf").foreach { name =>
       Caches.hardSweep(spark)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sf0001)
