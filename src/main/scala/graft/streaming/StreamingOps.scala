@@ -5,8 +5,9 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` schema (SURVEY.md §2.3
   * "Streaming" row — absent in the reference, declared in the engine plan):
@@ -199,6 +200,66 @@ object StreamingOps {
     }
   }
 
+  case class TimerSessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, value_cents: Long)
+  // public: janino's encoder codegen must reach the accessors
+  case class TimerSessionState(start_us: Long, end_us: Long, n: Long,
+      cents: Long, timer_ms: Long)
+
+  /** Gap sessionization on `transformWithState` with EVENT-TIME TIMERS —
+    * the third arbitrary-state feature after ValueState (stream_tws_running)
+    * and change-detection (stream_scd2): instead of flatMapGroupsWithState's
+    * single implicit timeout, the processor OWNS its timer set
+    * (registerTimer/deleteTimer on the handle; handleExpiredTimer fires
+    * when the watermark passes the registered event time). Each user holds
+    * one open session and exactly one live timer at end + gap: rows extend
+    * the session (delete old timer, register the new one) or close it
+    * in-batch on a gap; the watermark closes the last session through the
+    * timer callback. The timeout clock is ms-granular so the timer rounds
+    * UP one ms — firing sub-ms late never changes output (state times stay
+    * µs-exact, same discipline as [[sessionize]]). */
+  private class TimerSessions(gapUs: Long)
+      extends StatefulProcessor[Long, Replay, TimerSessionOut] {
+    @transient private var st: ValueState[TimerSessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TimerSessionState]("sess",
+        org.apache.spark.sql.Encoders.product[TimerSessionState], TTLConfig.NONE)
+    private def timerFor(endUs: Long): Long = (endUs + gapUs) / 1000L + 1L
+    override def handleInputRows(key: Long, rows: Iterator[Replay],
+        tv: TimerValues): Iterator[TimerSessionOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.us, r.event_id))
+      var cur = if (st.exists()) Option(st.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[TimerSessionOut]
+      for (r <- sorted) cur match {
+        case Some(c) if r.us - c.end_us <= gapUs =>
+          cur = Some(c.copy(end_us = math.max(c.end_us, r.us), n = c.n + 1,
+            cents = c.cents + r.v_cents))
+        case Some(c) =>
+          out += TimerSessionOut(key, c.start_us, c.end_us, c.n, c.cents)
+          cur = Some(TimerSessionState(r.us, r.us, 1L, r.v_cents, c.timer_ms))
+        case None =>
+          cur = Some(TimerSessionState(r.us, r.us, 1L, r.v_cents, -1L))
+      }
+      cur.foreach { c =>
+        val t = timerFor(c.end_us)
+        if (c.timer_ms != t) {
+          if (c.timer_ms >= 0) getHandle.deleteTimer(c.timer_ms)
+          getHandle.registerTimer(t)
+        }
+        st.update(c.copy(timer_ms = t))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TimerSessionOut] = {
+      if (st.exists() && st.get().timer_ms == info.getExpiryTimeInMs) {
+        val c = st.get()
+        st.clear()
+        Iterator.single(TimerSessionOut(key, c.start_us, c.end_us, c.n, c.cents))
+      } else Iterator.empty
+    }
+  }
+
   private class RunningTotals extends StatefulProcessor[Long, Replay, RunOut] {
     @transient private var st: ValueState[RunTotals] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -379,6 +440,41 @@ object StreamingOps {
             .toDF())
           .filter(col("event_id") >= 0)
           .orderBy("user_id", "run_n")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
+    // -- transformWithState with EVENT-TIME TIMERS (the 12th oracle-gated
+    //    streaming query, and the third arbitrary-state shape): gap
+    //    sessionization where the processor owns its timer set —
+    //    registerTimer/deleteTimer per open session, handleExpiredTimer
+    //    closing it when the watermark passes end + gap. Same session
+    //    semantics as stream_custom_sessionize (last-event ends, exact
+    //    integer cents), so the same gaps-and-islands oracle hash-gates
+    //    the timer machinery: registration, replacement on extension,
+    //    firing order vs input rows, and state clear on expiry.
+    "stream_tws_timers" -> ((s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        replayThroughStream(s, d, "stream_tws_timers_sink",
+          expand = identity,
+          build = src => src
+            .select(col("event_id"), col("user_id"), col("us"),
+              col("v_cents"), col("event_type"))
+            .as[Replay]
+            .groupByKey(_.user_id)
+            .transformWithState(new TimerSessions(30L * 60L * 1000000L),
+              TimeMode.EventTime(), OutputMode.Append())
+            .toDF())
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "start_us")
       } finally {
         prev match {
           case Some(p) => s.conf.set(key, p)
@@ -621,6 +717,16 @@ object StreamingOps {
            MAX(us) + 1800000000 AS end_us,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""",
+    "stream_tws_timers" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events),
+         l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+         sx AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS UNBOUNDED PRECEDING) AS sess_no FROM n)
+         SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+           COUNT(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS value_cents
          FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""",
     "stream_custom_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
