@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` schema (SURVEY.md §2.3
   * "Streaming" row — absent in the reference, declared in the engine plan):
@@ -260,6 +260,36 @@ object StreamingOps {
     }
   }
 
+  case class TypeCountOut(event_id: Long, user_id: Long, event_type: String,
+      type_n: Long)
+
+  /** Per-user per-event-type running counts on MapState — the fourth
+    * arbitrary-state shape (after ValueState, change-detection and
+    * timers): a composite-keyed sub-map per stream key, the state layout
+    * behind per-entity feature counters (clicks per campaign, errors per
+    * endpoint). On the RocksDB store each (user, type) entry is its own
+    * store key, so updating one type never rewrites the user's whole map
+    * — which is the point of MapState over a ValueState[Map[...]] at
+    * scale. Every row emits its type's new count, so the oracle
+    * value-checks each individual map-entry round-trip across batches. */
+  private class TypeCounts extends StatefulProcessor[Long, Replay, TypeCountOut] {
+    @transient private var st: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Replay],
+        tv: TimerValues): Iterator[TypeCountOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.us, r.event_id))
+      sorted.iterator.map { r =>
+        val n = (if (st.containsKey(r.event_type)) st.getValue(r.event_type)
+                 else 0L) + 1L
+        st.updateValue(r.event_type, n)
+        TypeCountOut(r.event_id, key, r.event_type, n)
+      }
+    }
+  }
+
   private class RunningTotals extends StatefulProcessor[Long, Replay, RunOut] {
     @transient private var st: ValueState[RunTotals] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -440,6 +470,39 @@ object StreamingOps {
             .toDF())
           .filter(col("event_id") >= 0)
           .orderBy("user_id", "run_n")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
+    // -- transformWithState with MAPSTATE (the 13th oracle-gated streaming
+    //    query, fourth arbitrary-state shape): per-user per-event-type
+    //    running counts — each (user, type) entry is its own RocksDB store
+    //    key, so one type's update never rewrites the user's whole map.
+    //    Every row emits its type's new count; the gate value-checks every
+    //    individual map-entry round-trip across batches (an entry restored
+    //    wrong in batch 2 shifts that type's whole suffix).
+    "stream_tws_mapstate" -> ((s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        replayThroughStream(s, d, "stream_tws_mapstate_sink",
+          expand = identity,
+          build = src => src
+            .select(col("event_id"), col("user_id"), col("us"),
+              col("v_cents"), col("event_type"))
+            .as[Replay]
+            .groupByKey(_.user_id)
+            .transformWithState(new TypeCounts, TimeMode.None(),
+              OutputMode.Append())
+            .toDF())
+          .filter(col("event_id") >= 0)
+          .orderBy("user_id", "event_type", "type_n")
       } finally {
         prev match {
           case Some(p) => s.conf.set(key, p)
@@ -718,6 +781,11 @@ object StreamingOps {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""",
+    "stream_tws_mapstate" ->
+      """SELECT event_id, user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             ORDER BY epoch_us(ts), event_id) AS type_n
+         FROM events ORDER BY user_id, event_type, type_n""",
     "stream_tws_timers" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
              CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events),
