@@ -125,21 +125,52 @@ object GraphQueries {
     * table into one task even when one degree class holds most of the
     * graph. Returns (old_id, new_id). `private[graft]` so the plan gate
     * can assert the window shapes on the build itself. */
-  private[graft] def degreeOrderPerm(g: DataFrame): DataFrame = {
+  private[graft] def degreeOrderPerm(g: DataFrame): DataFrame =
+    keyOrderPerm(g.select(col("id"),
+      (-col("outdegree").cast("long")).as("okey")))
+
+  /** The generic two-phase rank behind every data-derived ordering: dense
+    * rank of (id) under (okey ASC, id ASC) from an (id, okey) frame.
+    * Bucket by (okey, id DIV 4096), count per bucket, cumsum the counts on
+    * the metadata-sized bucket relation (the only single-partition step),
+    * then row_number only WITHIN each bounded bucket. Shared by
+    * [[degreeOrderPerm]] (okey = −outdeg) and bv_permute_lpa
+    * (okey = cluster label). */
+  private[graft] def keyOrderPerm(g: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = g.select(col("id"), col("outdegree").as("odeg"))
+    val bucketed = g.select(col("id"), col("okey"))
       .withColumn("idb", expr("id div 4096"))
-    val counts = bucketed.groupBy(col("odeg"), col("idb"))
+    val counts = bucketed.groupBy(col("okey"), col("idb"))
       .agg(count(lit(1)).as("c"))
-    val wOff = Window.orderBy(col("odeg").desc, col("idb"))
+    val wOff = Window.orderBy(col("okey"), col("idb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = counts
       .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-    val wIn = Window.partitionBy(col("odeg"), col("idb")).orderBy(col("id"))
+    val wIn = Window.partitionBy(col("okey"), col("idb")).orderBy(col("id"))
     bucketed
-      .join(offs.select(col("odeg"), col("idb"), col("off")), Seq("odeg", "idb"))
+      .join(offs.select(col("okey"), col("idb"), col("off")), Seq("okey", "idb"))
       .withColumn("new_id", col("off") + row_number().over(wIn) - 1)
       .select(col("id").as("old_id"), col("new_id"))
+  }
+
+  /** Two-round deterministic min-label LPA over the graph's symmetric
+    * closure — the cheap clustering that stands in for LLP as an ordering
+    * source: l₀ = id, each round l(v) ← min over the CLOSED neighborhood.
+    * Returns (id, label) for the full dense node space (isolated nodes
+    * keep their own id). Same per-round shape as graph_lpa: one
+    * edge-partitioned join + a partial-aggregated min per round. */
+  private[graft] def lpaLabels(g: DataFrame): DataFrame = {
+    val e = g.select(col("id").as("x"), explode(col("successors")).as("y"))
+    val sym = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
+    val nodes = g.select(col("id"))
+    val nm1 = sym.groupBy(col("x")).agg(min(col("y")).as("mn"))
+    val l1 = nodes.join(nm1.withColumnRenamed("x", "id"), Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("mn"), col("id"))).as("l"))
+    val nm2 = sym.join(l1.select(col("id").as("y"), col("l")), "y")
+      .groupBy(col("x")).agg(min(col("l")).as("mn"))
+    l1.join(nm2.withColumnRenamed("x", "id"), Seq("id"), "left")
+      .select(col("id"),
+        least(col("l"), coalesce(col("mn"), col("l"))).as("label"))
   }
 
   /** The bv_union merge frame: base snapshot (BV decode) ∪ delta batch
@@ -373,6 +404,46 @@ object GraphQueries {
         val g = s.read.format("bvgraph").option("basename", base).load()
         val n = g.agg(max(col("id"))).head().getInt(0) + 1
         val perm = degreeOrderPerm(g)
+        val e = g.select(col("id").as("src"), explode(col("successors")).as("dst"))
+        e.join(perm.select(col("old_id").as("src"), col("new_id").as("nsrc")), "src")
+          .join(perm.select(col("old_id").as("dst"), col("new_id").as("ndst")), "dst")
+          .groupBy(col("nsrc"))
+          .agg(sort_array(collect_list(col("ndst").cast("int"))).as("successors"))
+          .select(col("nsrc").cast("int").as("id"), col("successors"))
+          .withColumn("outdegree", size(col("successors")))
+          .write.format("bvgraph").option("basename", pbase)
+          .option("shards", 8).option("nodes", n).mode("overwrite").save()
+      }
+      s.read.format("bvgraph").option("basename", pbase).option("splits", 8).load()
+        .select(col("id").cast("long").as("src"),
+          explode(col("successors")).as("d"))
+        .select(col("src"), col("d").cast("long").as("dst"))
+        .orderBy("src", "dst")
+    }),
+
+    // -- CLUSTER-ordered renumbering (the LLP-shaped ordering workload —
+    //    Boldi-Rosa-Santini-Vigna 2011: BV compression pays for orderings
+    //    that place same-cluster nodes consecutively; LPA labels are the
+    //    cheap stand-in for full layered label propagation). Two rounds of
+    //    deterministic min-label LPA over the graph's symmetric closure
+    //    give each node a cluster label; the permutation is the dense rank
+    //    under (label, id) via the SAME two-phase bucketed cumsum as
+    //    bv_permute (no global window), and the relabeled graph
+    //    re-compresses through the distributed sink. On this fixture the
+    //    clusters are exactly the customer stars, so the ordering makes
+    //    every successor list CONSECUTIVE — the best-case gap stream
+    //    (interval coding eats it) and the measurable point of
+    //    cluster-ordering. Scale shape: two LPA rounds (edge join +
+    //    partial min each), the rank's bucket cumsum, two node-sized
+    //    endpoint joins, one sink range shuffle.
+    "bv_permute_lpa" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      val pbase = base + "_PL"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pbase + ".shards"))) {
+        val g = s.read.format("bvgraph").option("basename", base).load()
+        val n = g.agg(max(col("id"))).head().getInt(0) + 1
+        val perm = keyOrderPerm(lpaLabels(g)
+          .select(col("id"), col("label").cast("long").as("okey")))
         val e = g.select(col("id").as("src"), explode(col("successors")).as("dst"))
         e.join(perm.select(col("old_id").as("src"), col("new_id").as("nsrc")), "src")
           .join(perm.select(col("old_id").as("dst"), col("new_id").as("ndst")), "dst")
@@ -629,6 +700,30 @@ object GraphQueries {
          perm AS (SELECT id,
              ROW_NUMBER() OVER (ORDER BY odeg DESC, id) - 1 AS new_id
            FROM deg)
+         SELECT pa.new_id AS src, pb.new_id AS dst
+         FROM e JOIN perm pa ON pa.id = e.src
+                JOIN perm pb ON pb.id = e.dst
+         ORDER BY src, dst""",
+    "bv_permute_lpa" ->
+      """WITH e AS MATERIALIZED (
+           SELECT o_custkey AS src, o_orderkey AS dst FROM orders),
+         nodes AS (SELECT unnest(generate_series(0,
+             (SELECT greatest(max(src), max(dst)) FROM e))) AS id),
+         sym AS (SELECT src AS x, dst AS y FROM e
+                 UNION ALL SELECT dst, src FROM e),
+         l1 AS (SELECT n.id,
+             LEAST(n.id, COALESCE(m.mn, n.id)) AS l
+           FROM nodes n LEFT JOIN (
+             SELECT x, MIN(y) AS mn FROM sym GROUP BY x) m ON m.x = n.id),
+         l2 AS (SELECT n.id,
+             LEAST(a.l, COALESCE(m.mn, a.l)) AS label
+           FROM nodes n JOIN l1 a ON a.id = n.id
+           LEFT JOIN (SELECT s.x, MIN(b.l) AS mn
+             FROM sym s JOIN l1 b ON b.id = s.y GROUP BY s.x) m
+             ON m.x = n.id),
+         perm AS (SELECT id,
+             ROW_NUMBER() OVER (ORDER BY label, id) - 1 AS new_id
+           FROM l2)
          SELECT pa.new_id AS src, pb.new_id AS dst
          FROM e JOIN perm pa ON pa.id = e.src
                 JOIN perm pb ON pb.id = e.dst

@@ -67,7 +67,7 @@ class BvAdvisorSpec extends AnyFunSuite {
     val p = perm.queryExecution.executedPlan.toString
     // the node-sized rank window must be bucket-partitioned; only the
     // metadata-sized bucket-count cumsum may run single-partition
-    assert(p.contains("row_number()") && p.contains("windowspecdefinition(odeg"),
+    assert(p.contains("row_number()") && p.contains("windowspecdefinition(okey"),
       s"rank window lost its bucket partitioning:\n$p")
     val rows = perm.collect()
     assert(rows.length == n)
