@@ -493,6 +493,47 @@ object GraphQueries {
         .orderBy("src", "dst")
     }),
 
+    // -- snapshot DIFF between two compressed graphs (the crawl-delta
+    //    report: which arcs appeared / disappeared between yesterday's and
+    //    today's graph). Two derived snapshots are written through the
+    //    sink (A drops dst ≡ 0 mod 7 arcs, B drops dst ≡ 0 mod 5 — both
+    //    real sharded BVGraphs), then diffed with one full-outer join on
+    //    the exploded edge sets: A-only arcs are `removed`, B-only
+    //    `added`. Scale shape: two narrow BV decodes + ONE hash shuffle
+    //    on (src, dst) for the join — the diff never materializes either
+    //    adjacency beyond its own decode, and the output is delta-sized.
+    "bv_diff" -> ((s, d) => {
+      val base = bvFixture(s, d)
+      def snap(suffix: String, drop: Int): String = {
+        val sbase = base + suffix
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sbase + ".shards"))) {
+          val g = s.read.format("bvgraph").option("basename", base).load()
+          val n = g.agg(max(col("id"))).head().getInt(0) + 1
+          g.select(col("id"), explode(col("successors")).as("dst"))
+            .filter(col("dst") % drop =!= 0)
+            .groupBy(col("id"))
+            .agg(sort_array(collect_list(col("dst"))).as("successors"))
+            .withColumn("outdegree", size(col("successors")))
+            .write.format("bvgraph").option("basename", sbase)
+            .option("shards", 4).option("nodes", n).mode("overwrite").save()
+        }
+        sbase
+      }
+      def edgesOf(b: String): DataFrame =
+        s.read.format("bvgraph").option("basename", b).option("splits", 4).load()
+          .select(col("id").cast("long").as("src"),
+            explode(col("successors")).as("dd"))
+          .select(col("src"), col("dd").cast("long").as("dst"))
+      val a = edgesOf(snap("_DA", 7)).withColumn("in_a", lit(1))
+      val b = edgesOf(snap("_DB", 5)).withColumn("in_b", lit(1))
+      a.join(b, Seq("src", "dst"), "full_outer")
+        .filter(col("in_a").isNull || col("in_b").isNull)
+        .select(col("src"), col("dst"),
+          when(col("in_a").isNull, lit("added")).otherwise(lit("removed"))
+            .as("change"))
+        .orderBy("src", "dst")
+    }),
+
     // -- integrity check / fsck (the storage-ops workload: validate a
     //    compressed graph against its format invariants after any
     //    write/transform, without trusting the writer): per 2048-id
@@ -671,6 +712,16 @@ object GraphQueries {
     "bv_transpose" ->
       """SELECT o_orderkey AS src, o_custkey AS dst
          FROM orders ORDER BY src, dst""",
+    "bv_diff" ->
+      """WITH e AS (SELECT o_custkey AS src, o_orderkey AS dst FROM orders),
+         a AS (SELECT src, dst FROM e WHERE dst % 7 <> 0),
+         b AS (SELECT src, dst FROM e WHERE dst % 5 <> 0)
+         SELECT COALESCE(a.src, b.src) AS src,
+           COALESCE(a.dst, b.dst) AS dst,
+           CASE WHEN a.src IS NULL THEN 'added' ELSE 'removed' END AS change
+         FROM a FULL OUTER JOIN b ON a.src = b.src AND a.dst = b.dst
+         WHERE a.src IS NULL OR b.src IS NULL
+         ORDER BY src, dst""",
     "bv_union" ->
       """SELECT src, dst FROM (
            SELECT o_custkey AS src, o_orderkey AS dst FROM orders

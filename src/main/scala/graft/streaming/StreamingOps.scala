@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` schema (SURVEY.md §2.3
   * "Streaming" row — absent in the reference, declared in the engine plan):
@@ -290,6 +290,40 @@ object StreamingOps {
     }
   }
 
+  case class LagOut(event_id: Long, user_id: Long, prev1: Long, prev2: Long,
+      prev3: Long)
+
+  /** Per-user bounded recent-history buffer on ListState — the fifth
+    * arbitrary-state shape: the last-K-events window behind streaming
+    * feature lags, fraud n-grams and micro-pattern detectors. Each row
+    * emits the previous 3 event ids (−1-padded), i.e. streaming LAG 1–3;
+    * the buffer is rewritten trimmed to K=3 via put(), so state per key
+    * is K longs regardless of stream length. The batch-window oracle
+    * (LAG over (user, time)) value-checks every buffer round-trip —
+    * a list restored wrong in batch 2 corrupts that user's whole
+    * lag suffix. */
+  private class RecentEvents extends StatefulProcessor[Long, Replay, LagOut] {
+    @transient private var st: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Replay],
+        tv: TimerValues): Iterator[LagOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.us, r.event_id))
+      var buf = if (st.exists()) st.get().toArray else Array.empty[Long]
+      val out = sorted.map { r =>
+        val o = LagOut(r.event_id, key,
+          if (buf.length > 0) buf(0) else -1L,
+          if (buf.length > 1) buf(1) else -1L,
+          if (buf.length > 2) buf(2) else -1L)
+        buf = (r.event_id +: buf).take(3)
+        o
+      }
+      st.put(buf)
+      out.iterator
+    }
+  }
+
   private class RunningTotals extends StatefulProcessor[Long, Replay, RunOut] {
     @transient private var st: ValueState[RunTotals] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -470,6 +504,37 @@ object StreamingOps {
             .toDF())
           .filter(col("event_id") >= 0)
           .orderBy("user_id", "run_n")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
+    // -- transformWithState with LISTSTATE (the 14th oracle-gated
+    //    streaming query, fifth arbitrary-state shape): per-user bounded
+    //    last-3-events buffer — every row emits its lags, the buffer
+    //    rewrites trimmed, and the LAG-window oracle value-checks every
+    //    cross-batch list round-trip.
+    "stream_tws_liststate" -> ((s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        replayThroughStream(s, d, "stream_tws_liststate_sink",
+          expand = identity,
+          build = src => src
+            .select(col("event_id"), col("user_id"), col("us"),
+              col("v_cents"), col("event_type"))
+            .as[Replay]
+            .groupByKey(_.user_id)
+            .transformWithState(new RecentEvents, TimeMode.None(),
+              OutputMode.Append())
+            .toDF())
+          .filter(col("event_id") >= 0)
+          .orderBy("user_id", "event_id")
       } finally {
         prev match {
           case Some(p) => s.conf.set(key, p)
@@ -781,6 +846,14 @@ object StreamingOps {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""",
+    "stream_tws_liststate" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+         SELECT event_id, user_id,
+           COALESCE(LAG(event_id, 1) OVER w, -1) AS prev1,
+           COALESCE(LAG(event_id, 2) OVER w, -1) AS prev2,
+           COALESCE(LAG(event_id, 3) OVER w, -1) AS prev3
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ORDER BY user_id, event_id""",
     "stream_tws_mapstate" ->
       """SELECT event_id, user_id, event_type,
            ROW_NUMBER() OVER (PARTITION BY user_id, event_type
