@@ -322,6 +322,35 @@ object ScaleRehearsal {
         .select(explode(col("successors"))).count()
       (arcs, graphBytesOf(pbase) * 8.0 / arcs)
     }
+    // Borůvka MSF at scale (graph_msf's shared loop): undirected edges
+    // u < v with deterministic hash weights, pk packed wide enough for
+    // the rehearsal id space (w < 2^10, ids < 2^25). The check is the
+    // FOREST INVARIANT — every chosen edge reduces the component count
+    // by exactly one, so incident-node count − chosen = final components
+    // — which holds only if selection, mutual-pair breaking and the
+    // doubling relabel are all exactly right; no reference answer needed.
+    val ((msfNodes, msfChosen, msfComps), tMsf) = timed {
+      val und = g.select(col("id").cast("long").as("a"),
+          explode(col("successors")).as("b0"))
+        .select(col("a"), col("b0").cast("long").as("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val (we, weIds) = checkpoint(und.select(col("u"), col("v"),
+        (((col("u") * 2654435761L + col("v")) % 997 + 1) * (1L << 50)
+          + col("u") * (1L << 25) + col("v")).as("pk")))
+      val doublings = math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1L)))
+      val (chosen, comps, loopIds) = graft.queries.GraphAlgos
+        .boruvkaForest(spark, we, rounds = 3, doublings = doublings)
+      val nNodes = we.select(explode(array(col("u"), col("v"))).as("id"))
+        .distinct().count()
+      val nChosen = chosen.count()
+      val nComps = comps.select(col("comp")).distinct().count()
+      free(weIds); free(loopIds)
+      (nNodes, nChosen, nComps)
+    }
+
     def f(v: Double): String = f"$v%.2f"
     println(s"""{"nodes":$n,"arcs":$mm,"shards":$shards,""" +
       s""""bits_per_link":${f(bitsPerLink)},"write_sec":${f(tWrite)},""" +
@@ -345,11 +374,14 @@ object ScaleRehearsal {
       s""""advisor_gain_pct":${f(advGainPct)},""" +
       s""""advisor_model_matches_encoder":$modelOk,""" +
       s""""perm_sec":${f(tPerm)},"perm_bits_per_link":${f(permBpl)},""" +
+      s""""msf_sec":${f(tMsf)},"msf_nodes":$msfNodes,""" +
+      s""""msf_chosen":$msfChosen,"msf_components":$msfComps,""" +
       s""""checks":${nn == n && m2 == mm && mGol == mm && rtEdges == expRt &&
         sccOnCycle >= 1 && sccOnCycle <= sccN && hbMin >= 1 &&
         hbAvgX100 >= 100L * (1 + avgDeg) &&
         prCount == n && prMin >= 150000000L &&
-        modelOk && permArcs == mm}}""")
+        modelOk && permArcs == mm &&
+        msfNodes - msfChosen == msfComps && msfChosen > 0}}""")
     spark.stop()
   }
 }

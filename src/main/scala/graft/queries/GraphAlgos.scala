@@ -247,6 +247,70 @@ object GraphAlgos {
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
   }
 
+  /** The Borůvka loop behind graph_msf, shared with the scale rehearsal.
+    * `we` must be a (u, v, pk) frame — undirected edges u < v with pk a
+    * BIGINT packing of the (weight, u, v) total order (packing width is
+    * the caller's knowledge of its id/weight ranges) — already
+    * checkpointed. Per round: per-component argmin over incident cross
+    * edges, mutual min-pairs broken to the smaller id (the only cycles,
+    * by the distinct-key Borůvka argument), pointer-doubling relabel to
+    * the selection-forest roots (early exit at the fixpoint —
+    * result-identical to running all `doublings`). Returns the chosen
+    * edges (round, pk), the final component labels (id, comp), and the
+    * RDD ids backing both (caller frees them after its terminal action).
+    */
+  private[graft] def boruvkaForest(s: SparkSession, we: DataFrame,
+      rounds: Int, doublings: Int): (DataFrame, DataFrame, Set[Int]) = {
+    val keep = scala.collection.mutable.Set.empty[Int]
+    var comp = we.select(explode(array(col("u"), col("v"))).as("id"))
+      .distinct().select(col("id"), col("id").as("comp"))
+    var compIds = Set.empty[Int]
+    var chosen = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val ec = we
+        .join(comp.select(col("id").as("u"), col("comp").as("cu")), "u")
+        .join(comp.select(col("id").as("v"), col("comp").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+      val inc = ec.select(col("cu").as("c"), col("cv").as("o"), col("pk"))
+        .unionByName(ec.select(col("cv").as("c"), col("cu").as("o"), col("pk")))
+      val (sel, selIds) = checkpointWithIds(inc.groupBy(col("c"))
+        .agg(min_by(col("o"), col("pk")).as("p"), min(col("pk")).as("mk")))
+      keep ++= selIds // chosen's lineage roots here until the caller's action
+      chosen ::= sel.select(lit(r.toLong).as("round"), col("mk").as("pk"))
+        .distinct()
+      val brk = sel.select(col("c"), col("p"))
+        .join(sel.select(col("c").as("p"), col("p").as("pp")), "p")
+        .select(col("c"),
+          when(col("pp") === col("c"), least(col("c"), col("p")))
+            .otherwise(col("p")).as("p"))
+      val isolated = comp.select(col("comp").as("c")).distinct()
+        .join(sel.select(col("c")), Seq("c"), "left_anti")
+        .select(col("c"), col("c").as("p"))
+      var (ptr, ptrIds) = checkpointWithIds(brk.unionByName(isolated))
+      var changed = true
+      var k = 0
+      while (k < doublings && changed) {
+        val (nxt, nxtIds) = checkpointWithIds(
+          ptr.join(ptr.select(col("c").as("p"), col("p").as("p2")), "p")
+            .select(col("c"), col("p").as("old"), col("p2").as("p")))
+        changed = nxt.filter(col("p") =!= col("old")).limit(1).count() > 0
+        freeRdds(s, ptrIds)
+        ptr = nxt.select(col("c"), col("p"))
+        ptrIds = nxtIds
+        k += 1
+      }
+      val (nextComp, nextCompIds) = checkpointWithIds(
+        comp.join(ptr.select(col("c").as("comp"), col("p")), "comp")
+          .select(col("id"), col("p").as("comp")))
+      freeRdds(s, ptrIds)
+      freeRdds(s, compIds)
+      comp = nextComp
+      compIds = nextCompIds
+    }
+    keep ++= compIds
+    (chosen.reduce(_ unionByName _), comp, keep.toSet)
+  }
+
   val queries: Map[String, Q] = Map(
     // -- minimum spanning forest via BORŮVKA (2 synchronous rounds — the
     //    weighted-graph companion to graph_scc's pointer doubling): each
@@ -270,65 +334,14 @@ object GraphAlgos {
     //    pointers stop changing is result-identical to running all 15
     //    doublings (fixpoint of an idempotent map).
     "graph_msf" -> ((s, d) => {
-      val rounds = 2
-      val doublings = 15
-      val deferFree = scala.collection.mutable.Set.empty[Int]
       val (we, weIds) = checkpointWithIds(
         weightedCoPurchase(s, d).select(col("u"), col("v"), col("w"),
           (col("w") * lit(1L << 44) + col("u") * lit(1L << 22) + col("v"))
             .as("pk")))
-      deferFree ++= weIds
-      var comp = we.select(explode(array(col("u"), col("v"))).as("id"))
-        .distinct().select(col("id"), col("id").as("comp"))
-      var compIds = Set.empty[Int]
-      var chosen = List.empty[DataFrame]
-      for (r <- 1 to rounds) {
-        val ec = we
-          .join(comp.select(col("id").as("u"), col("comp").as("cu")), "u")
-          .join(comp.select(col("id").as("v"), col("comp").as("cv")), "v")
-          .filter(col("cu") =!= col("cv"))
-        val inc = ec.select(col("cu").as("c"), col("cv").as("o"), col("pk"))
-          .unionByName(ec.select(col("cv").as("c"), col("cu").as("o"), col("pk")))
-        val (sel, selIds) = checkpointWithIds(inc.groupBy(col("c"))
-          .agg(min_by(col("o"), col("pk")).as("p"), min(col("pk")).as("mk")))
-        deferFree ++= selIds // chosen's lineage roots here until the collect
-        chosen ::= sel.select(lit(r.toLong).as("round"), col("mk").as("pk"))
-          .distinct()
-        // break mutual min-pairs (the only cycles, by the distinct-key
-        // Borůvka argument) toward the smaller id → acyclic forest with
-        // self-pointing roots; isolated components stay their own root
-        val brk = sel.select(col("c"), col("p"))
-          .join(sel.select(col("c").as("p"), col("p").as("pp")), "p")
-          .select(col("c"),
-            when(col("pp") === col("c"), least(col("c"), col("p")))
-              .otherwise(col("p")).as("p"))
-        val isolated = comp.select(col("comp").as("c")).distinct()
-          .join(sel.select(col("c")), Seq("c"), "left_anti")
-          .select(col("c"), col("c").as("p"))
-        var (ptr, ptrIds) = checkpointWithIds(brk.unionByName(isolated))
-        var changed = true
-        var k = 0
-        while (k < doublings && changed) {
-          val (nxt, nxtIds) = checkpointWithIds(
-            ptr.join(ptr.select(col("c").as("p"), col("p").as("p2")), "p")
-              .select(col("c"), col("p").as("old"), col("p2").as("p")))
-          changed = nxt.filter(col("p") =!= col("old")).limit(1).count() > 0
-          freeRdds(s, ptrIds)
-          ptr = nxt.select(col("c"), col("p"))
-          ptrIds = nxtIds
-          k += 1
-        }
-        val (nextComp, nextCompIds) = checkpointWithIds(
-          comp.join(ptr.select(col("c").as("comp"), col("p")), "comp")
-            .select(col("id"), col("p").as("comp")))
-        freeRdds(s, ptrIds)
-        freeRdds(s, compIds)
-        comp = nextComp
-        compIds = nextCompIds
-      }
-      deferFree ++= compIds
-      graft.Caches.defer(s)(freeRdds(s, deferFree.toSet))
-      chosen.reduce(_ unionByName _)
+      val (chosen, _, loopIds) = boruvkaForest(s, we, rounds = 2,
+        doublings = 15)
+      graft.Caches.defer(s)(freeRdds(s, weIds ++ loopIds))
+      chosen
         .join(we.select(col("pk"), col("u"), col("v"), col("w")), "pk")
         .select(col("round"), col("u"), col("v"), col("w"))
         .orderBy("round", "u", "v")
