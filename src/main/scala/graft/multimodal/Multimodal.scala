@@ -139,4 +139,39 @@ object Multimodal {
       .mapPartitions(_.grouped(DECODE_BATCH).flatMap(extractBatch))
       .toDF()
   }
+
+  case class MmPhash(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Perceptual-hash proxy over the stub decode, FIXED-GEOMETRY so that
+    * alike payloads hash alike regardless of doc metadata: 16x16 stub
+    * decode -> 8x8 nearest-neighbor resize (rs[p] = payload[(2*(p/8)*16
+    * + 2*(p%8)) mod len] — pure index math the oracle replays from the
+    * bytes), bit p set iff 64*rs[p] > sum(rs) (mean threshold with no
+    * division), packed as four 16-bit LSH bands. A real pHash swaps the
+    * stub decode for a DCT over real pixels; everything downstream —
+    * banding, candidate join, Hamming verify — is unchanged. */
+  def phashBatch(batch: Seq[MmRecord]): Iterator[MmPhash] = {
+    batch.iterator.map { r =>
+      val pixels = decodeImageStub(r.payload, 16, 16)
+      val rs = resizeStub(pixels, 16, 16, 8, 8)
+      var tot = 0L
+      var i = 0
+      while (i < 64) { tot += rs(i) & 0xff; i += 1 }
+      val bands = new Array[Long](4)
+      i = 0
+      while (i < 64) {
+        if (64L * (rs(i) & 0xff) > tot) bands(i / 16) |= 1L << (i % 16)
+        i += 1
+      }
+      MmPhash(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+    }
+  }
+
+  /** The batched perceptual-hash pass: (doc_id, b0..b3). */
+  def phash(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    attachPayload(docs).as[MmRecord]
+      .mapPartitions(_.grouped(DECODE_BATCH).flatMap(phashBatch))
+      .toDF()
+  }
 }

@@ -257,6 +257,36 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // -- unigram surprisal: the perplexity PROXY a filter pipeline can
+    //    afford. Token surprisal log2(N/cnt) is approximated in PURE
+    //    integers as bitlen(N) − bitlen(cnt) (within 1 bit of the float
+    //    log, zero libm — the hash-safe stand-in; cf. bm25_search's
+    //    rational idf). Per doc: token count, summed surprisal bits, and
+    //    bits/token ×100 — the ranking that separates boilerplate (common
+    //    tokens, low surprisal) from natural prose. Scale shape: ONE token
+    //    explode; the unigram table is Zipf-small vs the corpus
+    //    (broadcast-tier under AQE); the per-doc sum partial-aggregates;
+    //    raw text never crosses an exchange.
+    "quality_surprisal" -> ((s, d) => {
+      def blen(c: Column): Column = length(bin(c)).cast("long")
+      val tok = documents(s, d)
+        .select(col("doc_id"),
+          explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+            " ")).as("t"))
+        .filter(col("t") =!= "")
+      val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val n = tok.count() // bounded driver scalar: the corpus token total
+      val nBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+      tok.join(uni, "t")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(lit(nBits.toLong) - blen(col("cnt"))).as("surprisal_bits"))
+        .select(col("doc_id"), col("n_tok"), col("surprisal_bits"),
+          floor(col("surprisal_bits") * lit(100L) / col("n_tok"))
+            .cast("long").as("bits_per_tok_x100"))
+        .orderBy("doc_id")
+    }),
+
     // -- sequence packing (GPT-style): concatenate the token stream in
     //    doc_id order and split at fixed C=256-token block boundaries;
     //    per doc surface its absolute token offset and the blocks it
@@ -526,6 +556,20 @@ object CurationQueries {
            CAST((top_cnt * 10 <= n_words)
              AND ((n_words - n_distinct) * 2 <= n_words) AS BIGINT) AS keep
          FROM base ORDER BY doc_id""",
+    "quality_surprisal" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+           FROM documents),
+         tok AS (SELECT doc_id, t FROM w WHERE t <> ''),
+         uni AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+         n AS (SELECT length(bin(COUNT(*))) AS nbits FROM tok)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(n.nbits - length(bin(uni.cnt))) AS BIGINT)
+             AS surprisal_bits,
+           CAST(FLOOR(SUM(n.nbits - length(bin(uni.cnt))) * 100 / COUNT(*))
+             AS BIGINT) AS bits_per_tok_x100
+         FROM tok JOIN uni USING (t) CROSS JOIN n
+         GROUP BY doc_id ORDER BY doc_id""",
     "quality_gopher_rules" ->
       """WITH w AS (SELECT doc_id, text,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,

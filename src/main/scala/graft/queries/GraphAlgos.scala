@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -311,6 +311,49 @@ object GraphAlgos {
     (chosen.reduce(_ unionByName _), comp, keep.toSet)
   }
 
+  /** KMV ball-sketch loop shared by graph_hyperball / graph_harmonic /
+    * graph_nf: per-node bottom-k (k = 16) sketches of the radius-1 and
+    * radius-2 balls over the symmetrized co-purchase graph. k-min of a
+    * union equals k-min of the members' k-mins, so per-round truncation is
+    * LOSSLESS for the final estimates and state stays k longs per node
+    * however big the ball gets — radius rounds of one edge-partitioned join
+    * + one bounded-state aggregate, the same per-round shuffle profile as
+    * pagerank (the 100 TB point; exact all-node balls cost Σdeg² rows).
+    * Hashes are modular (h = x·2654435761 mod (1e9+7) + 1, 0 kept free).
+    * Both generations are localCheckpoint'ed and freed at the next
+    * Caches.defer sweep.
+    */
+  private val kmvK = 16
+  private val kmvM = 1000000007L
+  private def kmvBallSketches(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val kmv = udaf(new graft.functions.SketchAggs.KmvUnion(kmvK))
+    val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+    graft.Caches.defer(s)(freeRdds(s, eIds))
+    val sym = e.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+    val st0 = sym.select(col("x")).distinct()
+      .select(col("x"),
+        array((col("x") * lit(2654435761L)) % lit(kmvM) + lit(1L)).as("sk"))
+    def round(st: DataFrame): (DataFrame, Set[Int]) = {
+      val msgs = sym.join(st.withColumnRenamed("x", "y"), "y")
+        .select(col("x"), col("sk"))
+      checkpointWithIds(
+        msgs.unionByName(st).groupBy(col("x")).agg(kmv(col("sk")).as("sk")))
+    }
+    val (st1, ids1) = round(st0)
+    val (st2, ids2) = round(st1)
+    graft.Caches.defer(s)(freeRdds(s, ids1))
+    graft.Caches.defer(s)(freeRdds(s, ids2))
+    (st1, st2)
+  }
+
+  /** The KMV estimate of the sketched set's size: exact count below k,
+    * else (k−1)·M DIV kth-smallest hash — BIGINT division, replayable to
+    * the digit by the DuckDB oracle. */
+  private def kmvEst: Column =
+    when(size(col("sk")) < kmvK, size(col("sk")).cast("long"))
+      .otherwise(expr(s"${(kmvK - 1) * kmvM} DIV element_at(sk, $kmvK)"))
+
   val queries: Map[String, Q] = Map(
     // -- minimum spanning forest via BORŮVKA (2 synchronous rounds — the
     //    weighted-graph companion to graph_scc's pointer doubling): each
@@ -387,6 +430,51 @@ object GraphAlgos {
         .select(col("id").cast("long").as("src"),
           col("outdegree").cast("long").as("odeg")))
       pageRankLoop(s, e, nodes, outdeg, iters = 3, checkpointEachIter = true)
+    }),
+
+    // -- PERSONALIZED PageRank with restart to a seed set (id ≡ 0 mod 17),
+    //    on the GENERAL co-purchase graph — where in-degrees exceed 1, so
+    //    float rank sums would be accumulation-order-dependent. The fix is
+    //    an ALL-INTEGER iteration: ranks are e9-scaled BIGINTs, each edge
+    //    contributes (85·r) DIV (100·deg) (the 0.85 damping as exact
+    //    integer division), and the per-node Σ of BIGINTs is order-
+    //    independent — hash-exact in any engine at any parallelism, the
+    //    determinism float PageRank cannot give on a multi-in-degree
+    //    graph. r₀ = 1e9·[seed]; r_{t+1}(v) = 15e7·[v seed] + Σ_{u~v}
+    //    (85·r_t(u)) DIV (100·deg(u)); 2 iterations, checkpointed per
+    //    iteration (kcore hygiene). Per-round shape: one edge-partitioned
+    //    join + one partial-aggregated integer sum — pagerank's exact
+    //    shuffle profile.
+    "graph_ppr" -> ((s, d) => {
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val isSeed = (col("x") % 17 === 0).cast("long")
+      val nodes = sym.select(col("x")).distinct()
+      var r = nodes.select(col("x"), (isSeed * lit(1000000000L)).as("r"))
+      var rIds = Set.empty[Int]
+      for (_ <- 1 to 2) {
+        val contrib = sym
+          .join(r.withColumnRenamed("x", "src")
+            .withColumnRenamed("r", "rs"), col("x") === col("src"))
+          .join(deg.withColumnRenamed("x", "dsrc")
+            .withColumnRenamed("dg", "dgs"), col("src") === col("dsrc"))
+          .select(col("y").as("x"),
+            expr("(85 * rs) DIV (100 * dgs)").as("c"))
+        val (ck, ids) = checkpointWithIds(
+          nodes.join(contrib.groupBy(col("x")).agg(sum(col("c")).as("sc")),
+              Seq("x"), "left")
+            .select(col("x"),
+              (isSeed * lit(150000000L) + coalesce(col("sc"), lit(0L)))
+                .as("r")))
+        freeRdds(s, rIds)
+        r = ck
+        rIds = ids
+      }
+      graft.Caches.defer(s)(freeRdds(s, rIds))
+      r.select(col("x").as("node"), col("r").as("ppr_e9")).orderBy("node")
     }),
 
     // -- SCC by pointer doubling on the functional part graph: see
@@ -778,33 +866,52 @@ object GraphAlgos {
     //    replays the bottom-k via window row_number over the naive ball —
     //    estimator and exact path agree to the digit in both engines.
     "graph_hyperball" -> ((s, d) => {
-      val k = 16
-      val M = 1000000007L
-      val kmv = udaf(new graft.functions.SketchAggs.KmvUnion(k))
-      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
-      graft.Caches.defer(s)(freeRdds(s, eIds))
-      val sym = e.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
-      var st = sym.select(col("x")).distinct()
-        .select(col("x"),
-          array((col("x") * lit(2654435761L)) % lit(M) + lit(1L)).as("sk"))
-      var stIds = Set.empty[Int]
-      for (_ <- 1 to 2) { // radius 2: ball_{r+1} merges N[x]'s ball_r sketches
-        val msgs = sym.join(st.withColumnRenamed("x", "y"), "y")
-          .select(col("x"), col("sk"))
-        val (ck, ids) = checkpointWithIds(
-          msgs.unionByName(st).groupBy(col("x")).agg(kmv(col("sk")).as("sk")))
-        freeRdds(s, stIds)
-        st = ck
-        stIds = ids
-      }
-      graft.Caches.defer(s)(freeRdds(s, stIds))
-      st.select(col("x").as("node"),
+      val (_, st2) = kmvBallSketches(s, d)
+      st2.select(col("x").as("node"),
         size(col("sk")).cast("long").as("n_sk"),
-        when(size(col("sk")) < k, size(col("sk")).cast("long"))
-          .otherwise(expr(s"${(k - 1) * M} DIV element_at(sk, $k)"))
-          .as("ball2_est"))
+        kmvEst.as("ball2_est"))
         .orderBy("node")
+    }),
+
+    // -- harmonic centrality (the HyperBall statistic Boldi–Vigna built the
+    //    sketch loop FOR) at radius 2, over EVERY node, from the same
+    //    bounded per-node KMV state as graph_hyperball: with est_r the
+    //    estimate of |ball_r(x)| (self included), |dist=1| = est₁ − 1 and
+    //    |dist=2| = est₂ − est₁, so harm₂×2 = 2·|d1| + |d2| collapses to
+    //    est₁ + est₂ − 2 — two sketch generations, one join, no Σdeg² blow-
+    //    up (graph_ball2 pays that exactly on a 1/17 seed sample; this is
+    //    the all-nodes scale path). The estimator is exact-replayable:
+    //    bottom-16 of modular hashes + BIGINT division, so the oracle
+    //    reproduces every estimate to the digit.
+    "graph_harmonic" -> ((s, d) => {
+      val (st1, st2) = kmvBallSketches(s, d)
+      st1.select(col("x"), kmvEst.as("ball1_est"))
+        .join(st2.select(col("x"), kmvEst.as("ball2_est")), "x")
+        .select(col("x").as("node"), col("ball1_est"), col("ball2_est"),
+          (col("ball1_est") + col("ball2_est") - lit(2L)).as("harm2_x2_est"))
+        .orderBy("node")
+    }),
+
+    // -- the global NEIGHBORHOOD FUNCTION N(r) = Σ_x |ball_r(x)| for
+    //    r ∈ {0,1,2} — the distance-distribution / effective-diameter
+    //    ingredient (HyperANF's output) — as one metadata-sized row.
+    //    N(0) = n and N(1) = n + 2m are exact closed forms cross-checking
+    //    the sketch sums; N(2) sums the per-node KMV estimates (BIGINT sum
+    //    of BIGINT estimates — order-independent, hash-safe). reach2_x1e6
+    //    = floor(N(2)·1e6 / n²) is the fraction of ordered pairs within
+    //    distance 2. Scale shape: the per-node frames never leave the
+    //    executors; only 1-row partial sums cross the final exchange.
+    "graph_nf" -> ((s, d) => {
+      val (st1, st2) = kmvBallSketches(s, d)
+      val per = st1.select(col("x"), kmvEst.as("e1"))
+        .join(st2.select(col("x"), kmvEst.as("e2")), "x")
+      per.agg(
+          count(lit(1)).as("nodes"),
+          sum(col("e1")).as("nf1_est"),
+          sum(col("e2")).as("nf2_est"))
+        .select(col("nodes"), col("nf1_est"), col("nf2_est"),
+          floor(col("nf2_est") * lit(1000000L) / (col("nodes") * col("nodes")))
+            .cast("long").as("reach2_x1e6"))
     }),
 
     "graph_kcore" -> ((s, d) => {
@@ -875,6 +982,42 @@ object GraphAlgos {
     """e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
          FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+  /** Exact replay of the bottom-16 KMV estimates at radii 1 and 2 (for
+    * graph_harmonic / graph_nf): the naive distinct balls, modular hashes,
+    * row_number bottom-k, and the same BIGINT `(k-1)·M // kth` estimate as
+    * the Spark sketches — estimator and exact path agree to the digit.
+    * Expects the `e` CTE ([[edgesCte]]) in scope; yields `e1`/`e2` as
+    * (node, est). */
+  private val kmvReplayCtes =
+    s"""sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+       ball1 AS (SELECT DISTINCT node, w FROM (
+         SELECT x AS node, y AS w FROM sym
+         UNION ALL SELECT DISTINCT x AS node, x AS w FROM sym)),
+       ball2 AS (SELECT DISTINCT node, w FROM (
+         SELECT x AS node, y AS w FROM sym
+         UNION ALL
+         SELECT s1.x AS node, s2.y AS w FROM sym s1 JOIN sym s2 ON s2.x = s1.y
+         UNION ALL
+         SELECT DISTINCT x AS node, x AS w FROM sym)),
+       h1 AS (SELECT DISTINCT node, (w * 2654435761) % 1000000007 + 1 AS h
+         FROM ball1),
+       h2 AS (SELECT DISTINCT node, (w * 2654435761) % 1000000007 + 1 AS h
+         FROM ball2),
+       r1 AS (SELECT node, h,
+           row_number() OVER (PARTITION BY node ORDER BY h) AS rn FROM h1),
+       r2 AS (SELECT node, h,
+           row_number() OVER (PARTITION BY node ORDER BY h) AS rn FROM h2),
+       s1 AS (SELECT node, COUNT(*) AS cnt,
+           MAX(CASE WHEN rn = 16 THEN h END) AS hk
+         FROM r1 WHERE rn <= 16 GROUP BY node),
+       s2 AS (SELECT node, COUNT(*) AS cnt,
+           MAX(CASE WHEN rn = 16 THEN h END) AS hk
+         FROM r2 WHERE rn <= 16 GROUP BY node),
+       e1 AS (SELECT node, CASE WHEN cnt < 16 THEN cnt
+           ELSE ${15L * 1000000007L} // hk END AS est FROM s1),
+       e2 AS (SELECT node, CASE WHEN cnt < 16 THEN cnt
+           ELSE ${15L * 1000000007L} // hk END AS est FROM s2)"""
 
   /** The 16 chained doubling CTEs for graph_scc's oracle — MATERIALIZED,
     * because each s_k is referenced twice and DuckDB would otherwise
@@ -1006,6 +1149,20 @@ object GraphAlgos {
            CAST(CASE WHEN cnt < 16 THEN cnt
                 ELSE ${15L * 1000000007L} // hk END AS BIGINT) AS ball2_est
          FROM sk ORDER BY node""",
+    "graph_harmonic" ->
+      s"""WITH $edgesCte, $kmvReplayCtes
+         SELECT e1.node, CAST(e1.est AS BIGINT) AS ball1_est,
+           CAST(e2.est AS BIGINT) AS ball2_est,
+           CAST(e1.est + e2.est - 2 AS BIGINT) AS harm2_x2_est
+         FROM e1 JOIN e2 ON e2.node = e1.node ORDER BY e1.node""",
+    "graph_nf" ->
+      s"""WITH $edgesCte, $kmvReplayCtes
+         SELECT CAST(COUNT(*) AS BIGINT) AS nodes,
+           CAST(SUM(e1.est) AS BIGINT) AS nf1_est,
+           CAST(SUM(e2.est) AS BIGINT) AS nf2_est,
+           CAST(FLOOR(SUM(e2.est) * 1000000 / (COUNT(*) * COUNT(*)))
+             AS BIGINT) AS reach2_x1e6
+         FROM e1 JOIN e2 ON e2.node = e1.node""",
     "graph_random_walk" ->
       s"""WITH $edgesCte,
          sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
@@ -1090,6 +1247,29 @@ object GraphAlgos {
              CAST(FLOOR((0.15 + 0.85 * (0.15 / d.odeg)) * 1000000000.0) AS BIGINT) AS pr_e9
            FROM orders o JOIN deg d ON o.o_custkey = d.o_custkey)
          ORDER BY id""",
+    "graph_ppr" ->
+      s"""WITH $edgesCte,
+         sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+         deg AS (SELECT x, COUNT(*) AS dg FROM sym GROUP BY x),
+         n0 AS (SELECT DISTINCT x FROM sym),
+         r0 AS (SELECT x, CAST(CASE WHEN x % 17 = 0
+             THEN 1000000000 ELSE 0 END AS BIGINT) AS r FROM n0),
+         c1 AS (SELECT s.y AS x, SUM((85 * r.r) // (100 * d.dg)) AS sc
+           FROM sym s JOIN r0 r ON r.x = s.x JOIN deg d ON d.x = s.x
+           GROUP BY s.y),
+         r1 AS (SELECT n0.x,
+             CAST(CASE WHEN n0.x % 17 = 0 THEN 150000000 ELSE 0 END
+               + COALESCE(c1.sc, 0) AS BIGINT) AS r
+           FROM n0 LEFT JOIN c1 ON c1.x = n0.x),
+         c2 AS (SELECT s.y AS x, SUM((85 * r.r) // (100 * d.dg)) AS sc
+           FROM sym s JOIN r1 r ON r.x = s.x JOIN deg d ON d.x = s.x
+           GROUP BY s.y),
+         r2 AS (SELECT n0.x,
+             CASE WHEN n0.x % 17 = 0 THEN 150000000 ELSE 0 END
+               + COALESCE(c2.sc, 0) AS r
+           FROM n0 LEFT JOIN c2 ON c2.x = n0.x)
+         SELECT x AS node, CAST(r AS BIGINT) AS ppr_e9 FROM r2
+         ORDER BY node""",
     "graph_reciprocity" ->
       """WITH de AS MATERIALIZED (
            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

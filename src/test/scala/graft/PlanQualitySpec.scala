@@ -265,13 +265,29 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     Caches.hardSweep(spark)
   }
 
+  test("graph_ppr: per-iteration checkpoints keep the plan flat; integer sums partial-aggregate") {
+    val df = SparkEntry.queries("graph_ppr")(spark, sf0001)
+    val analyzedNodes = df.queryExecution.analyzed.collect { case p => p }.size
+    assert(analyzedNodes < 80,
+      s"graph_ppr plan has $analyzedNodes nodes — iteration lineage is leaking")
+    val p = executed(df)
+    // like bv_pagerank: after the iterations the rank frame must be a
+    // checkpointed leaf — the integer-sum aggregates live in the per-round
+    // checkpoint jobs, not in this final sort+project
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"the iterated rank frame must be a checkpointed leaf:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the final projection must not reshuffle the checkpointed ranks:\n$p")
+    Caches.hardSweep(spark)
+  }
+
   test("iterative loops: every declared graph query plans in bounded time") {
     // cheap canary for the whole iterative family: building the query and
     // reaching the optimized plan must be seconds, not minutes, at the
     // smallest SF. (Execution cost is Bench's job; PLANNING cost is this
     // test's.)
     Seq("graph_pagerank", "graph_bfs", "graph_cc", "graph_scc",
-        "graph_msf").foreach { name =>
+        "graph_msf", "graph_ppr").foreach { name =>
       Caches.hardSweep(spark)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sf0001)
@@ -370,6 +386,50 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       l.contains("Aggregate") && l.contains("partial_"))
     assert(partialLine.isDefined,
       s"sketch merge is not partial-aggregated before the exchange:\n$p")
+  }
+
+  test("graph_harmonic / graph_nf: sketch generations stay checkpoint leaves; nf reduces map-side") {
+    // both reuse graph_hyperball's KMV round (partial-merge gated above);
+    // what's new to gate: the two-generation join must sit on checkpoint
+    // leaves (no re-derivation of round 1 inside round 2's lineage), and
+    // graph_nf's global sums must combine map-side so only 1-row partials
+    // reach the single-partition exchange
+    val h = SparkEntry.queries("graph_harmonic")(spark, sf0001)
+    val hNodes = h.queryExecution.analyzed.collect { case p => p }.size
+    assert(hNodes < 80,
+      s"graph_harmonic plan has $hNodes nodes — sketch lineage is leaking")
+    val nf = SparkEntry.queries("graph_nf")(spark, sf0001)
+    val p = executed(nf)
+    assert(p.linesIterator.exists(l =>
+        l.contains("Aggregate") && l.contains("partial_")),
+      s"graph_nf's global sums are not partial-aggregated:\n$p")
+    assert(p.contains("SinglePartition"),
+      s"graph_nf must reduce to one metadata-sized row:\n$p")
+    Caches.hardSweep(spark)
+  }
+
+  test("quality_surprisal: unigram join broadcasts; raw text never crosses an exchange") {
+    val df = SparkEntry.queries("quality_surprisal")(spark, sf0001)
+    val p = executed(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the Zipf-small unigram table should broadcast under AQE:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!ex.exists(_.contains("text#")),
+      s"raw text crossed an exchange:\n${ex.mkString("\n")}")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    Caches.hardSweep(spark)
+  }
+
+  test("multimodal_dedup: payloads never shuffle; candidates come from an equi-join") {
+    val df = SparkEntry.queries("multimodal_dedup")(spark, sf0001)
+    val p = executed(df)
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!ex.exists(l => l.contains("payload#") || l.contains("text#")),
+      s"media bytes crossed an exchange:\n${ex.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate join degenerated to an all-pairs product:\n$p")
+    Caches.hardSweep(spark)
   }
 
   test("host_graph: contraction happens before the one host-pair exchange") {

@@ -19,7 +19,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 run() {
-  java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false \
+  # 16g: the Borůvka rehearsal holds ~4 checkpointed 10M-row generations
+  # alongside the 25M-edge working set — 8g OOMs in its round-1 joins
+  java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@" 2>/dev/null \
     | grep -E '^\{'
