@@ -287,6 +287,43 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // -- distribution DRIFT between corpus sources (the snapshot-vs-
+    //    snapshot monitoring a training-data pipeline runs before
+    //    admitting a new crawl): per-source doc-length histograms
+    //    (bucket = n_chars DIV 100) compared pairwise by the two-sample
+    //    χ² in the product form χ² = Σ_b (N_a+N_b)·(c_a·N_b − c_b·N_a)²
+    //    / (N_a·N_b·(c_a+c_b)) — floored PER BUCKET with BIGINT DIV, so
+    //    the statistic is an exact integer in both engines (no libm, no
+    //    float accumulation). Scale shape: ONE narrow pass → (source,
+    //    bucket) counts (the only data-sized shuffle); the histogram
+    //    grid, source totals, and the pair join are all metadata-sized
+    //    (sources² · buckets), exactly like a production drift monitor
+    //    that reduces 100 TB to a few-KB sketch before comparing.
+    "profile_drift" -> ((s, d) => {
+      val cnt = documents(s, d)
+        .select(col("source"), (col("n_chars").cast("long") / 100)
+          .cast("long").as("bkt"))
+        .groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val grid = tot.select(col("source"))
+        .crossJoin(cnt.select(col("bkt")).distinct())
+        .join(cnt, Seq("source", "bkt"), "left")
+        .select(col("source"), col("bkt"), coalesce(col("c"), lit(0L)).as("c"))
+      def side(p: String): DataFrame = grid
+        .join(tot, "source")
+        .select(col("source").as(s"source_$p"), col("bkt").as(s"bkt_$p"),
+          col("c").as(s"c_$p"), col("n").as(s"n_$p"))
+      side("a").join(side("b"),
+          col("bkt_a") === col("bkt_b") && col("source_a") < col("source_b"))
+        .filter(col("c_a") + col("c_b") > 0)
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(expr("""((n_a + n_b) * (c_a * n_b - c_b * n_a)
+            * (c_a * n_b - c_b * n_a)) DIV (n_a * n_b * (c_a + c_b))"""))
+            .as("chi2"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // -- sequence packing (GPT-style): concatenate the token stream in
     //    doc_id order and split at fixed C=256-token block boundaries;
     //    per doc surface its absolute token offset and the blocks it
@@ -556,6 +593,25 @@ object CurationQueries {
            CAST((top_cnt * 10 <= n_words)
              AND ((n_words - n_distinct) * 2 <= n_words) AS BIGINT) AS keep
          FROM base ORDER BY doc_id""",
+    "profile_drift" ->
+      """WITH cnt AS (SELECT source, n_chars // 100 AS bkt, COUNT(*) AS c
+           FROM documents GROUP BY source, n_chars // 100),
+         tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY source),
+         grid AS (SELECT t.source, b.bkt, COALESCE(cnt.c, 0) AS c
+           FROM tot t CROSS JOIN (SELECT DISTINCT bkt FROM cnt) b
+           LEFT JOIN cnt ON cnt.source = t.source AND cnt.bkt = b.bkt),
+         sd AS (SELECT g.source, g.bkt, g.c, t.n
+           FROM grid g JOIN tot t ON t.source = g.source)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+           CAST(SUM(((a.n + b.n) * (a.c * b.n - b.c * a.n)
+             * (a.c * b.n - b.c * a.n)) // (a.n * b.n * (a.c + b.c)))
+             AS BIGINT) AS chi2
+         FROM sd a JOIN sd b
+           ON a.bkt = b.bkt AND a.source < b.source
+         WHERE a.c + b.c > 0
+         GROUP BY a.source, b.source
+         ORDER BY source_a, source_b""",
     "quality_surprisal" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t

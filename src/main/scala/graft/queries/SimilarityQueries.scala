@@ -134,6 +134,66 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // -- TWO-STAGE retrieval (the RAG / data-curation search ladder):
+    //    stage 1 generates candidates LEXICALLY — bm25_search's scorer,
+    //    1-row stats broadcast, corpus streamed ONCE, top-20 by quantized
+    //    score via TakeOrdered; stage 2 reranks ONLY those 20
+    //    semantically, by cosine to the query embedding (vec 0 stands in
+    //    for the encoded query; the 20-row shortlist broadcasts into the
+    //    embeddings scan, so rerank cost is independent of corpus size —
+    //    the whole point of the ladder at 100 TB). Fusion is reciprocal
+    //    rank (RRF, k=60) in EXACT integers: 1e6 DIV (60+r) per stage —
+    //    rank fusion without a single engine-divergent float. The two
+    //    global row_number windows run over ≤20-row frames (post-limit) —
+    //    metadata-sized by construction, not the one-task trap.
+    "search_two_stage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("dup", "join", "spark")
+      val tk = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val base = documents(s, d)
+        .select(col("doc_id") +: size(tk).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(tk, x => x === t)).cast("long").as(s"tf${i + 1}") }: _*)
+      val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("t") +:
+        terms.indices.map(i =>
+          sum((col(s"tf${i + 1}") > 0).cast("long")).as(s"df${i + 1}"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      def termScore(tf: Column, dfc: Column): Column = {
+        val n = col("n").cast("double")
+        val avgdl = col("t").cast("double") / n
+        val idf = (n - dfc.cast("double") + lit(0.5)) / (dfc.cast("double") + lit(0.5))
+        val den = tf.cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+        idf * (tf.cast("double") * lit(2.2)) / den
+      }
+      val scored = base.crossJoin(broadcast(stats))
+        .withColumn("score_e6", floor(
+          (termScore(col("tf1"), col("df1"))
+            + termScore(col("tf2"), col("df2"))
+            + termScore(col("tf3"), col("df3"))) * lit(1000000.0)).cast("long"))
+      val short = scored.orderBy(col("score_e6").desc, col("doc_id")).limit(20)
+        .withColumn("r_bm25", row_number()
+          .over(Window.orderBy(col("score_e6").desc, col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("r_bm25"))
+      val e = withNorm(embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val rer = e.join(broadcast(short), col("vec_id") === col("doc_id"))
+        .crossJoin(broadcast(q))
+        .withColumn("sim_e6",
+          floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+            * lit(1000000.0)).cast("long"))
+      rer.withColumn("r_cos", row_number()
+          .over(Window.orderBy(col("sim_e6").desc, col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("r_bm25"), col("r_cos"), col("sim_e6"),
+          (expr("1000000 DIV (60 + r_bm25)")
+            + expr("1000000 DIV (60 + r_cos)")).as("rrf_e6"))
+        .orderBy(col("rrf_e6").desc, col("doc_id")).limit(10)
+    }),
+
     // -- k-NN graph construction (the semantic-dedup / clustering
     //    precursor: EVERY vector gets its k nearest in-cell neighbors,
     //    not just a few probes). Blocking is the same coarse-cell idea as
@@ -336,5 +396,62 @@ object SimilarityQueries {
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
            FROM p)
          SELECT qid, rnk, vec_id, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_e6
-         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""")
+         FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "search_two_stage" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         b AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS dl,
+             CAST(len(list_filter(w, x -> x = 'dup')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf2,
+             CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf3
+           FROM w),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+           FROM b),
+         sc AS (SELECT b.doc_id,
+             (CAST(st.n AS DOUBLE) - CAST(st.df1 AS DOUBLE) + 0.5)
+               / (CAST(st.df1 AS DOUBLE) + 0.5)
+               * (CAST(b.tf1 AS DOUBLE) * 2.2)
+               / (CAST(b.tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                   * (CAST(b.dl AS DOUBLE) / (CAST(st.t AS DOUBLE) / CAST(st.n AS DOUBLE)))))
+           + (CAST(st.n AS DOUBLE) - CAST(st.df2 AS DOUBLE) + 0.5)
+               / (CAST(st.df2 AS DOUBLE) + 0.5)
+               * (CAST(b.tf2 AS DOUBLE) * 2.2)
+               / (CAST(b.tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                   * (CAST(b.dl AS DOUBLE) / (CAST(st.t AS DOUBLE) / CAST(st.n AS DOUBLE)))))
+           + (CAST(st.n AS DOUBLE) - CAST(st.df3 AS DOUBLE) + 0.5)
+               / (CAST(st.df3 AS DOUBLE) + 0.5)
+               * (CAST(b.tf3 AS DOUBLE) * 2.2)
+               / (CAST(b.tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                   * (CAST(b.dl AS DOUBLE) / (CAST(st.t AS DOUBLE) / CAST(st.n AS DOUBLE)))))
+           AS score
+           FROM b, st),
+         scq AS (SELECT doc_id,
+             CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_e6 FROM sc),
+         sh AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS r_bm25
+           FROM scq QUALIFY r_bm25 <= 20),
+         en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         nn AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           FROM en),
+         qq AS (SELECT v AS qv, nrm AS qn FROM nn WHERE vec_id = 0),
+         rr AS (SELECT sh.doc_id, sh.r_bm25,
+             CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(qq.qv) + 1), i -> qq.qv[i] * nn.v[i])),
+               (acc, x) -> acc + x) / (qq.qn * nn.nrm) * 1000000.0) AS BIGINT)
+               AS sim_e6
+           FROM sh JOIN nn ON nn.vec_id = sh.doc_id, qq),
+         rk AS (SELECT doc_id, r_bm25, sim_e6, CAST(ROW_NUMBER() OVER (
+               ORDER BY sim_e6 DESC, doc_id) AS BIGINT) AS r_cos
+           FROM rr)
+         SELECT doc_id, r_bm25, r_cos, sim_e6,
+           CAST(1000000 // (60 + r_bm25) + 1000000 // (60 + r_cos) AS BIGINT)
+             AS rrf_e6
+         FROM rk ORDER BY rrf_e6 DESC, doc_id LIMIT 10""")
 }

@@ -432,6 +432,29 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     Caches.hardSweep(spark)
   }
 
+  test("search_two_stage: shortlist is TakeOrdered and broadcasts into the rerank; vectors never shuffle") {
+    val df = SparkEntry.queries("search_two_stage")(spark, sf0001)
+    val p = executed(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the bm25 shortlist must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 20-row shortlist must broadcast into the embeddings scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"neither corpus may shuffle — only 1-row stats and the 20-row shortlist move:\n$p")
+    Caches.hardSweep(spark)
+  }
+
+  test("profile_drift: histogram counts combine map-side; only sketch-sized keys shuffle") {
+    val df = SparkEntry.queries("profile_drift")(spark, sf0001)
+    val p = executed(df)
+    assert(p.contains("partial_count"),
+      s"the (source, bucket) histogram must partial-aggregate:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!ex.exists(l => l.contains("text#") || l.contains("doc_id#")),
+      s"document-sized data crossed an exchange — drift must reduce to the sketch first:\n${ex.mkString("\n")}")
+    Caches.hardSweep(spark)
+  }
+
   test("host_graph: contraction happens before the one host-pair exchange") {
     val df = SparkEntry.queries("host_graph")(spark, sf0001)
     val p = executed(df)
