@@ -410,6 +410,59 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // -- ROBUST outlier detection per event type: median + MAD (median
+    //    absolute deviation), the heavy-tail-safe sibling of
+    //    events_outliers' 2σ rule. Everything is exact ORDER STATISTICS on
+    //    integer cents — median kept doubled (med2 = x⌈n/2⌉ + x⌈(n+1)/2⌉),
+    //    MAD kept quadrupled (mad4 = doubled median of doubled
+    //    deviations), outlier test |x−med| > 3·MAD as the integer
+    //    cross-multiplication 2·d2 > 3·mad4 — no float ever exists.
+    //    Ranks come from the house TWO-PHASE bucketed rank (per-(type,
+    //    bucket) counts → metadata-sized bucket-cumsum window →
+    //    within-bucket row_number + offset), so no per-type one-task
+    //    global sort: at 100 TB every window partition is (type, 100-cent
+    //    bucket), not (type).
+    "events_outliers_mad" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def ranked(df: DataFrame, v: String): DataFrame = {
+        val withB = df.withColumn("bkt", expr(s"$v DIV 100"))
+        val bc = withB.groupBy(col("event_type"), col("bkt"))
+          .agg(count(lit(1)).as("bc"))
+        val wOff = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = bc.withColumn("off",
+          coalesce(sum(col("bc")).over(wOff), lit(0L))).drop("bc")
+        val wIn = Window.partitionBy(col("event_type"), col("bkt"))
+          .orderBy(col(v))
+        withB.join(off, Seq("event_type", "bkt"))
+          .withColumn("rk", row_number().over(wIn) + col("off"))
+      }
+      def medianX2(df: DataFrame, v: String, out: String): DataFrame =
+        ranked(df, v).join(broadcast(
+            df.groupBy("event_type").agg(count(lit(1)).as("n"))), "event_type")
+          .groupBy("event_type")
+          .agg(sum(when(expr("rk = (n + 1) DIV 2"), col(v)).otherwise(lit(0L))
+            + when(expr("rk = (n + 2) DIV 2"), col(v)).otherwise(lit(0L)))
+            .as(out))
+      val b = events(s, d).select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("xc"))
+      graft.Caches.pin(b)
+      val med = medianX2(b, "xc", "med2")
+      val dv = b.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("med2"),
+          abs(lit(2L) * col("xc") - col("med2")).as("d2"))
+      graft.Caches.pin(dv)
+      val mad = medianX2(dv.select(col("event_type"), col("d2")), "d2", "mad4")
+      dv.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med2"), col("mad4"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med2"), col("mad4"),
+          col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // -- cohort retention (the product-analytics staple): cohort = each
     //    user's first active day; for every (cohort day, day offset) count
     //    the distinct users active at that offset. Scale shape: pass 1 is
@@ -1302,6 +1355,33 @@ object RelationalQueries {
                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM b JOIN st USING (event_type)
          GROUP BY 1, 2, 3 ORDER BY 1""",
+    "events_outliers_mad" ->
+      """WITH b AS (SELECT event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS xc FROM events),
+         nn AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY 1),
+         r1 AS (SELECT event_type, xc, ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY xc) AS rk FROM b),
+         med AS (SELECT r1.event_type,
+             CAST(SUM(CASE WHEN rk = (n + 1) // 2 THEN xc ELSE 0 END
+               + CASE WHEN rk = (n + 2) // 2 THEN xc ELSE 0 END) AS BIGINT)
+               AS med2
+           FROM r1 JOIN nn USING (event_type) GROUP BY 1),
+         d AS (SELECT b.event_type, med.med2,
+             ABS(2 * b.xc - med.med2) AS d2
+           FROM b JOIN med USING (event_type)),
+         r2 AS (SELECT event_type, d2, ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY d2) AS rk FROM d),
+         mad AS (SELECT r2.event_type,
+             CAST(SUM(CASE WHEN rk = (n + 1) // 2 THEN d2 ELSE 0 END
+               + CASE WHEN rk = (n + 2) // 2 THEN d2 ELSE 0 END) AS BIGINT)
+               AS mad4
+           FROM r2 JOIN nn USING (event_type) GROUP BY 1)
+         SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           d.med2, mad.mad4,
+           CAST(SUM(CASE WHEN d.d2 * 2 > mad.mad4 * 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+         FROM d JOIN mad USING (event_type)
+         GROUP BY 1, 3, 4 ORDER BY 1""",
     "retention_cohorts" ->
       """WITH e AS (SELECT user_id,
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday

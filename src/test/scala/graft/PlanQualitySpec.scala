@@ -455,6 +455,16 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     Caches.hardSweep(spark)
   }
 
+  test("events_outliers_mad: rank windows are bucket-partitioned, never one task per type") {
+    val df = SparkEntry.queries("events_outliers_mad")(spark, sf0001)
+    val p = executed(df)
+    assert("""event_type#\d+, bkt#\d+L?\]""".r.findFirstIn(p).isDefined,
+      s"the order-statistics window lost its (type, bucket) partitioning:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket counts must combine map-side:\n$p")
+    Caches.hardSweep(spark)
+  }
+
   test("host_graph: contraction happens before the one host-pair exchange") {
     val df = SparkEntry.queries("host_graph")(spark, sf0001)
     val p = executed(df)
