@@ -902,13 +902,15 @@ object GraphAlgos {
     //    distance 2. Scale shape: the per-node frames never leave the
     //    executors; only 1-row partial sums cross the final exchange.
     "graph_nf" -> ((s, d) => {
+      // the two generations hold the SAME node set, so no per-node join is
+      // needed: each reduces independently to one row (map-side partials,
+      // SinglePartition final), and the 1-row frames cross — at 100 TB
+      // this saves a node-sized hash join whose only output was two sums
       val (st1, st2) = kmvBallSketches(s, d)
-      val per = st1.select(col("x"), kmvEst.as("e1"))
-        .join(st2.select(col("x"), kmvEst.as("e2")), "x")
-      per.agg(
-          count(lit(1)).as("nodes"),
-          sum(col("e1")).as("nf1_est"),
-          sum(col("e2")).as("nf2_est"))
+      val a1 = st1.agg(count(lit(1)).as("nodes"),
+        sum(kmvEst).as("nf1_est"))
+      val a2 = st2.agg(sum(kmvEst).as("nf2_est"))
+      a1.crossJoin(a2)
         .select(col("nodes"), col("nf1_est"), col("nf2_est"),
           floor(col("nf2_est") * lit(1000000L) / (col("nodes") * col("nodes")))
             .cast("long").as("reach2_x1e6"))
