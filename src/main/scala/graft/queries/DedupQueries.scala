@@ -54,6 +54,35 @@ object DedupQueries {
   def shingleSets(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
 
+  /** Content-defined chunk keys of one normalized doc (dedup_cdc's
+    * per-partition kernel): a boundary closes after 1-based position p
+    * (p ≥ 8) wherever the Horner-31 hash of chars p−7..p ≡ 0 mod 64; the
+    * end of the doc closes the last chunk. Chunk identity is FNV-1a 64
+    * of the chunk chars ([[graft.functions.Fnv64.hashBytes]]) — the
+    * oracle groups the raw chunk strings instead, same equivalence
+    * classes. Char codes mirror the oracle's `unicode()` on this ASCII
+    * corpus. Pure function, O(8·len), runs inside mapPartitions so text
+    * never crosses a shuffle. */
+  private[graft] def cdcChunkHashes(nt: String): Seq[Long] = {
+    val n = nt.length
+    if (n == 0) return Nil
+    def fnvOf(from: Int, until: Int): Long =
+      graft.functions.Fnv64.hashBytes(
+        nt.substring(from, until).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var i = 7 // 0-based window end == 1-based position i+1
+    while (i < n) {
+      var h = 0L
+      var j = i - 7
+      while (j <= i) { h = h * 31 + nt.charAt(j); j += 1 }
+      if (h % 64 == 0) { out += fnvOf(start, i + 1); start = i + 1 }
+      i += 1
+    }
+    if (start < n) out += fnvOf(start, n)
+    out.toSeq
+  }
+
   /** Exact-verified Jaccard >= 8/10 on candidate pairs. Integer cross-
     * multiplication (inter*10 >= union*8) keeps the threshold exact in
     * both engines; jac_e6 is floor(inter*1e6/union) — double division of
@@ -440,6 +469,41 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // -- CONTENT-DEFINED chunking (the rsync/LBFS/FastCDC family, the
+    //    byte-level sibling of dedup_passages' fixed word chunks): a chunk
+    //    boundary falls wherever the 8-char rolling polynomial hash
+    //    (Horner base 31 over char codes) ≡ 0 mod 64 — boundaries are a
+    //    PURE function of local content, so an insertion only reshapes
+    //    the chunks it touches and every downstream chunk re-aligns
+    //    (the property fixed-size chunking fundamentally lacks, and the
+    //    reason storage dedup and crawl-delta pipelines use CDC). Expected
+    //    chunk ≈ 64 chars. Chunking runs as a per-partition batch pass in
+    //    the scan stage ([[cdcChunkHashes]] — the Multimodal pattern:
+    //    text never crosses a shuffle, one fnv64 chunk key per chunk
+    //    does). The oracle replays the boundary rule exactly and groups
+    //    raw chunk STRINGS — same equivalence classes, no engine hash to
+    //    reproduce (dedup_passages' trick). NOT expressed as nested array
+    //    lambdas: chained transform/filter/aggregate multiply the
+    //    expression tree through project collapse until analysis hangs.
+    "dedup_cdc" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select(col("doc_id").cast("long"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .as[(Long, String)]
+      val chunks = graft.Caches.pin(docs.mapPartitions(_.flatMap {
+        case (id, nt) => cdcChunkHashes(nt).map(h => (id, h))
+      }).toDF("doc_id", "chunk"))
+      val df = chunks.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      chunks.join(df, "chunk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("ndocs") > 1, 1).otherwise(0)).as("dup_chunks"))
+        .withColumn("dup_pct",
+          floor(col("dup_chunks") * lit(100.0) / col("n_chunks")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // -- SimHash sketch index: one 64-bit sketch per doc + 8x8-bit band
     //    buckets (pair extraction from the buckets is exercised on
     //    controlled near-dups in PipelineSpec; on arbitrary corpora the
@@ -724,6 +788,42 @@ object DedupQueries {
              unnest(list_transform(range(0, CAST(FLOOR((len(w) + 7) / 8) AS BIGINT)),
                i -> array_to_string(w[(i*8+1):(i*8+8)], ' '))) AS chunk
            FROM w),
+         df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs
+           FROM ch GROUP BY chunk)
+         SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           CAST(FLOOR(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) * 100.0
+                      / COUNT(*)) AS BIGINT) AS dup_pct
+         FROM ch c JOIN df f USING (chunk)
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+    // CDC boundaries replayed exactly (8-char Horner-31 window % 64);
+    // chunks grouped as raw STRINGS — same equivalence classes as the
+    // engine's xxhash64 chunk keys, no engine hash to reproduce
+    "dedup_cdc" ->
+      """WITH n AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+           FROM documents),
+         b AS (SELECT doc_id, nt, len(nt) AS ln,
+             CASE WHEN len(nt) >= 8 THEN
+               list_filter(range(8, len(nt) + 1), i ->
+                 (list_reduce(list_transform(range(0, 8),
+                    j -> CAST(unicode(nt[CAST(i - 7 + j AS INT)]) AS BIGINT)),
+                    (a, x) -> a * 31 + x) % 64) = 0)
+             ELSE [] END AS bp
+           FROM n),
+         bd AS (SELECT doc_id, nt,
+             [CAST(0 AS BIGINT)] || bp ||
+               (CASE WHEN ln > 0 AND (len(bp) = 0 OR bp[-1] <> ln)
+                 THEN [ln] ELSE [] END) AS bounds
+           FROM b),
+         ch AS (SELECT doc_id,
+             unnest(CASE WHEN len(bounds) >= 2 THEN
+               list_transform(range(1, len(bounds)),
+                 k -> nt[CAST(bounds[CAST(k AS INT)] + 1 AS INT)
+                   : CAST(bounds[CAST(k + 1 AS INT)] AS INT)])
+             ELSE [] END) AS chunk
+           FROM bd),
          df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs
            FROM ch GROUP BY chunk)
          SELECT c.doc_id,

@@ -315,6 +315,27 @@ class PipelineSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"payload crossed a shuffle:\n$plan")
   }
+
+  test("cdc kernel: boundaries are content-defined — chunks after the first boundary survive a prefix insertion") {
+    val rnd = new scala.util.Random(42)
+    val s1 = (1 to 4000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val h1 = graft.queries.DedupQueries.cdcChunkHashes(s1)
+    assert(h1.length >= 10, s"expected many chunks, got ${h1.length}")
+    // the CDC property: a prefix edit can only reshape chunks up to the
+    // first boundary past the seam — everything after re-aligns exactly
+    val h2 = graft.queries.DedupQueries.cdcChunkHashes("INSERTED-PREFIX-" + s1)
+    assert(h2.endsWith(h1.drop(1)),
+      "chunks after the first boundary must survive a prefix insertion")
+    // fixed-size chunking fails this by construction — the contrast is
+    // the whole reason CDC exists
+    val f1 = s1.grouped(64).toSeq
+    val f2 = ("INSERTED-PREFIX-" + s1).grouped(64).toSeq
+    assert(!f2.endsWith(f1.drop(1)),
+      "fixed-size chunking should not realign after an insertion")
+    // boundary density 1/64 → expected chunk ~64 chars (loose band)
+    val avg = s1.length.toDouble / h1.length
+    assert(avg > 16 && avg < 256, s"avg chunk $avg chars, design point 64")
+  }
 }
 
 /** Test-only brute-force cosine all-pairs (the naive nested-loop shape the

@@ -465,6 +465,16 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     Caches.hardSweep(spark)
   }
 
+  test("dedup_cdc: text never shuffles — only chunk keys cross the exchanges") {
+    val df = SparkEntry.queries("dedup_cdc")(spark, sf0001)
+    val p = executed(df)
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!ex.exists(l => l.contains("text#") || l.contains("nt#")),
+      s"document text crossed an exchange — chunking must stay in the scan stage:\n${ex.mkString("\n")}")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    Caches.hardSweep(spark)
+  }
+
   test("host_graph: contraction happens before the one host-pair exchange") {
     val df = SparkEntry.queries("host_graph")(spark, sf0001)
     val p = executed(df)
