@@ -148,6 +148,59 @@ object ScaleOps {
         .orderBy("event_type")
     }),
 
+    // -- KMV sketch SET ALGEBRA (the theta-sketch workload): per-type
+    //    bottom-64 sketches of the (user, day) key sets, then for every
+    //    type pair the UNION estimate (bottom-k of two bottom-k merges —
+    //    lossless), the theta-INTERSECTION estimate (common hashes below
+    //    the union's kth value, scaled by est_union/k) and the sketch
+    //    Jaccard — set overlap between two 100 TB-sized sets answered
+    //    from 2×64 longs, never by re-joining the raw keys. Hashes live
+    //    in a 40-bit domain so every estimate is exact BIGINT division in
+    //    both engines (fnv64 is unsigned-64 — 63·2⁶⁴/θ needs the 128-bit
+    //    arithmetic Spark lacks; the truncation costs nothing at these
+    //    cardinalities and is applied identically in the oracle). The
+    //    exact pairwise intersection (one key self-join) rides along as
+    //    the calibration baseline, same as distinct_kmv's n_exact.
+    "distinct_kmv_pairs" -> ((s, d) => {
+      val k = 64
+      val M = (1L << 40) - 1
+      val kmv = udaf(new SketchAggs.KmvUnion(k))
+      val keyed = events(s, d).select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("key"))
+      val hashed = keyed.select(col("event_type"), col("key"),
+        fnv(col("key")).bitwiseAND(lit(M)).as("h"))
+      val sk = hashed.groupBy(col("event_type"))
+        .agg(kmv(array(col("h"))).as("sk"))
+      val dk = hashed.select(col("event_type"), col("key")).distinct()
+      val exact = dk.as("a").join(dk.as("b"),
+          col("a.key") === col("b.key") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      sk.as("x").join(sk.as("y"), col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"),
+          col("x.sk").as("sa"), col("y.sk").as("sb"))
+        .withColumn("mu", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+        .withColumn("theta", expr("element_at(mu, size(mu))"))
+        .withColumn("est_union", expr(s"CASE WHEN size(mu) < $k " +
+          s"THEN CAST(size(mu) AS BIGINT) " +
+          s"ELSE ${(k - 1).toLong * (1L << 40)} DIV theta END"))
+        .withColumn("c", expr(
+          "CAST(size(filter(array_intersect(sa, sb), v -> v <= theta)) AS BIGINT)"))
+        .withColumn("est_inter", expr(s"CASE WHEN size(mu) < $k THEN c " +
+          s"ELSE (c * est_union) DIV $k END"))
+        .withColumn("jac_x1e4", expr("c * 10000 DIV size(mu)"))
+        .join(exact, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"), col("est_union"),
+          col("est_inter"),
+          coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"),
+          col("jac_x1e4"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // -- bucketed co-located join: BOTH fact tables are written
     //    `bucketBy(8, key).sortBy(key)` into a managed parquet table, then
     //    joined back on the bucket key with a forced sort-merge join. The
@@ -377,6 +430,50 @@ object ScaleOps {
                       ELSE (CAST(63 AS HUGEINT) * 18446744073709551616) // sk.uk
                  END AS BIGINT) - ex.n_exact) * 10000) // ex.n_exact AS BIGINT) AS err_x1e4
           FROM ex JOIN sk USING (event_type) ORDER BY event_type""",
+
+    "distinct_kmv_pairs" ->
+      s"""WITH keys AS (
+            SELECT event_type,
+                   CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS key
+            FROM events),
+          h AS (SELECT DISTINCT event_type,
+              CAST(($FNV_SQL_KEY) % 1099511627776 AS BIGINT) AS u FROM keys),
+          r AS (SELECT event_type, u,
+              row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn FROM h),
+          sk AS (SELECT event_type, u FROM r WHERE rn <= 64),
+          t AS (SELECT DISTINCT event_type FROM keys),
+          p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM t a JOIN t b ON a.event_type < b.event_type),
+          mu0 AS (SELECT DISTINCT p.type_a, p.type_b, s.u
+            FROM p JOIN sk s
+              ON s.event_type = p.type_a OR s.event_type = p.type_b),
+          mr AS (SELECT type_a, type_b, u, row_number() OVER (
+              PARTITION BY type_a, type_b ORDER BY u) AS rn FROM mu0),
+          th AS (SELECT type_a, type_b, COUNT(*) AS msz, MAX(u) AS theta
+            FROM mr WHERE rn <= 64 GROUP BY 1, 2),
+          cc AS (SELECT t2.type_a, t2.type_b, COUNT(*) AS c
+            FROM th t2
+            JOIN sk s1 ON s1.event_type = t2.type_a
+            JOIN sk s2 ON s2.event_type = t2.type_b AND s2.u = s1.u
+            WHERE s1.u <= t2.theta GROUP BY 1, 2),
+          ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              COUNT(*) AS n_inter_exact
+            FROM (SELECT DISTINCT event_type, key FROM keys) a
+            JOIN (SELECT DISTINCT event_type, key FROM keys) b
+              ON a.key = b.key AND a.event_type < b.event_type
+            GROUP BY 1, 2),
+          est AS (SELECT th.type_a, th.type_b, th.msz, COALESCE(cc.c, 0) AS c,
+              CASE WHEN th.msz < 64 THEN th.msz
+                ELSE ${63L * (1L << 40)} // th.theta END AS est_union
+            FROM th LEFT JOIN cc USING (type_a, type_b))
+          SELECT est.type_a, est.type_b,
+            CAST(est_union AS BIGINT) AS est_union,
+            CAST(CASE WHEN msz < 64 THEN c
+              ELSE (c * est_union) // 64 END AS BIGINT) AS est_inter,
+            CAST(COALESCE(ex.n_inter_exact, 0) AS BIGINT) AS n_inter_exact,
+            CAST(c * 10000 // msz AS BIGINT) AS jac_x1e4
+          FROM est LEFT JOIN ex USING (type_a, type_b)
+          ORDER BY type_a, type_b""",
 
     "layout_zorder" ->
       """WITH b AS (

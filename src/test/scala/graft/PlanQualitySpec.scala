@@ -475,6 +475,20 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     Caches.hardSweep(spark)
   }
 
+  test("distinct_kmv_pairs: sketches reduce map-side; the pair algebra runs on 64-long state") {
+    val df = SparkEntry.queries("distinct_kmv_pairs")(spark, sf0001)
+    val p = executed(df)
+    assert(p.contains("partial_"),
+      s"the per-type KMV union must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the sketch pair join:\n$p")
+    // the raw (user, day) keys may cross ONLY for the exact calibration
+    // baseline — the estimates themselves must come from the sketch rows
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the array-state sketch aggregate:\n$p")
+    Caches.hardSweep(spark)
+  }
+
   test("host_graph: contraction happens before the one host-pair exchange") {
     val df = SparkEntry.queries("host_graph")(spark, sf0001)
     val p = executed(df)
