@@ -477,6 +477,48 @@ object GraphAlgos {
       r.select(col("x").as("node"), col("r").as("ppr_e9")).orderBy("node")
     }),
 
+    // -- DAG LAYERING on the compact-forward orientation (the dependency-
+    //    scheduling shape): orienting every edge from the (degree, id)-
+    //    smaller endpoint — graph_triangles' orientation — is provably
+    //    acyclic, so bounded-depth longest path is well-defined:
+    //    d_t(v) = longest path into v using ≤ t edges, via t synchronous
+    //    max-plus relaxations (the bounded Bellman iteration; 3 rounds
+    //    declared so the oracle replays them as chained CTEs). Per round:
+    //    one edge-partitioned join + one partial-aggregated max —
+    //    pagerank's exact shuffle profile, node-sized state, checkpointed
+    //    per round (kcore hygiene).
+    "graph_topo_layers" -> ((s, d) => {
+      val (e0, e0Ids) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, e0Ids))
+      val sym = e0.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e0.select(col("v").as("x"), col("u").as("y")))
+      val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val (dir, dirIds) = checkpointWithIds(e0
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t")))
+      graft.Caches.defer(s)(freeRdds(s, dirIds))
+      val nodes = sym.select(col("x")).distinct()
+      var dcur = nodes.select(col("x"), lit(0L).as("d"))
+      var ids = Set.empty[Int]
+      for (_ <- 1 to 3) {
+        val msgs = dir.join(dcur.withColumnRenamed("x", "s"), "s")
+          .select(col("t").as("x"), (col("d") + lit(1L)).as("d"))
+        val (ck, nIds) = checkpointWithIds(
+          dcur.unionByName(msgs).groupBy(col("x")).agg(max(col("d")).as("d")))
+        freeRdds(s, ids)
+        dcur = ck
+        ids = nIds
+      }
+      graft.Caches.defer(s)(freeRdds(s, ids))
+      dcur.select(col("x").as("node"), col("d").as("depth3")).orderBy("node")
+    }),
+
     // -- SCC by pointer doubling on the functional part graph: see
     //    [[sccFunctional]] — the O(log n)-round composition primitive,
     //    checkpointed per round like kcore.
@@ -1249,6 +1291,31 @@ object GraphAlgos {
              CAST(FLOOR((0.15 + 0.85 * (0.15 / d.odeg)) * 1000000000.0) AS BIGINT) AS pr_e9
            FROM orders o JOIN deg d ON o.o_custkey = d.o_custkey)
          ORDER BY id""",
+    "graph_topo_layers" ->
+      s"""WITH $edgesCte,
+         sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+         deg AS (SELECT x, COUNT(*) AS dg FROM sym GROUP BY x),
+         dir AS (SELECT
+             CASE WHEN a.dg < b.dg OR (a.dg = b.dg AND e.u < e.v)
+               THEN e.u ELSE e.v END AS s,
+             CASE WHEN a.dg < b.dg OR (a.dg = b.dg AND e.u < e.v)
+               THEN e.v ELSE e.u END AS t
+           FROM e JOIN deg a ON a.x = e.u JOIN deg b ON b.x = e.v),
+         n0 AS (SELECT DISTINCT x FROM sym),
+         d0 AS (SELECT x, CAST(0 AS BIGINT) AS d FROM n0),
+         d1 AS (SELECT x, MAX(d) AS d FROM (
+             SELECT x, d FROM d0
+             UNION ALL SELECT dir.t AS x, d0.d + 1 FROM dir JOIN d0 ON d0.x = dir.s)
+           GROUP BY x),
+         d2 AS (SELECT x, MAX(d) AS d FROM (
+             SELECT x, d FROM d1
+             UNION ALL SELECT dir.t AS x, d1.d + 1 FROM dir JOIN d1 ON d1.x = dir.s)
+           GROUP BY x),
+         d3 AS (SELECT x, MAX(d) AS d FROM (
+             SELECT x, d FROM d2
+             UNION ALL SELECT dir.t AS x, d2.d + 1 FROM dir JOIN d2 ON d2.x = dir.s)
+           GROUP BY x)
+         SELECT x AS node, CAST(d AS BIGINT) AS depth3 FROM d3 ORDER BY node""",
     "graph_ppr" ->
       s"""WITH $edgesCte,
          sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),

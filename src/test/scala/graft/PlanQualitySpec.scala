@@ -287,7 +287,7 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // smallest SF. (Execution cost is Bench's job; PLANNING cost is this
     // test's.)
     Seq("graph_pagerank", "graph_bfs", "graph_cc", "graph_scc",
-        "graph_msf", "graph_ppr").foreach { name =>
+        "graph_msf", "graph_ppr", "graph_topo_layers").foreach { name =>
       Caches.hardSweep(spark)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sf0001)
