@@ -197,6 +197,42 @@ object TextScaleRehearsal {
       (r.getLong(0), r.getLong(1))
     }
 
+    // stage 5: content-defined chunking at corpus scale — the CDC kernel
+    // inside mapPartitions (dedup_cdc's shape: text never shuffles, one
+    // chunk key per chunk does). Planted invariant: ONLY the 1% exact-dup
+    // pairs share every chunk — the appended-token near-dups break on
+    // their differing tail chunk, so exactly 2·(n/100) docs come out
+    // fully-duplicated at chunk level; chunk geometry must hold the 1/64
+    // boundary-density design point.
+    val (((nFullDup, nPlantedFull), totChunks, totChars), tCdc) = timed {
+      val nrm = corpus.select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("nt"))
+      val chars = nrm.agg(sum(length(col("nt")))).head().getLong(0)
+      val chunks = nrm.as[(Long, String)].mapPartitions(_.flatMap {
+        case (id, nt) =>
+          graft.queries.DedupQueries.cdcChunkHashes(nt).map(h => (id, h))
+      }).toDF("doc_id", "chunk").persist()
+      val dfc = chunks.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val per = chunks.join(dfc, "chunk").groupBy("doc_id")
+        .agg(count(lit(1)).as("nc"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dc"))
+      // planted = both members of each exact-dup pair (ids ≡ 97/99 mod
+      // 100); incidental fully-dup docs exist too — every chunk of a doc
+      // can be a short, vocabulary-common string — so the EXACT gate is
+      // "all planted docs are fully chunk-duplicated", with the total
+      // reported alongside
+      val r = per.agg(
+        sum(when(col("nc") === col("dc"), 1L).otherwise(0L)),
+        sum(when(col("nc") === col("dc") &&
+          (col("doc_id") % 100 === 97 || col("doc_id") % 100 === 99), 1L)
+          .otherwise(0L)),
+        sum(col("nc"))).head()
+      chunks.unpersist(blocking = false)
+      ((r.getLong(0), r.getLong(1)), r.getLong(2), chars)
+    }
+    Caches.sweep(spark)
+
     corpus.unpersist(blocking = false)
     val expDup = n / 100L // planted exact groups == planted near pairs
     val expSpam = (n + 999L) / 1000L // ids ≡ 0 (mod 1000) incl. id 0
@@ -217,12 +253,16 @@ object TextScaleRehearsal {
       s""""containment_kdocs_per_sec":${rate(nDocs, tCont)},""" +
       s""""containment_pairs":$nContPairs,""" +
       s""""pack_sec":${f(tPack)},"pack_kdocs_per_sec":${rate(nDocs, tPack)},""" +
+      s""""cdc_sec":${f(tCdc)},"cdc_kdocs_per_sec":${rate(nDocs, tCdc)},""" +
+      s""""cdc_chunks":$totChunks,"cdc_full_dup_docs":$nFullDup,""" +
       s""""checks":${nDocs == n && nGroups == n - expDup &&
         nDupGroups == expDup && nPairs == 2 * expDup &&
         nJacPairs == 2 * expDup && nHub >= 3 && maxDf == n / 100L &&
         nContPairs == 4 * expDup &&
         nPacked == n && lastEnd == totTok &&
-        nKept == n - expSpam}}""")
+        nKept == n - expSpam &&
+        nPlantedFull == 2 * expDup && nFullDup >= 2 * expDup &&
+        totChunks * 16 < totChars && totChars < totChunks * 256}}""")
     spark.stop()
   }
 }
