@@ -366,6 +366,43 @@ object CurationQueries {
     //    1/8 rate) with per-(lang, source) stratum accounting. The sample
     //    decision depends only on content — identical across cluster
     //    sizes, partitionings and re-runs, which rand()-sampling is not.
+    // -- EXACT-k deterministic reservoir sample per source (the fixed-
+    //    budget sibling of rate-based sample_stratified): the k docs with
+    //    the smallest md5(doc_id) per source — content-addressed, so the
+    //    sample is stable under re-partitioning, re-ingest order and
+    //    cluster resize, exactly what a reproducible eval-set draw needs.
+    //    The rank is NOT a per-source global window (one source = one
+    //    task at corpus scale — the global-window trap): the house
+    //    two-phase bucketed rank buckets by the first 2 hash hex digits,
+    //    cumsums the 256-per-source bucket counts on a metadata-sized
+    //    relation, and row_numbers only WITHIN each (source, bucket) —
+    //    every corpus-sized window stays bucket-partitioned (plan-gated).
+    "sample_reservoir" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val h = documents(s, d).select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bkt", substring(col("h"), 1, 2))
+      val counts = h.groupBy(col("source"), col("bkt"))
+        .agg(count(lit(1)).as("c"))
+      val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = counts
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        // buckets whose offset is already past k can't contribute to the
+        // top-k prefix — the candidate set entering the within-bucket
+        // window is ~k rows per source, not the corpus
+        .filter(col("off") < k)
+      val wIn = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("h"), col("doc_id"))
+      h.join(offs.select(col("source"), col("bkt"), col("off")),
+          Seq("source", "bkt"))
+        .withColumn("rk", col("off") + row_number().over(wIn))
+        .filter(col("rk") <= k)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk")
+    }),
+
     "sample_stratified" -> ((s, d) => {
       documents(s, d)
         .groupBy(col("lang"), col("source"))
@@ -762,6 +799,13 @@ object CurationQueries {
          FROM ex e JOIN probe p ON e.sng = p.sng
          WHERE e.doc_id >= 5
          GROUP BY e.doc_id ORDER BY doc_id""",
+    "sample_reservoir" ->
+      """SELECT source, rk, doc_id FROM (
+           SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+           FROM documents)
+         WHERE rk <= 64 ORDER BY source, rk""",
     "sample_stratified" ->
       """SELECT lang, source, COUNT(*) AS n_total,
          CAST(SUM(CASE WHEN substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 1)

@@ -519,6 +519,94 @@ object GraphAlgos {
       dcur.select(col("x").as("node"), col("d").as("depth3")).orderBy("node")
     }),
 
+    // -- WEIGHTED single-source shortest paths (Bellman–Ford) — the
+    //    weighted sibling of graph_bfs, completing the weighted-graph
+    //    family graph_msf opened. Edge weight = co-purchase multiplicity
+    //    (number of orders containing both parts — derived from the data,
+    //    all BIGINT, so distances are exact integers and hash-safe at any
+    //    parallelism). Source = min node id; 4 FIXED synchronous min-plus
+    //    relaxation rounds, so the oracle replays them as chained
+    //    MATERIALIZED CTEs and both engines agree whether or not the
+    //    fixpoint is reached (round r covers every shortest path of ≤ r
+    //    hops). Per round: one edge-partitioned join + one partial-
+    //    aggregated min — pagerank's exact shuffle profile with node-sized
+    //    state, eagerly checkpointed per round (kcore hygiene) so the plan
+    //    stays flat at any round count. At 100 TB the round count is the
+    //    lever: r bounded shuffles, never loop-until-convergence planning.
+    "graph_sssp" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val w0 = li.groupBy(col("ok"))
+        .agg(array_sort(collect_set(col("pk"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val (e, eIds) = checkpointWithIds(
+        w0.select(col("u").as("a"), col("v").as("b"), col("w"))
+          .unionByName(w0.select(col("v").as("a"), col("u").as("b"), col("w"))))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val srcId = e.agg(min(col("a"))).head().getLong(0) // bounded scalar
+      var dist: DataFrame = s.range(1)
+        .select(lit(srcId).as("x"), lit(0L).as("dist"))
+      var ids = Set.empty[Int]
+      for (_ <- 1 to 4) {
+        val msgs = e.join(dist.withColumnRenamed("x", "a"), "a")
+          .select(col("b").as("x"), (col("dist") + col("w")).as("dist"))
+        val (ck, nIds) = checkpointWithIds(
+          dist.unionByName(msgs).groupBy(col("x"))
+            .agg(min(col("dist")).as("dist")))
+        freeRdds(s, ids)
+        dist = ck
+        ids = nIds
+      }
+      graft.Caches.defer(s)(freeRdds(s, ids))
+      dist.select(col("x").as("node"), col("dist")).orderBy("node")
+    }),
+
+    // -- DIAMETER LOWER BOUND by the classic double-sweep: BFS from an
+    //    arbitrary node (min id), jump to the farthest node reached
+    //    (ties to the smaller id — one bounded driver scalar), BFS again
+    //    from there; the second sweep's eccentricity is the standard
+    //    tight diameter lower bound (Magnien–Latapy–Habib). Both sweeps
+    //    are the same 4 fixed min-plus rounds as graph_sssp (unweighted),
+    //    checkpointed per round, so the whole query is 8 bounded
+    //    (edge-join + partial-min) shuffles and the oracle replays them
+    //    as two chained CTE pyramids. Output is the metadata-sized
+    //    distance histogram of the second sweep — its max row IS the
+    //    bound.
+    "graph_diameter_sweep" -> ((s, d) => {
+      val (e, eIds) = checkpointWithIds {
+        val e0 = coPurchaseEdges(s, d)
+        e0.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+      }
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      def sweep(srcId: Long): DataFrame = {
+        var dist: DataFrame = s.range(1)
+          .select(lit(srcId).as("x"), lit(0L).as("dist"))
+        var ids = Set.empty[Int]
+        for (_ <- 1 to 4) {
+          val msgs = e.join(dist.withColumnRenamed("x", "a"), "a")
+            .select(col("b").as("x"), (col("dist") + lit(1L)).as("dist"))
+          val (ck, nIds) = checkpointWithIds(
+            dist.unionByName(msgs).groupBy(col("x"))
+              .agg(min(col("dist")).as("dist")))
+          freeRdds(s, ids)
+          dist = ck
+          ids = nIds
+        }
+        graft.Caches.defer(s)(freeRdds(s, ids))
+        dist
+      }
+      val src = e.agg(min(col("a"))).head().getLong(0) // bounded scalar
+      val far = sweep(src).orderBy(col("dist").desc, col("x"))
+        .select(col("x")).head().getLong(0) // bounded scalar
+      sweep(far).groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    }),
+
     // -- SCC by pointer doubling on the functional part graph: see
     //    [[sccFunctional]] — the O(log n)-round composition primitive,
     //    checkpointed per round like kcore.
@@ -1316,6 +1404,55 @@ object GraphAlgos {
              UNION ALL SELECT dir.t AS x, d2.d + 1 FROM dir JOIN d2 ON d2.x = dir.s)
            GROUP BY x)
          SELECT x AS node, CAST(d AS BIGINT) AS depth3 FROM d3 ORDER BY node""",
+    "graph_sssp" -> {
+      // 4 chained min-plus relaxation rounds; MATERIALIZED is load-bearing
+      // (each round references the previous twice — inlined CTEs would
+      // expand the chain into 2^4 copies of the weighted edge build).
+      // COUNT(DISTINCT orderkey) replays the engine's per-order collect_set
+      // (a part listed twice in one order still contributes one pair).
+      val rounds = (1 to 4).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT x, MIN(dist) AS dist FROM (
+             SELECT x, dist FROM d${r - 1}
+             UNION ALL SELECT und.b AS x, d${r - 1}.dist + und.w
+               FROM und JOIN d${r - 1} ON d${r - 1}.x = und.a)
+           GROUP BY x)"""
+      }.mkString(",\n         ")
+      s"""WITH ew AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
+             COUNT(DISTINCT a.l_orderkey) AS w
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         und AS MATERIALIZED (SELECT u AS a, v AS b, w FROM ew
+           UNION ALL SELECT v, u, w FROM ew),
+         d0 AS MATERIALIZED (SELECT (SELECT MIN(u) FROM ew) AS x,
+           CAST(0 AS BIGINT) AS dist),
+         $rounds
+         SELECT x AS node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node"""
+    },
+    "graph_diameter_sweep" -> {
+      // two chained 4-round BFS pyramids; MATERIALIZED for the same
+      // inlining reason as kcore/sssp. `far` replays the engine's
+      // (dist DESC, id ASC) farthest-node pick exactly.
+      def rounds(tag: String, prev0: String) = (1 to 4).map { r =>
+        val prev = if (r == 1) prev0 else s"$tag${r - 1}"
+        s"""$tag$r AS MATERIALIZED (SELECT x, MIN(dist) AS dist FROM (
+             SELECT x, dist FROM $prev
+             UNION ALL SELECT und.b AS x, $prev.dist + 1
+               FROM und JOIN $prev ON $prev.x = und.a)
+           GROUP BY x)"""
+      }.mkString(",\n         ")
+      s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
+         und AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+           UNION ALL SELECT v, u FROM e),
+         a0 AS MATERIALIZED (SELECT (SELECT MIN(u) FROM e) AS x,
+           CAST(0 AS BIGINT) AS dist),
+         ${rounds("a", "a0")},
+         b0 AS MATERIALIZED (SELECT (SELECT x FROM a4
+           ORDER BY dist DESC, x LIMIT 1) AS x, CAST(0 AS BIGINT) AS dist),
+         ${rounds("b", "b0")}
+         SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
+         FROM b4 GROUP BY dist ORDER BY dist"""
+    },
     "graph_ppr" ->
       s"""WITH $edgesCte,
          sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),

@@ -319,6 +319,52 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // -- SCHEMA EVOLUTION across parquet vintages — every long-lived 100 TB
+    //    corpus has this shape: early files were written before a column
+    //    existed, later files carry it, and one read must span both.
+    //    Orders is split by key parity into a v1 vintage (no price column)
+    //    and a v2 vintage (adds price_cents), written through the engine's
+    //    parquet sink (same stamped write-once + atomic-rename fixture
+    //    discipline as the roundtrip family), then read back as ONE frame
+    //    with mergeSchema=true — v1 rows surface NULL price_cents, and the
+    //    aggregate proves the merged scan sees every row of both vintages
+    //    with the right nullability. The oracle replays the vintage split
+    //    from the original table, so the gate proves write->merge->read
+    //    fidelity end-to-end.
+    "parquet_schema_merge" -> ((s, d) => {
+      val src = java.nio.file.Paths.get(d, "orders.parquet")
+      val stamp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
+        s"_${java.nio.file.Files.size(src)}"
+      val key = s"${d}_$stamp".replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_schemaevo_$key"
+      val o = orders(s, d)
+      val v1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val v2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "v2", "_SUCCESS"))) {
+        val staging = java.nio.file.Paths.get(
+          s"$dir.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+        v1.write.mode("overwrite").parquet(s"$staging/v1")
+        v2.write.mode("overwrite").parquet(s"$staging/v2")
+        try java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists)
+        }
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("price_cents")).as("n_priced"),
+          sum(col("price_cents")).as("sum_priced_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // -- interval-overlap join — the interval×interval shape Spark has no
     //    native operator for (asof/range joins cover point-in-interval
     //    only): each click opens a 30-min attention window, each purchase
@@ -544,6 +590,48 @@ object RelationalQueries {
             struct(col("d.ts_us"), col("d.event_id")) >
               struct(col("s.ts_us"), col("s.event_id"))), col("d"))
             .otherwise(col("s")).as("w"))
+        .select(col("user_id"), col("w.ts_us").as("last_ts_us"),
+          col("w.event_type").as("last_type"),
+          col("w.value_cents").as("last_value_cents"))
+        .orderBy("user_id")
+    }),
+
+    // -- CDC merge WITH DELETE TOMBSTONES — the full MERGE INTO shape
+    //    cdc_upsert lacks (upserts only): the change feed carries op =
+    //    'D' (here: 'error' events — the account-teardown signal in this
+    //    schema) or 'U' (everything else), and applying the batch must
+    //    DROP a base row whose latest change is a tombstone — the
+    //    GDPR-delete path every 100 TB state store needs. Same split as
+    //    cdc_upsert (base = events before the cut, delta = after), same
+    //    one full-outer latest-wins merge under the (ts, event_id) total
+    //    order with map-side max_by partials — then one filter on the
+    //    winner's op. Provably equal to the full recompute the oracle
+    //    runs (latest-wins is associative, so fold order is irrelevant),
+    //    which is exactly the invariant that makes incremental
+    //    maintenance trustworthy.
+    "cdc_merge_delete" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("event_type"), floor(col("value") * 100).cast("long").as("value_cents"))
+      def latest(df: DataFrame) = df.groupBy("user_id")
+        .agg(max_by(
+          struct(col("ts_us"), col("event_id"), col("op"), col("event_type"),
+            col("value_cents")),
+          struct(col("ts_us"), col("event_id"))).as("r"))
+      val cut = lit(1705276800000000L) // 2024-01-15T00:00:00Z in micros
+      val state = latest(ev.filter(col("ts_us") < cut))
+        .withColumnRenamed("r", "s")
+      val delta = latest(ev.filter(col("ts_us") >= cut))
+        .withColumnRenamed("r", "d")
+      state.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("s").isNull || (col("d").isNotNull &&
+            struct(col("d.ts_us"), col("d.event_id")) >
+              struct(col("s.ts_us"), col("s.event_id"))), col("d"))
+            .otherwise(col("s")).as("w"))
+        .filter(col("w.op") =!= "D") // tombstone wins ⇒ row deleted
         .select(col("user_id"), col("w.ts_us").as("last_ts_us"),
           col("w.event_type").as("last_type"),
           col("w.value_cents").as("last_value_cents"))
@@ -1417,6 +1505,16 @@ object RelationalQueries {
          SELECT user_id, ts_us AS last_ts_us, event_type AS last_type,
            value_cents AS last_value_cents
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    "cdc_merge_delete" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, ts_us AS last_ts_us, event_type AS last_type,
+           value_cents AS last_value_cents
+         FROM r WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
     "orc_roundtrip" ->
       """SELECT event_id, user_id, event_type, props,
          CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
@@ -1424,6 +1522,15 @@ object RelationalQueries {
          FROM events
          WHERE event_type = 'purchase' AND value > 50.0
          ORDER BY event_id""",
+    "parquet_schema_merge" ->
+      """SELECT o_orderpriority,
+         COUNT(*) AS n_rows,
+         CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+           AS n_priced,
+         CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+           THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+           AS sum_priced_cents
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "win_ntile" ->
       """SELECT o_orderpriority, o_orderkey,
          CAST(NTILE(8) OVER (PARTITION BY o_orderpriority

@@ -597,6 +597,35 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"explosion join in the upsert:\n$p")
   }
 
+  test("cdc_merge_delete: tombstone merge keeps cdc_upsert's shape — partials, one full-outer, post-merge delete filter") {
+    val p = executed(SparkEntry.queries("cdc_merge_delete")(spark, sf0001))
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      p.contains("max_by"), s"no partial-aggregated latest-per-key:\n$p")
+    assert(p.contains("FullOuter"), s"merge must be a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"explosion join in the merge:\n$p")
+    // the tombstone drop is a filter on the merge's winner struct — it
+    // must NOT become a second join or aggregate pass
+    assert("HashAggregate".r.findAllIn(p).size <= 4,
+      s"tombstone handling added an extra aggregate pass:\n$p")
+  }
+
+  test("graph_diameter_sweep: both sweeps end checkpointed; planning stays bounded") {
+    Caches.hardSweep(spark)
+    val t0 = System.nanoTime()
+    val df = SparkEntry.queries("graph_diameter_sweep")(spark, sf0001)
+    df.queryExecution.optimizedPlan
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30.0, f"graph_diameter_sweep took $sec%.1f s to build+plan at sf0.001")
+    val analyzedNodes = df.queryExecution.analyzed.collect { case p => p }.size
+    assert(analyzedNodes < 80,
+      s"graph_diameter_sweep plan has $analyzedNodes nodes — sweep lineage is leaking")
+    val p = executed(df)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"the second sweep must aggregate a checkpointed leaf:\n$p")
+    Caches.hardSweep(spark)
+  }
+
   test("orc_roundtrip: the predicate is pushed into the ORC scan") {
     val df = SparkEntry.queries("orc_roundtrip")(spark, sf0001)
     val pushed = collectWithSubqueries(df.queryExecution.executedPlan) {
@@ -846,5 +875,47 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val p = executed(SparkEntry.queries("dedup_semantic")(spark, sf0001))
     assert(!p.contains("CartesianProduct"),
       s"semantic dedup must never form the all-pairs product:\n$p")
+  }
+
+  test("graph_sssp: relaxation rounds end in a checkpointed leaf; planning stays bounded") {
+    Caches.hardSweep(spark)
+    val t0 = System.nanoTime()
+    val df = SparkEntry.queries("graph_sssp")(spark, sf0001)
+    df.queryExecution.optimizedPlan
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30.0, f"graph_sssp took $sec%.1f s to build+plan at sf0.001")
+    val analyzedNodes = df.queryExecution.analyzed.collect { case p => p }.size
+    assert(analyzedNodes < 80,
+      s"graph_sssp plan has $analyzedNodes nodes — iteration lineage is leaking")
+    val p = executed(df)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"the relaxed distance frame must be a checkpointed leaf:\n$p")
+    Caches.hardSweep(spark)
+  }
+
+  test("sample_reservoir: the corpus window stays (source, bucket)-partitioned and the candidate set is pruned to the top-k prefix") {
+    val df = SparkEntry.queries("sample_reservoir")(spark, sf0001)
+    val p = executed(df)
+    assert("""hashpartitioning\(source#\d+, bkt#\d+""".r.findFirstIn(p).isDefined,
+      s"the rank window lost its (source, bucket) partitioning:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket counts must combine map-side:\n$p")
+    // the off < k prune is what keeps the within-bucket window candidate
+    // set ~k-sized — without it every document enters the final window
+    assert(p.contains("(off") && p.contains("< 64"),
+      s"the top-k bucket prune is missing — every doc would enter the rank window:\n$p")
+    Caches.hardSweep(spark)
+  }
+
+  test("parquet_schema_merge: the merged read sees both vintages with evolved nullability") {
+    val df = SparkEntry.queries("parquet_schema_merge")(spark, sf0001)
+    // schema evolution proof: the merged scan carries the v2-only column
+    assert(df.schema.fieldNames.contains("sum_priced_cents"))
+    val p = executed(df)
+    assert(p.contains("partial_count"),
+      s"the aggregate over the merged scan must map-side combine:\n$p")
+    assert(!p.contains("Join"),
+      s"the two vintages must merge in one scan, not a join:\n$p")
+    Caches.hardSweep(spark)
   }
 }
