@@ -452,6 +452,44 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // -- TEMPERATURE-SCALED domain mixing (the multilingual sampling rule
+    //    of the T5/mT5 line: target share ∝ n^α with α = 1/2) — flattens
+    //    the source distribution toward but not all the way to
+    //    mix_rebalance's uniform target. sqrt is the one non-integer in
+    //    the rule, so it is computed as EXACT integer isqrt: the double
+    //    floor(sqrt(n)) estimate corrected ±1 by integer comparisons —
+    //    both engines land on the identical BIGINT no matter what their
+    //    libm did. From there it is mix_rebalance's machinery unchanged:
+    //    exact-integer thresholds, content-addressed md5 acceptance, the
+    //    source-cardinality rates broadcast onto ONE corpus pass.
+    "mix_temperature" -> ((s, d) => {
+      val docs = documents(s, d).select(col("source"), col("text"))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      val isqrt = {
+        val t0 = floor(sqrt(col("n_total").cast("double"))).cast("long")
+        val t1 = when(t0 * t0 > col("n_total"), t0 - 1L).otherwise(t0)
+        when((t1 + 1L) * (t1 + 1L) <= col("n_total"), t1 + 1L).otherwise(t1)
+      }
+      val withSq = counts.withColumn("sq", isqrt)
+      val tot = withSq.agg(sum(col("n_total")).as("t"), sum(col("sq")).as("ssq"))
+      val rates = withSq.crossJoin(broadcast(tot))
+        .withColumn("thresh", least(lit(4096L),
+          floor(lit(4096L) * col("sq") * col("t") /
+            (col("ssq") * col("n_total")))
+          .cast("long")))
+        .select("source", "n_total", "sq", "thresh")
+      docs
+        .withColumn("hv",
+          conv(substring(md5(DedupQueries.norm(col("text"))), 1, 3), 16, 10)
+            .cast("long"))
+        .join(broadcast(rates), "source")
+        .groupBy(col("source"), col("n_total"), col("sq"), col("thresh"))
+        .agg(sum(when(col("hv") < col("thresh"), 1L).otherwise(0L))
+          .as("n_kept"))
+        .select("source", "n_total", "sq", "thresh", "n_kept")
+        .orderBy("source")
+    }),
+
     // -- deterministic negative sampling (the contrastive-pairs step of an
     //    embedding-training pipeline): every anchor doc (doc_id ≡ 0 mod 10)
     //    draws k=3 pseudo-random negatives via exact BIGINT hash arithmetic
@@ -830,6 +868,32 @@ object CurationQueries {
              * 1000000.0 / r.n_total) AS BIGINT) AS kept_e6
          FROM h JOIN r ON h.source = r.source
          GROUP BY r.source, r.n_total, r.thresh ORDER BY r.source""",
+    "mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+           FROM documents GROUP BY source),
+         q0 AS (SELECT source, n_total,
+             CAST(FLOOR(SQRT(CAST(n_total AS DOUBLE))) AS BIGINT) AS t0 FROM c),
+         q1 AS (SELECT source, n_total,
+             CASE WHEN t0 * t0 > n_total THEN t0 - 1 ELSE t0 END AS t1 FROM q0),
+         q2 AS (SELECT source, n_total,
+             CASE WHEN (t1 + 1) * (t1 + 1) <= n_total THEN t1 + 1 ELSE t1 END
+               AS sq FROM q1),
+         t AS (SELECT CAST(SUM(n_total) AS BIGINT) AS t,
+             CAST(SUM(sq) AS BIGINT) AS ssq FROM q2),
+         r AS (SELECT q2.source, q2.n_total, q2.sq,
+             LEAST(4096, CAST(FLOOR(4096 * q2.sq * t.t / (t.ssq * q2.n_total))
+               AS BIGINT)) AS thresh
+           FROM q2, t),
+         h AS (SELECT source,
+             (strpos('0123456789abcdef', substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 2, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 3, 1)) - 1) AS hv
+           FROM documents)
+         SELECT r.source, r.n_total, r.sq, r.thresh,
+           CAST(SUM(CASE WHEN h.hv < r.thresh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+         FROM h JOIN r ON h.source = r.source
+         GROUP BY r.source, r.n_total, r.sq, r.thresh ORDER BY r.source""",
     "quality_novelty" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

@@ -680,6 +680,32 @@ object StreamingOps {
         .filter(col("event_type") =!= "~sentinel")
         .orderBy("win_start", "event_type")),
 
+    // -- streaming windowed TOP-K (the trending-now shape): the STREAMING
+    //    stage is the watermarked per-(window × type) count — bounded
+    //    state, finalized exactly once by append mode — and the rank runs
+    //    as the standard downstream pass over the finalized window rows.
+    //    That split is forced and correct: a window's top-k does not
+    //    exist until the watermark closes the window, and the finalized
+    //    relation is window-grain (hours × types — metadata-sized at any
+    //    corpus scale), so the per-window rank window is trivially
+    //    parallel in win_start and never sees corpus-sized data.
+    "stream_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val agg = replayThroughStream(s, d, "stream_topk_sink",
+        expand = identity,
+        build = src => src
+          .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("win.start").as("win_start"), col("event_type"),
+            col("n")))
+        .filter(col("event_type") =!= "~sentinel")
+      val w = Window.partitionBy(col("win_start"))
+        .orderBy(col("n").desc, col("event_type"))
+      agg.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 2)
+        .orderBy("win_start", "rk")
+    }),
+
     // -- streaming exact dedup under at-least-once delivery: every batch
     //    is fed TWICE (exact redelivery), dropDuplicatesWithinWatermark
     //    keeps the first arrival per event_id — duplicates carry identical
@@ -893,6 +919,13 @@ object StreamingOps {
          SELECT win_start, event_type, COUNT(*) AS n,
            CAST(SUM(vc) AS BIGINT) AS value_cents
          FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "stream_topk" ->
+      """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+             event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY win_start
+             ORDER BY n DESC, event_type) AS BIGINT) AS rk FROM c)
+         SELECT win_start, event_type, n, rk FROM r
+         WHERE rk <= 2 ORDER BY win_start, rk""",
     "stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS us,
          CAST(FLOOR(value * 100) AS BIGINT) AS v_cents, event_type

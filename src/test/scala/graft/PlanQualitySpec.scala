@@ -361,6 +361,18 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"the corpus must not shuffle for the rate join:\n$p")
   }
 
+  test("mix_temperature: exact isqrt thresholds broadcast; corpus scanned once") {
+    val df = SparkEntry.queries("mix_temperature")(spark, sf0001)
+    val p = executed(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate relation must broadcast onto the corpus pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the rate join:\n$p")
+    // the isqrt correction must stay a scalar expression chain — no UDF
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"isqrt must be built-in expressions, not a UDF:\n$p")
+  }
+
   test("graph_hyperball: checkpointed rounds keep the plan flat; sketch merge partial-aggregates") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("graph_hyperball")(spark, sf0001)

@@ -127,6 +127,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(sd.map(_.getLong(0)).distinct.length == sd.length, "duplicate event_ids survived")
   }
 
+  test("stream_topk equals the batch per-window rank over finalized windows") {
+    graft.Caches.hardSweep(spark)
+    val streamed = graft.SparkEntry.queries("stream_topk")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("win_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    val batch = graft.Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      "streaming windowed top-k differs from the batch rank")
+  }
+
   test("stream_agg_complete snapshot equals the batch per-type totals") {
     graft.Caches.hardSweep(spark)
     val streamed = graft.SparkEntry.queries("stream_agg_complete")(spark, sf0001)
