@@ -351,6 +351,48 @@ object ScaleRehearsal {
       (nNodes, nChosen, nComps)
     }
 
+    // Relaxation kernel at scale (graph_sssp / graph_diameter_sweep's
+    // shared loop, unit weights): 4 checkpointed min-plus rounds from
+    // node 0 must agree ROW FOR ROW with an INDEPENDENT implementation of
+    // the same recurrence — GraphX Pregel capped at the same 4 supersteps.
+    // A DataFrame join+agg loop and a Pregel message engine share no code
+    // path; exact agreement on 10M nodes is a reference-free correctness
+    // gate for both.
+    val ((ssspReached, ssspMismatch), tSssp) = timed {
+      import org.apache.spark.graphx._
+      val ud = g.select(col("id").cast("long").as("a"),
+          explode(col("successors")).as("b0"))
+        .select(col("a"), col("b0").cast("long").as("b"))
+      val und = ud.unionByName(ud.select(col("b").as("a"), col("a").as("b")))
+        .withColumn("w", lit(1L))
+      val dist = graft.queries.GraphAlgos.relaxRounds(spark, und, 0L, 4)
+      // symmetric closure on the Pregel side too — the kernel relaxed
+      // over und, and a directed-only twin mismatches on every node first
+      // reached through a reverse arc
+      val edgeRdd = ud.rdd.flatMap(r => Iterator(
+        Edge(r.getLong(0), r.getLong(1), ()),
+        Edge(r.getLong(1), r.getLong(0), ())))
+      val g0 = Graph.fromEdges(edgeRdd, ())
+      val bfs = g0.mapVertices((id, _) => if (id == 0L) 0L else Long.MaxValue)
+        .pregel(Long.MaxValue, maxIterations = 4)(
+          (_, d0, msg) => math.min(d0, msg),
+          t => if (t.srcAttr != Long.MaxValue && t.srcAttr + 1L < t.dstAttr)
+            Iterator((t.dstId, t.srcAttr + 1L)) else Iterator.empty,
+          (x, y) => math.min(x, y))
+      import spark.implicits._
+      val bfsDf = bfs.vertices.filter(_._2 != Long.MaxValue)
+        .map { case (id, dd) => (id, dd) }.toDF("x", "bdist")
+      val joined = dist.join(bfsDf, Seq("x"), "full_outer")
+      val mism = joined.filter(col("dist").isNull || col("bdist").isNull ||
+        col("dist") =!= col("bdist")).count()
+      val reached = dist.count()
+      g0.unpersistVertices(blocking = false)
+      g0.edges.unpersist(blocking = false)
+      bfs.unpersistVertices(blocking = false)
+      bfs.edges.unpersist(blocking = false)
+      (reached, mism)
+    }
+
     def f(v: Double): String = f"$v%.2f"
     println(s"""{"nodes":$n,"arcs":$mm,"shards":$shards,""" +
       s""""bits_per_link":${f(bitsPerLink)},"write_sec":${f(tWrite)},""" +
@@ -376,12 +418,15 @@ object ScaleRehearsal {
       s""""perm_sec":${f(tPerm)},"perm_bits_per_link":${f(permBpl)},""" +
       s""""msf_sec":${f(tMsf)},"msf_nodes":$msfNodes,""" +
       s""""msf_chosen":$msfChosen,"msf_components":$msfComps,""" +
+      s""""sssp_sec":${f(tSssp)},"sssp_reached":$ssspReached,""" +
+      s""""sssp_pregel_mismatches":$ssspMismatch,""" +
       s""""checks":${nn == n && m2 == mm && mGol == mm && rtEdges == expRt &&
         sccOnCycle >= 1 && sccOnCycle <= sccN && hbMin >= 1 &&
         hbAvgX100 >= 100L * (1 + avgDeg) &&
         prCount == n && prMin >= 150000000L &&
         modelOk && permArcs == mm &&
-        msfNodes - msfChosen == msfComps && msfChosen > 0}}""")
+        msfNodes - msfChosen == msfComps && msfChosen > 0 &&
+        ssspMismatch == 0L && ssspReached > 1L}}""")
     spark.stop()
   }
 }

@@ -233,6 +233,33 @@ object TextScaleRehearsal {
     }
     Caches.sweep(spark)
 
+    // stage 6: exact-k reservoir sampling (sample_reservoir's shared
+    // reservoirTopK) over 16 synthetic sources. Two gates: (a) every
+    // source yields exactly k rows, (b) the selected set is the TRUE
+    // top-k prefix of the hash order — per source, the number of corpus
+    // rows at-or-below the max selected hash must equal k exactly (md5
+    // is collision-free here), which fails if the off<k bucket prune
+    // ever drops a legitimate candidate.
+    val (((resRows, resSources), resPrefixOk), tRes) = timed {
+      val keyed = corpus.select((col("doc_id") % 16).as("src"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h")).persist()
+      val sel = graft.queries.CurationQueries
+        .reservoirTopK(keyed.select(col("src"), col("doc_id"), col("h")), 64)
+        .persist()
+      val nSel = sel.count()
+      val nSrc = sel.select(col("grp")).distinct().count()
+      val maxSel = sel.join(keyed.select(col("doc_id").as("id"), col("h")), "id")
+        .groupBy(col("grp")).agg(max(col("h")).as("hmax"))
+      val below = keyed.join(maxSel.withColumnRenamed("grp", "src"), "src")
+        .groupBy(col("src")).agg(
+          sum(when(col("h") <= col("hmax"), 1L).otherwise(0L)).as("nb"))
+      val ok = below.filter(col("nb") =!= 64L).count() == 0L
+      sel.unpersist(blocking = false)
+      keyed.unpersist(blocking = false)
+      ((nSel, nSrc), ok)
+    }
+    Caches.sweep(spark)
+
     corpus.unpersist(blocking = false)
     val expDup = n / 100L // planted exact groups == planted near pairs
     val expSpam = (n + 999L) / 1000L // ids ≡ 0 (mod 1000) incl. id 0
@@ -255,7 +282,11 @@ object TextScaleRehearsal {
       s""""pack_sec":${f(tPack)},"pack_kdocs_per_sec":${rate(nDocs, tPack)},""" +
       s""""cdc_sec":${f(tCdc)},"cdc_kdocs_per_sec":${rate(nDocs, tCdc)},""" +
       s""""cdc_chunks":$totChunks,"cdc_full_dup_docs":$nFullDup,""" +
-      s""""checks":${nDocs == n && nGroups == n - expDup &&
+      s""""reservoir_sec":${f(tRes)},"reservoir_rows":$resRows,""" +
+      s""""reservoir_sources":$resSources,""" +
+      s""""checks":${resRows == 16L * 64L && resSources == 16L &&
+        resPrefixOk &&
+        nDocs == n && nGroups == n - expDup &&
         nDupGroups == expDup && nPairs == 2 * expDup &&
         nJacPairs == 2 * expDup && nHub >= 3 && maxDf == n / 100L &&
         nContPairs == 4 * expDup &&

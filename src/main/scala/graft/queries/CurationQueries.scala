@@ -26,6 +26,37 @@ import graft.Tables._
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Exact top-k rows per group under (h ASC, id ASC) — the reservoir-
+    * sampling kernel behind `sample_reservoir`, shared with the 1M-doc
+    * scale rehearsal. Input `(grp, id, h)` with `h` a hex-string sort key
+    * (md5 in production); output `(grp, rk, id)`, rk in [1, k].
+    *
+    * NOT a per-group global window (one group = one task at corpus
+    * scale): bucket by the first 2 hash hex digits, cumsum the 256
+    * per-group bucket counts on the metadata-sized offset relation, drop
+    * every bucket whose offset is already ≥ k (it cannot intersect the
+    * top-k prefix — so only ~k candidate rows per group enter the final
+    * window), then row_number WITHIN each (grp, bucket). */
+  private[graft] def reservoirTopK(df: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val in = df.toDF("grp", "id", "h")
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val counts = in.groupBy(col("grp"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col("grp")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .filter(col("off") < k)
+    val wIn = Window.partitionBy(col("grp"), col("bkt"))
+      .orderBy(col("h"), col("id"))
+    in.join(offs.select(col("grp"), col("bkt"), col("off")),
+        Seq("grp", "bkt"))
+      .withColumn("rk", col("off") + row_number().over(wIn))
+      .filter(col("rk") <= k)
+      .select(col("grp"), col("rk"), col("id"))
+  }
+
   /** Word 3-grams WITHOUT dedup (repetition needs multiplicity); short
     * docs fall back to the whole text, mirroring [[DedupQueries.shingles]]
     * — same native expression, distinct off. */
@@ -377,31 +408,11 @@ object CurationQueries {
     //    cumsums the 256-per-source bucket counts on a metadata-sized
     //    relation, and row_numbers only WITHIN each (source, bucket) —
     //    every corpus-sized window stays bucket-partitioned (plan-gated).
-    "sample_reservoir" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 64
-      val h = documents(s, d).select(col("source"), col("doc_id"),
-        md5(col("doc_id").cast("string")).as("h"))
-        .withColumn("bkt", substring(col("h"), 1, 2))
-      val counts = h.groupBy(col("source"), col("bkt"))
-        .agg(count(lit(1)).as("c"))
-      val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = counts
-        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-        // buckets whose offset is already past k can't contribute to the
-        // top-k prefix — the candidate set entering the within-bucket
-        // window is ~k rows per source, not the corpus
-        .filter(col("off") < k)
-      val wIn = Window.partitionBy(col("source"), col("bkt"))
-        .orderBy(col("h"), col("doc_id"))
-      h.join(offs.select(col("source"), col("bkt"), col("off")),
-          Seq("source", "bkt"))
-        .withColumn("rk", col("off") + row_number().over(wIn))
-        .filter(col("rk") <= k)
-        .select(col("source"), col("rk"), col("doc_id"))
-        .orderBy("source", "rk")
-    }),
+    "sample_reservoir" -> ((s, d) =>
+      reservoirTopK(documents(s, d).select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h")), 64)
+        .select(col("grp").as("source"), col("rk"), col("id").as("doc_id"))
+        .orderBy("source", "rk")),
 
     "sample_stratified" -> ((s, d) => {
       documents(s, d)

@@ -50,6 +50,34 @@ object GraphAlgos {
     ids.foreach(id => s.sparkContext.getPersistentRDDs.get(id)
       .foreach(_.unpersist(blocking = false)))
 
+  /** `rounds` synchronous min-plus relaxation rounds from `srcId` over a
+    * weighted edge frame `(a, b, w)` — the shared Bellman–Ford/BFS kernel
+    * behind graph_sssp (data-derived weights), graph_diameter_sweep's two
+    * unit-weight sweeps, and the 10M-node scale rehearsal's cross-check
+    * against GraphX Pregel. Per round: one edge-partitioned join + one
+    * partial-aggregated min, eagerly checkpointed (kcore hygiene) so the
+    * plan stays flat at any round count; the previous generation's RDDs
+    * are freed as the next materializes. Returns `(x, dist)` for nodes
+    * reached within `rounds` hops. */
+  private[graft] def relaxRounds(s: SparkSession, e: DataFrame, srcId: Long,
+      rounds: Int): DataFrame = {
+    var dist: DataFrame = s.range(1)
+      .select(lit(srcId).as("x"), lit(0L).as("dist"))
+    var ids = Set.empty[Int]
+    for (_ <- 1 to rounds) {
+      val msgs = e.join(dist.withColumnRenamed("x", "a"), "a")
+        .select(col("b").as("x"), (col("dist") + col("w")).as("dist"))
+      val (ck, nIds) = checkpointWithIds(
+        dist.unionByName(msgs).groupBy(col("x"))
+          .agg(min(col("dist")).as("dist")))
+      freeRdds(s, ids)
+      dist = ck
+      ids = nIds
+    }
+    graft.Caches.defer(s)(freeRdds(s, ids))
+    dist
+  }
+
   /** PageRank loop body, iteration count and checkpoint policy exposed so
     * PlanQualitySpec can prove the hygiene matters: at N=10 the
     * uncheckpointed loop's logical plan re-embeds the pinned e/nodes/outdeg
@@ -548,21 +576,8 @@ object GraphAlgos {
           .unionByName(w0.select(col("v").as("a"), col("u").as("b"), col("w"))))
       graft.Caches.defer(s)(freeRdds(s, eIds))
       val srcId = e.agg(min(col("a"))).head().getLong(0) // bounded scalar
-      var dist: DataFrame = s.range(1)
-        .select(lit(srcId).as("x"), lit(0L).as("dist"))
-      var ids = Set.empty[Int]
-      for (_ <- 1 to 4) {
-        val msgs = e.join(dist.withColumnRenamed("x", "a"), "a")
-          .select(col("b").as("x"), (col("dist") + col("w")).as("dist"))
-        val (ck, nIds) = checkpointWithIds(
-          dist.unionByName(msgs).groupBy(col("x"))
-            .agg(min(col("dist")).as("dist")))
-        freeRdds(s, ids)
-        dist = ck
-        ids = nIds
-      }
-      graft.Caches.defer(s)(freeRdds(s, ids))
-      dist.select(col("x").as("node"), col("dist")).orderBy("node")
+      relaxRounds(s, e, srcId, rounds = 4)
+        .select(col("x").as("node"), col("dist")).orderBy("node")
     }),
 
     // -- DIAMETER LOWER BOUND by the classic double-sweep: BFS from an
@@ -583,27 +598,13 @@ object GraphAlgos {
           .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
       }
       graft.Caches.defer(s)(freeRdds(s, eIds))
-      def sweep(srcId: Long): DataFrame = {
-        var dist: DataFrame = s.range(1)
-          .select(lit(srcId).as("x"), lit(0L).as("dist"))
-        var ids = Set.empty[Int]
-        for (_ <- 1 to 4) {
-          val msgs = e.join(dist.withColumnRenamed("x", "a"), "a")
-            .select(col("b").as("x"), (col("dist") + lit(1L)).as("dist"))
-          val (ck, nIds) = checkpointWithIds(
-            dist.unionByName(msgs).groupBy(col("x"))
-              .agg(min(col("dist")).as("dist")))
-          freeRdds(s, ids)
-          dist = ck
-          ids = nIds
-        }
-        graft.Caches.defer(s)(freeRdds(s, ids))
-        dist
-      }
+      val ew = e.withColumn("w", lit(1L))
       val src = e.agg(min(col("a"))).head().getLong(0) // bounded scalar
-      val far = sweep(src).orderBy(col("dist").desc, col("x"))
+      val far = relaxRounds(s, ew, src, rounds = 4)
+        .orderBy(col("dist").desc, col("x"))
         .select(col("x")).head().getLong(0) // bounded scalar
-      sweep(far).groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      relaxRounds(s, ew, far, rounds = 4)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
     }),
 

@@ -908,8 +908,8 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   test("sample_reservoir: the corpus window stays (source, bucket)-partitioned and the candidate set is pruned to the top-k prefix") {
     val df = SparkEntry.queries("sample_reservoir")(spark, sf0001)
     val p = executed(df)
-    assert("""hashpartitioning\(source#\d+, bkt#\d+""".r.findFirstIn(p).isDefined,
-      s"the rank window lost its (source, bucket) partitioning:\n$p")
+    assert("""hashpartitioning\(grp#\d+, bkt#\d+""".r.findFirstIn(p).isDefined,
+      s"the rank window lost its (group, bucket) partitioning:\n$p")
     assert(p.contains("partial_count"),
       s"bucket counts must combine map-side:\n$p")
     // the off < k prune is what keeps the within-bucket window candidate
