@@ -619,9 +619,69 @@ object CurationQueries {
             .when(col("level") === 1L, col("n1")).otherwise(lit(0L))
             .as("class_size"))
         .orderBy("doc_id")
+    }),
+
+    // -- l-diversity release gate (k-anonymity's successor: class SIZE is
+    //    not enough — a class where every member shares the sensitive
+    //    value leaks it even at n ≥ k). Sensitive attribute = lang;
+    //    quasi-identifier = (source, 128-char length bucket). A doc
+    //    releases at level 0 if its exact class has ≥ k members AND ≥ l
+    //    distinct langs, generalizes the bucket 128→512 (level 1) if the
+    //    coarser class passes both tests, else is suppressed (level 2).
+    //    Same scale shape as anon_kanonymity: two partial-aggregated
+    //    class tables (QID cardinality ≪ corpus) broadcast back onto ONE
+    //    corpus pass — the distinct-lang counts live on the class
+    //    tables, never a corpus-sized distinct.
+    "anon_ldiversity" -> ((s, d) => {
+      val k = 8L
+      val l = 3L
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 128").as("b128"),
+          expr("n_chars div 512").as("b512"))
+      val s0 = docs.groupBy("source", "b128")
+        .agg(count(lit(1)).as("n0"), countDistinct(col("lang")).as("l0"))
+      val s1 = docs.groupBy("source", "b512")
+        .agg(count(lit(1)).as("n1"), countDistinct(col("lang")).as("l1"))
+      docs
+        .join(broadcast(s0), Seq("source", "b128"))
+        .join(broadcast(s1), Seq("source", "b512"))
+        .withColumn("level",
+          when(col("n0") >= k && col("l0") >= l, lit(0L))
+            .when(col("n1") >= k && col("l1") >= l, lit(1L))
+            .otherwise(lit(2L)))
+        .select(col("doc_id"), col("level"),
+          when(col("level") === 0L, col("n0"))
+            .when(col("level") === 1L, col("n1")).otherwise(lit(0L))
+            .as("class_size"),
+          when(col("level") === 0L, col("l0"))
+            .when(col("level") === 1L, col("l1")).otherwise(lit(0L))
+            .as("class_langs"))
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "anon_ldiversity" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+           n_chars // 128 AS b128, n_chars // 512 AS b512 FROM documents),
+         s0 AS (SELECT source, b128, COUNT(*) AS n0,
+             COUNT(DISTINCT lang) AS l0
+           FROM d GROUP BY 1, 2),
+         s1 AS (SELECT source, b512, COUNT(*) AS n1,
+             COUNT(DISTINCT lang) AS l1
+           FROM d GROUP BY 1, 2),
+         j AS (SELECT d.doc_id, s0.n0, s0.l0, s1.n1, s1.l1,
+             CASE WHEN s0.n0 >= 8 AND s0.l0 >= 3 THEN 0
+                  WHEN s1.n1 >= 8 AND s1.l1 >= 3 THEN 1 ELSE 2 END AS level
+           FROM d
+           JOIN s0 ON s0.source = d.source AND s0.b128 = d.b128
+           JOIN s1 ON s1.source = d.source AND s1.b512 = d.b512)
+         SELECT doc_id, CAST(level AS BIGINT) AS level,
+           CAST(CASE WHEN level = 0 THEN n0 WHEN level = 1 THEN n1 ELSE 0 END
+             AS BIGINT) AS class_size,
+           CAST(CASE WHEN level = 0 THEN l0 WHEN level = 1 THEN l1 ELSE 0 END
+             AS BIGINT) AS class_langs
+         FROM j ORDER BY doc_id""",
     "anon_kanonymity" ->
       """WITH d AS (SELECT doc_id, lang, source, n_chars // 128 AS len_bkt
            FROM documents),

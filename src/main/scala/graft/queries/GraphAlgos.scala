@@ -754,6 +754,51 @@ object GraphAlgos {
           expr("3 * triangles * 1000000 DIV wedges").as("cc_x1e6"))
     }),
 
+    // -- 4-CYCLE (rectangle) count, completing the motif family beyond
+    //    triangles: the Chiba–Nishizeki min-rank formulation. Fix the
+    //    (degree, id) total order; every 4-cycle v-u₁-w-u₂ is counted
+    //    exactly once AT ITS MINIMUM-RANK VERTEX v with its unique
+    //    opposite corner w: count 2-paths v→u—w with rank(u) > rank(v)
+    //    and rank(w) > rank(v), group by (v, w), and Σ C(c, 2). The
+    //    first hop uses the degree-oriented edge set (out-degree bounded
+    //    by ~√m — the same skew cap as graph_triangles), so the wedge
+    //    join is the O(α·m) rectangle bound, with map-side partial
+    //    counts collapsing (v, w) pairs before the exchange. The total
+    //    is invariant under ANY total order, so the oracle replays the
+    //    simpler id order while the engine runs the skew-safe degree
+    //    order — agreement is itself evidence both sides count cycles,
+    //    not an orientation artifact. Exact BIGINT throughout.
+    "graph_squares" -> ((s, d) => {
+      val e = graft.Caches.pin(coPurchaseEdges(s, d))
+      val deg = graft.Caches.pin(
+        e.select(explode(array(col("u"), col("v"))).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("dg")))
+      val dir = e
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      // wedge v→u—w: first hop oriented (rank(u) > rank(v) by dir's
+      // construction), second hop undirected; keep rank(w) > rank(v)
+      val p2 = dir
+        .join(sym.select(col("x").as("t"), col("y").as("w")), "t")
+        .join(deg.select(col("x").as("s"), col("dg").as("ds")), "s")
+        .join(deg.select(col("x").as("w"), col("dg").as("dw")), "w")
+        .filter(col("ds") < col("dw") ||
+          (col("ds") === col("dw") && col("s") < col("w")))
+        .groupBy(col("s"), col("w")).agg(count(lit(1)).as("c"))
+      e.select(lit(1L).as("ne"), lit(0L).as("sq"))
+        .unionByName(p2.select(lit(0L).as("ne"),
+          expr("c * (c - 1) DIV 2").as("sq")))
+        .agg(sum(col("ne")).as("n_edges"), sum(col("sq")).as("squares"))
+    }),
+
     // -- BFS levels from the minimum part id over the undirected
     //    co-purchase graph, via GraphX Pregel (min-distance propagation):
     //    edges are partitioned ONCE, each superstep is a co-partitioned
@@ -1509,6 +1554,19 @@ object GraphAlgos {
            FROM e e1 JOIN e e2 ON e2.u = e1.v
                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
          SELECT (SELECT COUNT(*) FROM e) AS n_edges, triangles FROM tri""",
+    // id total order (e already has u < v); the engine's degree order
+    // yields the same invariant total — see the query's scaladoc.
+    "graph_squares" ->
+      s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
+         und AS MATERIALIZED (
+           SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+         p2 AS (SELECT d.u AS v, und.y AS w, COUNT(*) AS c
+           FROM e d JOIN und ON und.x = d.v
+           WHERE und.y > d.u
+           GROUP BY d.u, und.y)
+         SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           CAST((SELECT COALESCE(SUM(c * (c - 1) // 2), 0) FROM p2)
+             AS BIGINT) AS squares""",
     "graph_bfs" ->
       s"""WITH RECURSIVE $edgesCte,
          und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),

@@ -1248,6 +1248,31 @@ object RelationalQueries {
         .orderBy("funnel_depth")
     }),
 
+    // -- first-order Markov transition matrix over per-user event
+    //    sequences (the sequence-modeling data-prep shape: what follows
+    //    what). ONE pass: a user-partitioned lead() pairs each event with
+    //    its successor (ties broken by event_id so both engines see the
+    //    same total order), then a (from, to) count. The transition
+    //    share is computed on the types×types relation — metadata-sized
+    //    at any corpus scale — via exact integer DIV, and every
+    //    corpus-sized window stays user-partitioned (never global).
+    "events_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, d)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(wu).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      pairs // the share window runs on the types×types relation
+        .withColumn("share_x1e6",
+          expr("n_trans * 1000000 DIV sum(n_trans) OVER " +
+            "(PARTITION BY from_type)"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // -- CASE/conditional + HAVING shape
     "case_having" -> ((s, d) => {
       lineitem(s, d)
@@ -1832,6 +1857,18 @@ object RelationalQueries {
          SELECT CAST(funnel_depth AS BIGINT) AS funnel_depth,
            COUNT(*) AS n_users
          FROM dep GROUP BY 1 ORDER BY 1""",
+    "events_transitions" ->
+      """WITH p AS (
+           SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, COUNT(*) AS n_trans
+           FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_trans,
+           CAST(n_trans * 1000000 // SUM(n_trans) OVER
+             (PARTITION BY from_type) AS BIGINT) AS share_x1e6
+         FROM c ORDER BY from_type, to_type""",
     "case_having" ->
       """SELECT disc_band, COUNT(*) AS n,
          CAST(FLOOR(SUM(price_cents) / COUNT(*)) AS BIGINT) AS avg_price_cents

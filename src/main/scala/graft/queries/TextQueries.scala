@@ -312,9 +312,120 @@ object TextQueries {
           expr("c_ab * n * 1000000L div (c_a * c_b)").as("lift_e6"))
         .orderBy(col("lift_e6").desc, col("bigram"))
         .limit(20)
+    }),
+
+    // -- BPE MERGE LEARNING (tokenizer training — the op that turns this
+    //    engine's token pipeline from "apply a vocab" into "train one"):
+    //    3 rounds of byte-pair encoding over the corpus VOCABULARY. The
+    //    classic Sennrich trick is the scale story: the corpus is
+    //    scanned ONCE to build the (word, count) table; every merge
+    //    round then runs on that vocabulary-sized relation — pair counts
+    //    via one partial-aggregated explode (overlapping pairs counted,
+    //    as in reference BPE), the argmax pair under the (count DESC,
+    //    x, y) total order as ONE bounded driver scalar per round
+    //    (TakeOrdered(1) — ties are deterministic in both engines, both
+    //    compare strings as binary UTF-8), and the merge applied per
+    //    word by the codegen'd [[bpeMergeFold]] HOF — a row-local fold,
+    //    NO shuffle in the apply step. The oracle replays each round as
+    //    chained MATERIALIZED CTEs with an independent POSITIONAL
+    //    formulation of greedy merging (match runs + even-offset rule)
+    //    — two different greedy implementations agreeing on every
+    //    merged vocabulary is the gate.
+    "vocab_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      var t = graft.Caches.pin(
+        documents(s, d).select(explode(toks(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .withColumn("syms", expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (r <- 1 to 3) {
+        val pc = t.select(col("n"), explode(expr(
+          "transform(slice(syms, 1, greatest(size(syms) - 1, 0)), " +
+            "(x, i) -> struct(x AS x, element_at(syms, i + 2) AS y))")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("n")).as("c"))
+        val best = pc.orderBy(col("c").desc, col("x"), col("y")).limit(1)
+          .head() // bounded scalar: ONE (pair, count) row per round
+        val (bx, by, bc) =
+          (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r.toLong, bx, by, bc))
+        t = graft.Caches.pin(
+          t.withColumn("syms", bpeMergeFold(col("syms"), bx, by)))
+      }
+      merges.result().toDF("round", "sym_x", "sym_y", "pair_count")
+        .orderBy("round")
     }))
 
+  /** One greedy left-to-right BPE merge pass over a symbol array: fold
+    * the symbols, merging (x, y) wherever the accumulator's LAST element
+    * is x and the incoming symbol is y. After a merge the new token is
+    * x+y, which can never equal x again (lengths grow), so the plain
+    * fold IS greedy BPE semantics: "aaa" under (a,a) → ["aa","a"], never
+    * ["a","aa"]. Pure codegen'd HOF (`functions.aggregate`), no UDF;
+    * row-local, so applying a merge corpus-wide costs zero shuffles.
+    * Shared with the greedy-semantics spec. */
+  private[graft] def bpeMergeFold(syms: Column, x: String, y: String): Column =
+    aggregate(syms, expr("cast(array() as array<string>)"),
+      (acc, s0) => when(size(acc) > 0 &&
+          try_element_at(acc, lit(-1)) === lit(x) && s0 === lit(y),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+        .otherwise(concat(acc, array(s0))))
+
+  /** Independent positional replay of one greedy BPE merge round r over
+    * t{r-1}: match positions, gaps-and-islands match runs, the
+    * even-offset rule (within a run of consecutive matches, greedy
+    * merges the 1st, 3rd, 5th…), consumed-position drop, list rebuild.
+    * Deliberately NOT the engine's fold — two formulations must agree. */
+  private def bpeRoundCtes(r: Int): String = {
+    val p = r - 1
+    s"""pr$r AS (SELECT n, unnest(list_transform(range(1, len(syms)), i ->
+           struct_pack(x := syms[i], y := syms[i + 1]))) AS pp FROM t$p),
+       pc$r AS (SELECT pp.x AS x, pp.y AS y, CAST(SUM(n) AS BIGINT) AS c
+         FROM pr$r GROUP BY 1, 2),
+       b$r AS MATERIALIZED (SELECT x, y, c FROM pc$r
+         ORDER BY c DESC, x, y LIMIT 1),
+       po$r AS MATERIALIZED (SELECT w, n, syms,
+           unnest(range(1, len(syms) + 1)) AS i FROM t$p),
+       mm$r AS (SELECT q.w, q.i,
+           q.i - ROW_NUMBER() OVER (PARTITION BY q.w ORDER BY q.i) AS g
+         FROM po$r q, b$r b
+         WHERE q.i < len(q.syms) AND q.syms[q.i] = b.x
+           AND q.syms[q.i + 1] = b.y),
+       mg$r AS MATERIALIZED (SELECT w, i,
+           ((ROW_NUMBER() OVER (PARTITION BY w, g ORDER BY i) - 1) % 2 = 0)
+             AS dm
+         FROM mm$r),
+       t$r AS MATERIALIZED (
+         SELECT q.w, q.n, list(CASE WHEN md.i IS NOT NULL
+             THEN q.syms[q.i] || q.syms[q.i + 1] ELSE q.syms[q.i] END
+             ORDER BY q.i) AS syms
+         FROM po$r q
+         LEFT JOIN (SELECT w, i FROM mg$r WHERE dm) md
+           ON md.w = q.w AND md.i = q.i
+         LEFT JOIN (SELECT w, i + 1 AS i FROM mg$r WHERE dm) cs
+           ON cs.w = q.w AND cs.i = q.i
+         WHERE cs.i IS NULL
+         GROUP BY q.w, q.n)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "vocab_bpe_merges" ->
+      s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+               '\\s+', ' ', 'g'), ' ')) AS w FROM documents)
+           WHERE len(w) > 0 GROUP BY w),
+         t0 AS MATERIALIZED (SELECT w, n,
+             list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+           FROM w0),
+         ${(1 to 3).map(bpeRoundCtes).mkString(",\n         ")}
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS round, x AS sym_x, y AS sym_y,
+             c AS pair_count FROM b1
+           UNION ALL SELECT 2, x, y, c FROM b2
+           UNION ALL SELECT 3, x, y, c FROM b3)
+         ORDER BY round""",
     "vocab_encode" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

@@ -818,6 +818,71 @@ object StreamingOps {
             col("v_cents")))
         .filter(col("event_id") >= 0)
         .orderBy("event_id")
+    }),
+
+    // -- foreachBatch incremental MERGE — the production sink pattern the
+    //    memory/append sinks above don't exercise: each micro-batch is
+    //    applied as a latest-wins upsert into a VERSIONED external state
+    //    table (one parquet snapshot per batch id — the Delta-style MERGE
+    //    INTO loop, minus the log). Per batch: the batch pre-aggregates
+    //    map-side to one max_by row per user (batch-sized, not
+    //    state-sized), then ONE full-outer join against the previous
+    //    snapshot under the (ts, event_id) total order — cdc_upsert's
+    //    exact merge plan, run incrementally. Latest-wins is associative,
+    //    so the final snapshot provably equals the batch full recompute
+    //    the oracle runs; the gate proves the cross-batch fold loses
+    //    nothing. Writing to a NEW directory per batch keeps the read
+    //    (old snapshot) and write (new snapshot) disjoint — the
+    //    snapshot-isolation a real table format provides. No watermark:
+    //    the merge itself is the state, so the engine holds none.
+    "stream_foreachbatch_merge" -> ((s, d) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = replayRows(s, d)
+      val minUs = rows.iterator.map(_.us).min
+      val maxUs = rows.iterator.map(_.us).max
+      val midUs = minUs + (maxUs - minUs) / 2
+      val (b1, b2) = rows.partition(_.us <= midUs)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_fb_state").toString
+      def latest(df: DataFrame) = df.groupBy("user_id")
+        .agg(max_by(
+          struct(col("us"), col("event_id"), col("event_type"),
+            col("v_cents")),
+          struct(col("us"), col("event_id"))).as("r"))
+      var cur: Option[String] = None
+      val stream = MemoryStream[Replay]
+      val q = stream.toDF().writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val bl = latest(batch.toDF()).withColumnRenamed("r", "d")
+          val merged = cur match {
+            case None => bl.withColumnRenamed("d", "w")
+            case Some(dir) =>
+              val st = batch.sparkSession.read.parquet(dir)
+                .withColumnRenamed("w", "s")
+              st.join(bl, Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  when(col("s").isNull || (col("d").isNotNull &&
+                    struct(col("d.us"), col("d.event_id")) >
+                      struct(col("s.us"), col("s.event_id"))), col("d"))
+                    .otherwise(col("s")).as("w"))
+          }
+          val next = s"$base/v$id"
+          merged.write.mode("overwrite").parquet(next)
+          cur = Some(next)
+          ()
+        }
+        .start()
+      try {
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(cur.get)
+        .select(col("user_id"), col("w.us").as("last_ts_us"),
+          col("w.event_type").as("last_type"),
+          col("w.v_cents").as("last_value_cents"))
+        .orderBy("user_id")
     }))
 
   /** Batch replays of the streaming queries: the replay schedule drops
@@ -827,6 +892,17 @@ object StreamingOps {
     * reuses the `time_window_agg` bucketing; `stream_dedup`'s first
     * arrivals under exact redelivery are simply the distinct event set. */
   val oracleSql: Map[String, String] = Map(
+    // full recompute of latest-per-user — the incremental foreachBatch
+    // fold must land on exactly this (cdc_upsert's oracle, same columns)
+    "stream_foreachbatch_merge" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, ts_us AS last_ts_us, event_type AS last_type,
+           value_cents AS last_value_cents
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     "stream_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
            FROM events),

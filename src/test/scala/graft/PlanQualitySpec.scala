@@ -201,6 +201,16 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"expected in-row intersect closing:\n$p")
   }
 
+  test("graph_squares: wedge counts partial-aggregate before the exchange, no all-pairs shape") {
+    val p = executed(SparkEntry.queries("graph_squares")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in square count:\n$p")
+    // the (v, w) wedge-pair counts must collapse map-side before they
+    // cross the wire — without partial_count the exchange carries one row
+    // per 2-path instead of one per distinct endpoint pair
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
   test("dedup_passages: chunks shuffle as 64-bit hashes, never raw text") {
     val p = executed(SparkEntry.queries("dedup_passages")(spark, sf0001))
     val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
@@ -881,6 +891,25 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"class-size joins must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"k-anonymity corpus join degenerated to a shuffle:\n$p")
+  }
+
+  test("anon_ldiversity: class tables (with distinct-lang counts) broadcast back; corpus scanned once") {
+    val p = executed(SparkEntry.queries("anon_ldiversity")(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"class joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"l-diversity corpus join degenerated to a shuffle:\n$p")
+  }
+
+  test("events_transitions: the lead() window stays user-partitioned; transition counts partial-aggregate") {
+    val p = executed(SparkEntry.queries("events_transitions")(spark, sf0001))
+    assert("""hashpartitioning\(user_id#\d+""".r.findFirstIn(p).isDefined,
+      s"the sequence window lost its user partitioning:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    // the only SinglePartition exchange allowed is for the final
+    // types×types share window + ordering — never the corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape:\n$p")
   }
 
   test("dedup_semantic: pairs come from the banded key join, never an all-pairs product") {

@@ -205,4 +205,34 @@ class QuerySurfaceSpec extends AnyFunSuite {
       col("top_cnt") < 1).count()
     assert(bad == 0)
   }
+
+  test("bpeMergeFold: greedy left-to-right merge semantics on crafted runs") {
+    import spark.implicits._
+    val df = Seq(
+      ("aaa", Seq("a", "a", "a")),   // odd run: [aa, a], never [a, aa]
+      ("aaaa", Seq("a", "a", "a", "a")), // even run: [aa, aa]
+      ("aba", Seq("a", "b", "a")),   // no (a,a) pair at all
+      ("a", Seq("a"))                // singleton untouched
+    ).toDF("w", "syms")
+    val out = df.select(col("w"),
+        queries.TextQueries.bpeMergeFold(col("syms"), "a", "a").as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("aaa") == Seq("aa", "a"), s"greedy violated: ${out("aaa")}")
+    assert(out("aaaa") == Seq("aa", "aa"))
+    assert(out("aba") == Seq("a", "b", "a"))
+    assert(out("a") == Seq("a"))
+    // distinct-symbol pair: adjacent non-overlapping matches both merge
+    val df2 = Seq(("xyxy", Seq("x", "y", "x", "y"))).toDF("w", "syms")
+    val out2 = df2.select(
+        queries.TextQueries.bpeMergeFold(col("syms"), "x", "y").as("m"))
+      .head().getSeq[String](0)
+    assert(out2 == Seq("xy", "xy"))
+    // merged tokens never re-enter the same round's merge: (a, ab) on
+    // [a, a, b] must NOT fire after (a,b)... distinct pair (b,a) check
+    val df3 = Seq(("bab", Seq("b", "a", "b"))).toDF("w", "syms")
+    val out3 = df3.select(
+        queries.TextQueries.bpeMergeFold(col("syms"), "b", "a").as("m"))
+      .head().getSeq[String](0)
+    assert(out3 == Seq("ba", "b"))
+  }
 }

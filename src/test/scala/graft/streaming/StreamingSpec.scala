@@ -159,6 +159,27 @@ class StreamingSpec extends AnyFunSuite {
       "complete-mode snapshot differs from batch aggregation")
   }
 
+  test("stream_foreachbatch_merge: the incremental snapshot fold equals the batch latest-per-user") {
+    graft.Caches.hardSweep(spark)
+    val streamed = graft.SparkEntry.queries("stream_foreachbatch_merge")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val batch = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("v_cents"))
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("us"), col("event_type"), col("v_cents")),
+        struct(col("us"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("w.us").as("last_ts_us"),
+        col("w.event_type").as("last_type"),
+        col("w.v_cents").as("last_value_cents"))
+      .orderBy("user_id")
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      "foreachBatch incremental merge diverged from the full recompute")
+  }
+
   test("stream_interval_join equals the batch click→view join row-for-row") {
     // the oracle-gated streaming self-join: the replayed click/view pairing
     // must reproduce the plain batch join over the same events exactly
