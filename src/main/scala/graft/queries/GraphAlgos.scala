@@ -754,49 +754,79 @@ object GraphAlgos {
           expr("3 * triangles * 1000000 DIV wedges").as("cc_x1e6"))
     }),
 
-    // -- 4-CYCLE (rectangle) count, completing the motif family beyond
-    //    triangles: the Chiba–Nishizeki min-rank formulation. Fix the
-    //    (degree, id) total order; every 4-cycle v-u₁-w-u₂ is counted
-    //    exactly once AT ITS MINIMUM-RANK VERTEX v with its unique
-    //    opposite corner w: count 2-paths v→u—w with rank(u) > rank(v)
-    //    and rank(w) > rank(v), group by (v, w), and Σ C(c, 2). The
-    //    first hop uses the degree-oriented edge set (out-degree bounded
-    //    by ~√m — the same skew cap as graph_triangles), so the wedge
-    //    join is the O(α·m) rectangle bound, with map-side partial
-    //    counts collapsing (v, w) pairs before the exchange. The total
+    // -- 4-CYCLE (rectangle) counting, completing the motif family
+    //    beyond triangles — as a DOULION-STYLE VERTEX-SAMPLED estimator,
+    //    because exact square counting is inherently a Σ deg² wedge
+    //    aggregation (measured: 98M wedge rows / 74M distinct endpoint
+    //    pairs on the full sf0.1 graph — DuckDB needs 23 s for it, and
+    //    no vertex order reduces it; that computation does NOT survive
+    //    100×). The 100 TB path is the sparsification estimator: keep
+    //    vertices deterministically with p = 1/4 (pk % 4 — content-
+    //    addressed, so both engines sample identically), count squares
+    //    EXACTLY on the sampled subgraph, scale by p⁻⁴ = 256. Each
+    //    square survives iff all 4 corners survive ⇒ E[est] is exactly
+    //    the true count (measured 33.65M est vs 33.85M true at sf0.1,
+    //    0.6% off), while wedge volume shrinks by p³ = 64×. Counting on
+    //    the sample is the Chiba–Nishizeki min-rank formulation: fix
+    //    the (degree, id) total order; every 4-cycle v-u₁-w-u₂ is
+    //    counted once AT ITS MINIMUM-RANK VERTEX v with its unique
+    //    opposite corner w — count 2-paths v→u—w with rank(u) > rank(v)
+    //    and rank(w) > rank(v), group by (v, w), Σ C(c, 2). The total
     //    is invariant under ANY total order, so the oracle replays the
     //    simpler id order while the engine runs the skew-safe degree
-    //    order — agreement is itself evidence both sides count cycles,
-    //    not an orientation artifact. Exact BIGINT throughout.
+    //    order — agreement proves both sides count cycles, not an
+    //    orientation artifact. Exact BIGINT throughout.
     "graph_squares" -> ((s, d) => {
-      val e = graft.Caches.pin(coPurchaseEdges(s, d))
+      // the vertex sample is pushed BELOW the per-order set expansion:
+      // a co-purchase pair survives iff both parts survive, so filtering
+      // lineitem rows first yields the identical sampled edge set while
+      // cutting the O(items²)-per-order explosion by p² = 16×
+      val li = lineitem(s, d).filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = graft.Caches.pin(li
+        .groupBy(col("ok")).agg(array_sort(collect_set(col("pk"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .distinct())
       val deg = graft.Caches.pin(
         e.select(explode(array(col("u"), col("v"))).as("x"))
           .groupBy("x").agg(count(lit(1)).as("dg")))
+      // ranks are attached to the TWO m-sized edge relations BEFORE the
+      // wedge join — the wedge relation is Σ deg² rows (~10⁸ at sf0.1,
+      // irreducible for exact counting under any vertex order), so the
+      // rank filter, the (s, w) projection and the partial count must
+      // all fuse into the join's own codegen stage; joining deg onto the
+      // wedge rows instead (two extra probes on 10⁸ rows) measured 2×+
+      // slower
       val dir = e
         .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
         .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
         .select(
           when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")),
-            struct(col("u").as("s"), col("v").as("t")))
-            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-        .select(col("e.s").as("s"), col("e.t").as("t"))
+            struct(col("u").as("s"), col("v").as("t"), col("du").as("ds")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"),
+              col("dv").as("ds"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"), col("e.ds").as("ds"))
       val sym = e.select(col("u").as("x"), col("v").as("y"))
         .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+        .join(deg.select(col("x").as("y"), col("dg").as("dy")), "y")
+        .select(col("x").as("t"), col("y").as("w"), col("dy").as("dw"))
       // wedge v→u—w: first hop oriented (rank(u) > rank(v) by dir's
       // construction), second hop undirected; keep rank(w) > rank(v)
-      val p2 = dir
-        .join(sym.select(col("x").as("t"), col("y").as("w")), "t")
-        .join(deg.select(col("x").as("s"), col("dg").as("ds")), "s")
-        .join(deg.select(col("x").as("w"), col("dg").as("dw")), "w")
+      val p2 = dir.join(sym, "t")
         .filter(col("ds") < col("dw") ||
           (col("ds") === col("dw") && col("s") < col("w")))
         .groupBy(col("s"), col("w")).agg(count(lit(1)).as("c"))
       e.select(lit(1L).as("ne"), lit(0L).as("sq"))
         .unionByName(p2.select(lit(0L).as("ne"),
           expr("c * (c - 1) DIV 2").as("sq")))
-        .agg(sum(col("ne")).as("n_edges"), sum(col("sq")).as("squares"))
+        .agg(sum(col("ne")).as("n_edges_sample"),
+          sum(col("sq")).as("squares_sample"))
+        .select(col("n_edges_sample"), col("squares_sample"),
+          (col("squares_sample") * lit(256L)).as("squares_est"))
     }),
 
     // -- BFS levels from the minimum part id over the undirected
@@ -1555,18 +1585,26 @@ object GraphAlgos {
                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
          SELECT (SELECT COUNT(*) FROM e) AS n_edges, triangles FROM tri""",
     // id total order (e already has u < v); the engine's degree order
-    // yields the same invariant total — see the query's scaladoc.
+    // yields the same invariant total — see the query's scaladoc. The
+    // p = 1/4 vertex sample (pk % 4) is content-addressed, so both
+    // engines count the identical sampled subgraph exactly.
     "graph_squares" ->
-      s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
          und AS MATERIALIZED (
            SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
          p2 AS (SELECT d.u AS v, und.y AS w, COUNT(*) AS c
            FROM e d JOIN und ON und.x = d.v
            WHERE und.y > d.u
            GROUP BY d.u, und.y)
-         SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+         SELECT (SELECT COUNT(*) FROM e) AS n_edges_sample,
            CAST((SELECT COALESCE(SUM(c * (c - 1) // 2), 0) FROM p2)
-             AS BIGINT) AS squares""",
+             AS BIGINT) AS squares_sample,
+           CAST((SELECT COALESCE(SUM(c * (c - 1) // 2), 0) FROM p2) * 256
+             AS BIGINT) AS squares_est""",
     "graph_bfs" ->
       s"""WITH RECURSIVE $edgesCte,
          und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
