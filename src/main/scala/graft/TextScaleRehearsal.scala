@@ -260,6 +260,63 @@ object TextScaleRehearsal {
     }
     Caches.sweep(spark)
 
+    // stage 7: BPE merge learning (vocab_bpe_merges' shared bpeMergeFold)
+    // — 2 rounds at corpus scale. The corpus is scanned once for the
+    // (word, count) table; each round runs on that vocabulary-sized
+    // relation. Gate: the SYMBOL-COUNT INVARIANT — after applying the
+    // round's argmax pair with the fold, the corpus-weighted symbol
+    // count must drop by EXACTLY the number of greedy applications
+    // computed INDEPENDENTLY via the positional rule (maximal runs of
+    // consecutive matches; ceil(L/2) applications per run). The fold
+    // and the positional rule share no code; exact agreement at 1M docs
+    // is a reference-free correctness gate for the merge kernel.
+    val ((bpeRounds, bpeApplied), tBpe) = timed {
+      import org.apache.spark.sql.expressions.Window
+      var t = corpus.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .persist()
+      var okRounds = 0L
+      var applied = 0L
+      for (_ <- 1 to 2) {
+        val best = t.select(col("n"), explode(expr(
+          "transform(slice(syms, 1, greatest(size(syms) - 1, 0)), " +
+            "(x, i) -> struct(x AS x, element_at(syms, i + 2) AS y))")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("x"), col("y")).limit(1).head()
+        val (bx, by) = (best.getString(0), best.getString(1))
+        // independent application count: positional match runs
+        val m = t.select(col("w"), col("n"),
+            posexplode(col("syms")).as(Seq("i", "s0")),
+            size(col("syms")).as("len"),
+            col("syms"))
+          .filter(col("i") < col("len") - 1 &&
+            col("s0") === bx && expr("try_element_at(syms, i + 2)") === by)
+        val wRun = Window.partitionBy(col("w")).orderBy(col("i"))
+        val apps = m
+          .withColumn("g", col("i") - row_number().over(wRun))
+          .groupBy(col("w"), col("n"), col("g"))
+          .agg(count(lit(1)).as("len_run"))
+          .agg(sum(col("n") * ((col("len_run") + 1L) / lit(2L)).cast("long")))
+          .head().getLong(0)
+        val t2 = t.withColumn("syms",
+          graft.queries.TextQueries.bpeMergeFold(col("syms"), bx, by))
+          .persist()
+        val before = t.agg(sum(col("n") * size(col("syms")))).head().getLong(0)
+        val after = t2.agg(sum(col("n") * size(col("syms")))).head().getLong(0)
+        t.unpersist(blocking = false)
+        t = t2
+        applied += apps
+        if (before - after == apps && apps > 0L) okRounds += 1
+      }
+      t.unpersist(blocking = false)
+      (okRounds, applied)
+    }
+    Caches.sweep(spark)
+
     corpus.unpersist(blocking = false)
     val expDup = n / 100L // planted exact groups == planted near pairs
     val expSpam = (n + 999L) / 1000L // ids ≡ 0 (mod 1000) incl. id 0
@@ -284,8 +341,10 @@ object TextScaleRehearsal {
       s""""cdc_chunks":$totChunks,"cdc_full_dup_docs":$nFullDup,""" +
       s""""reservoir_sec":${f(tRes)},"reservoir_rows":$resRows,""" +
       s""""reservoir_sources":$resSources,""" +
+      s""""bpe_sec":${f(tBpe)},"bpe_rounds_ok":$bpeRounds,""" +
+      s""""bpe_applied":$bpeApplied,""" +
       s""""checks":${resRows == 16L * 64L && resSources == 16L &&
-        resPrefixOk &&
+        resPrefixOk && bpeRounds == 2L && bpeApplied > 0L &&
         nDocs == n && nGroups == n - expDup &&
         nDupGroups == expDup && nPairs == 2 * expDup &&
         nJacPairs == 2 * expDup && nHub >= 3 && maxDf == n / 100L &&

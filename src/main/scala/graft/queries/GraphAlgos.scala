@@ -829,6 +829,64 @@ object GraphAlgos {
           (col("squares_sample") * lit(256L)).as("squares_est"))
     }),
 
+    // -- 4-CLIQUE count on the SAME Doulion-style p = 1/4 vertex sample
+    //    as graph_squares (a K4 survives iff all 4 vertices do ⇒ ×p⁻⁴ is
+    //    unbiased; exact K4 counting shares exact-square counting's
+    //    super-linear wedge cost and equally does not survive 100×).
+    //    Counting on the sample is the oriented-DAG formulation: under
+    //    the (degree, id) acyclic orientation every K4 has a unique
+    //    topological order a→b→c→d, so K4s = Σ over oriented triangles
+    //    (a,b,c) of |N⁺(a) ∩ N⁺(b) ∩ N⁺(c)| — triangles come from the
+    //    same in-row adjacency intersection as graph_triangles (the
+    //    (a,b) edge carries N⁺(a) ∩ N⁺(b), exploded to its members c),
+    //    and the third intersection is again in-row against N⁺(c).
+    //    Wedges never materialize; the only explosion is the (sampled)
+    //    triangle list itself. The count is orientation-invariant, so
+    //    the oracle replays plain id order as a 6-condition join.
+    "graph_4cliques" -> ((s, d) => {
+      val li = lineitem(s, d).filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = graft.Caches.pin(li
+        .groupBy(col("ok")).agg(array_sort(collect_set(col("pk"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .distinct())
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+      val dir = e
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+      val adj = graft.Caches.pin(dir.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("t"))).as("nbrs")))
+      // oriented triangles (a→b, c ∈ N⁺(a)∩N⁺(b)), carrying N⁺(a)∩N⁺(b)
+      val tri = dir
+        .join(adj.select(col("s").as("s"), col("nbrs").as("na")), "s")
+        .join(adj.select(col("s").as("t"), col("nbrs").as("nb")), "t")
+        .select(col("s"), col("t"),
+          array_intersect(col("na"), col("nb")).as("nab"))
+        .filter(size(col("nab")) > 0)
+        .select(col("nab"), explode(col("nab")).as("c"))
+      val k4 = tri
+        .join(adj.select(col("s").as("c"), col("nbrs").as("nc")), Seq("c"),
+          "left")
+        .select(coalesce(size(array_intersect(col("nab"), col("nc"))),
+          lit(0)).cast("long").as("k"))
+      e.select(lit(1L).as("ne"), lit(0L).as("k"))
+        .unionByName(k4.select(lit(0L).as("ne"), col("k")))
+        .agg(sum(col("ne")).as("n_edges_sample"),
+          sum(col("k")).as("k4_sample"))
+        .select(col("n_edges_sample"), col("k4_sample"),
+          (col("k4_sample") * lit(256L)).as("k4_est"))
+    }),
+
     // -- BFS levels from the minimum part id over the undirected
     //    co-purchase graph, via GraphX Pregel (min-distance propagation):
     //    edges are partitioned ONCE, each superstep is a co-partitioned
@@ -985,6 +1043,49 @@ object GraphAlgos {
         .join(lbl, "x")
         .select(col("x").as("node"), least(col("lbl"), col("nmin")).as("label"))
       lbl.orderBy("node")
+    }),
+
+    // -- MODULARITY of the LPA communities — the quality metric that
+    //    turns "we have labels" into "the labels mean something":
+    //    Q = Σ_c (e_c/m − (d_c/2m)²), computed ENTIRELY in integers as
+    //    the undivided pair (q_num, q_den) = (Σ_c (4m·e_c − d_c²), 4m²)
+    //    so no float ever diverges and the value is partitioning-
+    //    independent. Labels are the same 2 deterministic min-label
+    //    rounds as graph_lpa; d_c is one count over the label-joined
+    //    endpoint list, e_c one count over label-equal edges, and the
+    //    final combine runs on the communities relation (metadata-sized)
+    //    with the 1-row edge count broadcast — the corpus-sized data
+    //    sees three partial-aggregated passes and nothing else.
+    "graph_modularity" -> ((s, d) => {
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val l1 = graft.Caches.pin(sym.groupBy(col("x"))
+        .agg(least(col("x"), min(col("y"))).as("lbl")))
+      val lblP = graft.Caches.pin(
+        sym.join(l1.withColumnRenamed("x", "y"), "y")
+          .groupBy(col("x")).agg(min(col("lbl")).as("nmin"))
+          .join(l1, "x")
+          .select(col("x").as("node"),
+            least(col("lbl"), col("nmin")).as("label")))
+      val dcs = sym.join(lblP.withColumnRenamed("node", "x"), "x")
+        .groupBy("label").agg(count(lit(1)).as("dc"))
+      val ecs = e
+        .join(lblP.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(lblP.select(col("node").as("v"), col("label").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("label")).agg(count(lit(1)).as("ec"))
+      val mRow = e.agg(count(lit(1)).as("m"))
+      dcs.join(ecs, Seq("label"), "left")
+        .select(col("dc"), coalesce(col("ec"), lit(0L)).as("ec"))
+        .crossJoin(broadcast(mRow))
+        .agg(max(col("m")).as("n_edges"),
+          count(lit(1)).as("n_comms"),
+          sum(lit(4L) * col("m") * col("ec") - col("dc") * col("dc"))
+            .as("q_num"))
+        .select(col("n_edges"), col("n_comms"), col("q_num"),
+          (lit(4L) * col("n_edges") * col("n_edges")).as("q_den"))
     }),
 
     // -- exact 2-ball sizes + harmonic centrality at radius 2 over a
@@ -1314,6 +1415,31 @@ object GraphAlgos {
            CAST(COALESCE(a2.a2, 0) AS BIGINT) AS auth
          FROM n LEFT JOIN h1 ON n.id = h1.u LEFT JOIN a2 ON n.id = a2.v
          ORDER BY id""",
+    // same 2 LPA rounds as graph_lpa, then the undivided integer pair
+    // (q_num, q_den) — see the query's scaladoc.
+    "graph_modularity" ->
+      s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
+         sym AS MATERIALIZED (
+           SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+         l1 AS (SELECT x, LEAST(x, MIN(y)) AS lbl FROM sym GROUP BY x),
+         l2 AS MATERIALIZED (SELECT s.x, LEAST(o.lbl, MIN(n.lbl)) AS lbl
+           FROM sym s JOIN l1 n ON n.x = s.y JOIN l1 o ON o.x = s.x
+           GROUP BY s.x, o.lbl),
+         mm AS (SELECT COUNT(*) AS m FROM e),
+         dcs AS (SELECT l.lbl AS label, COUNT(*) AS dc
+           FROM sym s JOIN l2 l ON l.x = s.x GROUP BY 1),
+         ecs AS (SELECT lu.lbl AS label, COUNT(*) AS ec
+           FROM e JOIN l2 lu ON lu.x = e.u JOIN l2 lv ON lv.x = e.v
+           WHERE lu.lbl = lv.lbl GROUP BY 1),
+         t AS (SELECT d.dc, COALESCE(ecs.ec, 0) AS ec
+           FROM dcs d LEFT JOIN ecs ON ecs.label = d.label)
+         SELECT (SELECT m FROM mm) AS n_edges,
+           COUNT(*) AS n_comms,
+           CAST(SUM(4 * (SELECT m FROM mm) * ec - dc * dc) AS BIGINT)
+             AS q_num,
+           CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS BIGINT)
+             AS q_den
+         FROM t""",
     "graph_lpa" ->
       s"""WITH $edgesCte,
          sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
@@ -1605,6 +1731,25 @@ object GraphAlgos {
              AS BIGINT) AS squares_sample,
            CAST((SELECT COALESCE(SUM(c * (c - 1) // 2), 0) FROM p2) * 256
              AS BIGINT) AS squares_est""",
+    // same p = 1/4 content-addressed sample; id total order (a<b<c<d)
+    // as a 6-condition join — the engine's degree-oriented DAG count is
+    // orientation-invariant, so the totals must agree exactly.
+    "graph_4cliques" ->
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+         k4 AS (SELECT COUNT(*) AS k FROM e ab
+           JOIN e ac ON ac.u = ab.u AND ac.v > ab.v
+           JOIN e ad ON ad.u = ab.u AND ad.v > ac.v
+           JOIN e bc ON bc.u = ab.v AND bc.v = ac.v
+           JOIN e bd ON bd.u = ab.v AND bd.v = ad.v
+           JOIN e cd ON cd.u = ac.v AND cd.v = ad.v)
+         SELECT (SELECT COUNT(*) FROM e) AS n_edges_sample,
+           CAST(k AS BIGINT) AS k4_sample,
+           CAST(k * 256 AS BIGINT) AS k4_est
+         FROM k4""",
     "graph_bfs" ->
       s"""WITH RECURSIVE $edgesCte,
          und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),

@@ -846,6 +846,99 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // -- NEAREST as-of join (the sensor-alignment variant join_asof's
+    //    backward-only semantics can't express): each purchase pairs
+    //    with its nearest click in EITHER direction, ties to the earlier
+    //    side. Same zero-join window composition as join_asof — one
+    //    user-partitioned pass under the (us, event_id) total order
+    //    carries the last click backward (frame ...current) and the
+    //    first click forward (frame current...); the nearest pick is a
+    //    row-local integer comparison. No join, no state beyond the two
+    //    running values — the 100 TB plan is one sort-within-user.
+    "join_asof_nearest" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("click_us",
+          when(col("event_type") === "click", col("us")))
+        .withColumn("prev_us", last(col("click_us"), ignoreNulls = true).over(wb))
+        .withColumn("next_us", first(col("click_us"), ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nearest_click_us",
+          when(col("prev_us").isNull, col("next_us"))
+            .when(col("next_us").isNull, col("prev_us"))
+            .when(col("us") - col("prev_us") <= col("next_us") - col("us"),
+              col("prev_us"))
+            .otherwise(col("next_us")))
+        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+          coalesce(col("nearest_click_us"), lit(-1L)).as("nearest_click_us"),
+          coalesce(col("nearest_click_us") - col("us"), lit(0L)).as("delta_us"))
+        .orderBy("event_id")
+    }),
+
+    // -- TIME-TRAVEL DIFF — the table-format question "what changed
+    //    between snapshot T1 and snapshot T2?" answered from the event
+    //    log: latest-per-user state as of BOTH cuts comes out of ONE
+    //    corpus scan and ONE partial-aggregated groupBy (two conditional
+    //    max_by aggregates — the T1 ordering key is NULL for rows past
+    //    the cut, and max_by skips null keys), then a row-local status
+    //    decision. Users whose state is identical at both cuts are
+    //    dropped — the report is delta-sized, never state-sized. Events
+    //    only accrue, so the statuses are 'added' and 'changed'; the
+    //    (ts, event_id) total order makes both states tie-free.
+    "time_travel_diff" -> ((s, d) => {
+      val cut1 = lit(1704844800000000L) // 2024-01-10T00:00:00Z micros
+      val cut2 = lit(1705708800000000L) // 2024-01-20T00:00:00Z micros
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .filter(col("us") < cut2)
+        .groupBy("user_id")
+        .agg(
+          max_by(when(col("us") < cut1,
+              struct(col("us"), col("event_id"), col("event_type"))),
+            when(col("us") < cut1, struct(col("us"), col("event_id"))))
+            .as("s1"),
+          max_by(struct(col("us"), col("event_id"), col("event_type")),
+            struct(col("us"), col("event_id"))).as("s2"))
+        .filter(col("s1").isNull || col("s1.us") =!= col("s2.us") ||
+          col("s1.event_id") =!= col("s2.event_id"))
+        .select(col("user_id"),
+          when(col("s1").isNull, lit("added")).otherwise(lit("changed"))
+            .as("status"),
+          coalesce(col("s1.us"), lit(-1L)).as("old_ts_us"),
+          coalesce(col("s1.event_type"), lit("")).as("old_type"),
+          col("s2.us").as("new_ts_us"),
+          col("s2.event_type").as("new_type"))
+        .orderBy("user_id")
+    }),
+
+    // -- rate-spike monitor: per (event_type, hour) counts, a spike
+    //    where the hour's count exceeds 2× the trailing-3-observed-hour
+    //    mean — the cross-multiplied integer test 3·n > 2·(n₁+n₂+n₃), so
+    //    no float ever diverges. The lag window runs on the types×hours
+    //    relation (metadata-sized at any corpus scale); the corpus
+    //    itself sees exactly one partial-aggregated count pass.
+    "events_rate_spikes" -> ((s, d) => {
+      val wt = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+        .withColumn("p1", lag(col("n"), 1).over(wt))
+        .withColumn("p2", lag(col("n"), 2).over(wt))
+        .withColumn("p3", lag(col("n"), 3).over(wt))
+        .filter(col("p3").isNotNull &&
+          col("n") * 3 > (col("p1") + col("p2") + col("p3")) * 2)
+        .select(col("event_type"), col("hr"), col("n"),
+          (col("p1") + col("p2") + col("p3")).as("prev3"))
+        .orderBy("event_type", "hr")
+    }),
+
     // -- pure range join (NO equality key): for each event, count other
     //    events within ±60 s. A naive |Δts| <= W predicate compiles to a
     //    BroadcastNestedLoopJoin — O(n²) comparisons and a full-table
@@ -1639,6 +1732,57 @@ object RelationalQueries {
          SELECT event_id, user_id, us AS purchase_us, asof_click_us,
            us - COALESCE(asof_click_us, us) AS gap_us
          FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
+    "join_asof_nearest" ->
+      """WITH t AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (SELECT *,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+             FIRST_VALUE(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+           FROM t),
+         p AS (SELECT *, CASE WHEN prev_us IS NULL THEN next_us
+               WHEN next_us IS NULL THEN prev_us
+               WHEN us - prev_us <= next_us - us THEN prev_us
+               ELSE next_us END AS nc
+           FROM w WHERE event_type = 'purchase')
+         SELECT event_id, user_id, us AS purchase_us,
+           COALESCE(nc, -1) AS nearest_click_us,
+           COALESCE(nc - us, 0) AS delta_us
+         FROM p ORDER BY event_id""",
+    "time_travel_diff" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+           FROM events WHERE epoch_us(ts) < 1705708800000000),
+         s1 AS (SELECT user_id, us, event_id, event_type FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY us DESC, event_id DESC) AS rn
+             FROM e WHERE us < 1704844800000000) WHERE rn = 1),
+         s2 AS (SELECT user_id, us, event_id, event_type FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY us DESC, event_id DESC) AS rn
+             FROM e) WHERE rn = 1)
+         SELECT s2.user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'added' ELSE 'changed' END
+             AS status,
+           COALESCE(s1.us, -1) AS old_ts_us,
+           COALESCE(s1.event_type, '') AS old_type,
+           s2.us AS new_ts_us, s2.event_type AS new_type
+         FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+         WHERE s1.user_id IS NULL OR s1.us <> s2.us
+            OR s1.event_id <> s2.event_id
+         ORDER BY s2.user_id""",
+    "events_rate_spikes" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT *, LAG(n, 1) OVER w AS p1, LAG(n, 2) OVER w AS p2,
+             LAG(n, 3) OVER w AS p3
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+         SELECT event_type, hr, n, CAST(p1 + p2 + p3 AS BIGINT) AS prev3
+         FROM l WHERE p3 IS NOT NULL AND n * 3 > (p1 + p2 + p3) * 2
+         ORDER BY event_type, hr""",
     "join_range_bucketed" ->
       """SELECT a.event_id,
          CAST(COUNT(b.event_id) AS BIGINT) AS n_neighbors

@@ -116,6 +116,41 @@ object SimilarityQueries {
     //    rows-only gate; exactness at nprobe=nlist asserted in tests)
     "sim_ann_ivf" -> ((s, d) => ivf(s, d, nprobe = 2)),
 
+    // -- CENTROID-DISTANCE OUTLIERS (embedding diagnostics for curation:
+    //    which vectors sit farthest from their own class centroid —
+    //    mislabel / contamination candidates). All arithmetic is EXACT
+    //    integer: dims quantize to q = floor(double(x)·1000); the
+    //    per-label centroid stays an UNDIVIDED (sum-vector S, count n)
+    //    pair, and the squared distance to the mean is ranked in the
+    //    cross-multiplied form Σ_d (n·q_d − S_d)² = n²·‖q − S/n‖² — no
+    //    division, no float accumulation, so the ranking is identical at
+    //    any parallelism. Scale shape: the label×dim sum table comes
+    //    from ONE posexplode + partial-aggregated groupBy (labels × 64
+    //    rows — broadcast back as per-label arrays), the corpus streams
+    //    through twice (sums, then distances — both single narrow
+    //    passes) and the top-20 is TakeOrderedAndProject.
+    "embed_outliers_centroid" -> ((s, d) => {
+      val q = embeddings(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000d)).cast("long")).as("q"))
+      val sums = q
+        .select(col("label"), posexplode(col("q")).as(Seq("dim", "qd")))
+        .groupBy("label", "dim")
+        .agg(sum(col("qd")).as("sd"), count(lit(1)).as("n"))
+      val cent = sums.groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("sd")))),
+          x => x.getField("sd")).as("sv"),
+        max(col("n")).as("n"))
+      q.join(broadcast(cent), "label")
+        .withColumn("d2n2", aggregate(
+          zip_with(col("q"), col("sv"),
+            (qq, ss) => (col("n") * qq - ss) * (col("n") * qq - ss)),
+          lit(0L), (a, x) => a + x))
+        .select(col("vec_id"), col("label"), col("n"), col("d2n2"))
+        .orderBy(col("d2n2").desc, col("vec_id")).limit(20)
+    }),
+
     // -- exact top-10 cosine neighbors for probe vectors vec_id < 4.
     "sim_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -295,6 +330,23 @@ object SimilarityQueries {
   }.mkString("\n         + ")
 
   val oracleSql: Map[String, String] = Map(
+    "embed_outliers_centroid" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           FROM embeddings),
+         x AS (SELECT vec_id, label, q,
+             unnest(range(1, len(q) + 1)) AS dim FROM q),
+         e AS (SELECT vec_id, label, dim, q[dim] AS qd FROM x),
+         c AS (SELECT label, dim, CAST(SUM(qd) AS BIGINT) AS sd,
+             COUNT(*) AS n FROM e GROUP BY 1, 2),
+         d AS (SELECT e.vec_id, e.label, MAX(c.n) AS n,
+             CAST(SUM((c.n * e.qd - c.sd) * (c.n * e.qd - c.sd)) AS BIGINT)
+               AS d2n2
+           FROM e JOIN c ON c.label = e.label AND c.dim = e.dim
+           GROUP BY 1, 2)
+         SELECT vec_id, label, n, d2n2 FROM d
+         ORDER BY d2n2 DESC, vec_id LIMIT 20""",
     "sim_int8_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
          q8 AS (SELECT vec_id, list_transform(vd, x ->

@@ -912,6 +912,57 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"all-pairs shape:\n$p")
   }
 
+  test("graph_modularity: three partial-aggregated corpus passes; the combine is metadata-sized") {
+    val p = executed(SparkEntry.queries("graph_modularity")(spark, sf0001))
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape:\n$p")
+    // the only BNLJ allowed is the 1-row edge-count broadcast (count in
+    // the FINAL plan only — AQE repeats nodes in its Initial Plan text)
+    val bnlj = "BroadcastNestedLoopJoin".r
+      .findAllIn(p.split("== Initial Plan ==")(0)).size
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$p")
+  }
+
+  test("embed_outliers_centroid: label-sum table broadcasts back; top-20 is TakeOrdered") {
+    val p = executed(SparkEntry.queries("embed_outliers_centroid")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus exchanged for the centroid join:\n$p")
+  }
+
+  test("graph_4cliques: in-row triple intersection, never a wedge join") {
+    val p = executed(SparkEntry.queries("graph_4cliques")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in K4 count:\n$p")
+    assert(p.contains("intersect_count") || p.contains("array_intersect"),
+      s"expected in-row intersections:\n$p")
+  }
+
+  test("join_asof_nearest: zero-join window composition, user-partitioned") {
+    val p = executed(SparkEntry.queries("join_asof_nearest")(spark, sf0001))
+    assert(!p.contains("Join"), s"nearest as-of must be join-free:\n$p")
+    assert("""hashpartitioning\(user_id#\d+""".r.findFirstIn(p).isDefined,
+      s"window lost user partitioning:\n$p")
+  }
+
+  test("time_travel_diff: both snapshots from ONE scan + ONE aggregate, no join") {
+    val p = executed(SparkEntry.queries("time_travel_diff")(spark, sf0001))
+    assert(!p.contains("Join"), s"two-cut diff must not self-join:\n$p")
+    // count scans in the FINAL plan only — the AQE string repeats nodes
+    // in its "Initial Plan" section
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size == 1,
+      s"events scanned more than once:\n$p")
+  }
+
+  test("events_rate_spikes: one partial-aggregated count pass; lag window on the type-hour relation") {
+    val p = executed(SparkEntry.queries("events_rate_spikes")(spark, sf0001))
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert("""hashpartitioning\(event_type#\d+""".r.findFirstIn(p).isDefined,
+      s"lag window lost type partitioning:\n$p")
+  }
+
   test("dedup_semantic: pairs come from the banded key join, never an all-pairs product") {
     val p = executed(SparkEntry.queries("dedup_semantic")(spark, sf0001))
     assert(!p.contains("CartesianProduct"),
