@@ -63,16 +63,30 @@ object GraphAlgos {
       rounds: Int): DataFrame = {
     var dist: DataFrame = s.range(1)
       .select(lit(srcId).as("x"), lit(0L).as("dist"))
+    // FRONTIER rule: round r only relaxes out of nodes IMPROVED in round
+    // r−1 — exact for synchronous min-plus (a shortest ≤r-hop path
+    // improves its hop-k node at round k, which fronts it for round
+    // k+1), and the 10M-node rehearsal pins the output row-for-row
+    // against GraphX Pregel. The win is the message volume: on a
+    // small-diameter graph the last rounds' frontiers are a sliver of
+    // the reached set, so the edge join probes thousands of rows
+    // instead of re-relaxing every reached node against all m edges.
+    var frontier: DataFrame = dist
     var ids = Set.empty[Int]
     for (_ <- 1 to rounds) {
-      val msgs = e.join(dist.withColumnRenamed("x", "a"), "a")
+      val msgs = e.join(frontier.withColumnRenamed("x", "a"), "a")
         .select(col("b").as("x"), (col("dist") + col("w")).as("dist"))
       val (ck, nIds) = checkpointWithIds(
         dist.unionByName(msgs).groupBy(col("x"))
           .agg(min(col("dist")).as("dist")))
+      val (fr, fIds) = checkpointWithIds(
+        ck.join(dist.select(col("x"), col("dist").as("pd")), Seq("x"), "left")
+          .filter(col("pd").isNull || col("dist") < col("pd"))
+          .select(col("x"), col("dist")))
       freeRdds(s, ids)
       dist = ck
-      ids = nIds
+      frontier = fr
+      ids = nIds ++ fIds
     }
     graft.Caches.defer(s)(freeRdds(s, ids))
     dist
