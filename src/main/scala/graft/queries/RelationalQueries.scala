@@ -939,6 +939,56 @@ object RelationalQueries {
         .orderBy("event_type", "hr")
     }),
 
+    // -- naive seasonal forecast (the same-weekday baseline every
+    //    demand-forecast eval starts from): daily revenue, forecast(d) =
+    //    mean of the previous 3 same-weekday days, emitted only once 3
+    //    priors exist. Weekday = day_num % 7 (epoch-day arithmetic — no
+    //    engine dayofweek conventions), mean = exact integer DIV, error
+    //    = actual − forecast. One partial-aggregated corpus pass to the
+    //    day grain; every window runs on the days-sized relation.
+    "forecast_naive_seasonal" -> ((s, d) => {
+      val w = Window.partitionBy(col("dow")).orderBy(col("day_num"))
+        .rowsBetween(-3, -1)
+      orders(s, d)
+        .select(expr("unix_micros(cast(o_orderdate as timestamp))" +
+            " div 86400000000").as("day_num"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("day_num").agg(sum(col("cents")).as("rev_cents"))
+        .withColumn("dow", col("day_num") % 7)
+        .withColumn("n_hist", count(lit(1)).over(w))
+        .withColumn("hist_cents", sum(col("rev_cents")).over(w))
+        .filter(col("n_hist") === 3)
+        .select(col("day_num"), col("rev_cents"),
+          expr("hist_cents DIV 3").as("fc_cents"),
+          (col("rev_cents") - expr("hist_cents DIV 3")).as("err_cents"))
+        .orderBy("day_num")
+    }),
+
+    // -- CUSUM drift detection per event type (sequential analysis —
+    //    the change-point monitor a rate-spike test can't replace): the
+    //    recurrence S_t = max(0, S_{t-1} + x_t − k) looks inherently
+    //    sequential, but has the closed form S_t = C_t − min(0,
+    //    min_{j≤t} C_j) with C = prefix-sum of (x − k) — two running
+    //    windows, no recursion, exact integers (k = per-type mean count
+    //    as BIGINT DIV). The corpus sees one partial-aggregated count
+    //    pass; both windows run on the metadata-sized type×hour series.
+    "events_cusum" -> ((s, d) => {
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hours = events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      val ks = hours.groupBy("event_type")
+        .agg(expr("sum(n) DIV count(1)").as("k"))
+      hours.join(broadcast(ks), "event_type")
+        .withColumn("c", sum(col("n") - col("k")).over(wc))
+        .withColumn("cusum", col("c") - least(lit(0L), min(col("c")).over(wc)))
+        .select(col("event_type"), col("hr"), col("n"), col("k"),
+          col("cusum"))
+        .orderBy("event_type", "hr")
+    }),
+
     // -- pure range join (NO equality key): for each event, count other
     //    events within ±60 s. A naive |Δts| <= W predicate compiles to a
     //    BroadcastNestedLoopJoin — O(n²) comparisons and a full-table
@@ -1783,6 +1833,36 @@ object RelationalQueries {
          SELECT event_type, hr, n, CAST(p1 + p2 + p3 AS BIGINT) AS prev3
          FROM l WHERE p3 IS NOT NULL AND n * 3 > (p1 + p2 + p3) * 2
          ORDER BY event_type, hr""",
+    "forecast_naive_seasonal" ->
+      """WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day_num,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+           FROM orders GROUP BY 1),
+         h AS (SELECT *, day_num % 7 AS dow FROM daily),
+         f AS (SELECT *,
+             COUNT(*) OVER w AS n_hist,
+             SUM(rev_cents) OVER w AS hist_cents
+           FROM h WINDOW w AS (PARTITION BY dow ORDER BY day_num
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+         SELECT day_num, rev_cents,
+           CAST(hist_cents // 3 AS BIGINT) AS fc_cents,
+           CAST(rev_cents - hist_cents // 3 AS BIGINT) AS err_cents
+         FROM f WHERE n_hist = 3 ORDER BY day_num""",
+    "events_cusum" ->
+      """WITH hours AS (SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         ks AS (SELECT event_type,
+             CAST(SUM(n) // COUNT(*) AS BIGINT) AS k
+           FROM hours GROUP BY 1),
+         c AS (SELECT h.event_type, h.hr, h.n, ks.k,
+             SUM(h.n - ks.k) OVER (PARTITION BY h.event_type ORDER BY h.hr
+               ROWS UNBOUNDED PRECEDING) AS c
+           FROM hours h JOIN ks ON ks.event_type = h.event_type)
+         SELECT event_type, hr, n, k,
+           CAST(c - LEAST(0, MIN(c) OVER (PARTITION BY event_type
+             ORDER BY hr ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum
+         FROM c ORDER BY event_type, hr""",
     "join_range_bucketed" ->
       """SELECT a.event_id,
          CAST(COUNT(b.event_id) AS BIGINT) AS n_neighbors

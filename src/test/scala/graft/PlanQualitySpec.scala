@@ -912,6 +912,21 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"all-pairs shape:\n$p")
   }
 
+  test("forecast_naive_seasonal: one count pass to the day grain; windows on the days relation") {
+    val p = executed(SparkEntry.queries("forecast_naive_seasonal")(spark, sf0001))
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    assert("""hashpartitioning\(dow#\d+""".r.findFirstIn(p).isDefined,
+      s"seasonal window lost its weekday partitioning:\n$p")
+  }
+
+  test("events_cusum: closed-form prefix windows, type-partitioned, one corpus pass") {
+    val p = executed(SparkEntry.queries("events_cusum")(spark, sf0001))
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert("""hashpartitioning\(event_type#\d+""".r.findFirstIn(p).isDefined,
+      s"cusum windows lost type partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape:\n$p")
+  }
+
   test("graph_modularity: three partial-aggregated corpus passes; the combine is metadata-sized") {
     val p = executed(SparkEntry.queries("graph_modularity")(spark, sf0001))
     assert(p.contains("partial_count"), s"no map-side combine:\n$p")
