@@ -1059,6 +1059,68 @@ object GraphAlgos {
       lbl.orderBy("node")
     }),
 
+    // -- ASSOCIATION RULES over the order baskets (the market-basket
+    //    twin of text_collocations' lift mining): for every co-purchased
+    //    part pair with support ≥ 5 orders, directional confidences
+    //    c_ab·1e6 DIV c_a / DIV c_b and lift c_ab·N·1e6 DIV (c_a·c_b) —
+    //    all exact BIGINT, so the rule ranking is partitioning-
+    //    independent. Pair counts ride the bounded within-order set
+    //    expansion (≤ C(items,2) rows per order, one shuffle on the
+    //    pair); item counts are one partial-aggregated pass; both
+    //    ride back as broadcasts onto the supported-pair relation
+    //    (orders of magnitude smaller than the pair stream). Top-20 by
+    //    (lift, pair) is TakeOrderedAndProject.
+    "basket_rules" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = weightedCoPurchase(s, d)
+        .withColumnRenamed("w", "c_ab")
+        .filter(col("c_ab") >= 5)
+      val items = li.select(col("ok"), col("pk")).distinct()
+        .groupBy("pk").agg(count(lit(1)).as("c"))
+      val nOrders = li.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(items.select(col("pk").as("u"), col("c").as("c_a"))),
+          "u")
+        .join(broadcast(items.select(col("pk").as("v"), col("c").as("c_b"))),
+          "v")
+        .crossJoin(broadcast(nOrders))
+        .select(col("u"), col("v"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("c_ab * 1000000 DIV c_a").as("conf_ab_e6"),
+          expr("c_ab * 1000000 DIV c_b").as("conf_ba_e6"),
+          expr("c_ab * n * 1000000 DIV (c_a * c_b)").as("lift_e6"))
+        .orderBy(col("lift_e6").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
+    // -- DEGREE-CORRELATION PROFILE k_nn(k) — the curve behind the
+    //    single-number graph_assortativity: for each degree class k, the
+    //    mean degree of the neighbors of degree-k nodes, as the exact
+    //    integer Σ_{deg(x)=k} Σ_{y~x} deg(y) · 1e6 DIV (k · n_k). One
+    //    degree pass, degrees joined onto the m-sized endpoint list
+    //    (n-sized deg relation — AQE broadcasts below threshold), one
+    //    partial-aggregated groupBy on the degree class; output is
+    //    degree-classes-sized (≤ max-degree rows) at any corpus scale.
+    "graph_knn_degree" -> ((s, d) => {
+      val e = graft.Caches.pin(coPurchaseEdges(s, d))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val deg = graft.Caches.pin(
+        sym.groupBy(col("x")).agg(count(lit(1)).as("dg")))
+      val nk = deg.groupBy(col("dg").as("k"))
+        .agg(count(lit(1)).as("n_k"))
+      sym
+        .join(deg, "x")
+        .join(deg.select(col("x").as("y"), col("dg").as("dy")), "y")
+        .groupBy(col("dg").as("k"))
+        .agg(sum(col("dy")).as("snd"))
+        .join(nk, "k")
+        .select(col("k"), col("n_k"),
+          expr("snd * 1000000 DIV (k * n_k)").as("knn_e6"))
+        .orderBy("k")
+    }),
+
     // -- MODULARITY of the LPA communities — the quality metric that
     //    turns "we have labels" into "the labels mean something":
     //    Q = Σ_c (e_c/m − (d_c/2m)²), computed ENTIRELY in integers as
@@ -1429,6 +1491,37 @@ object GraphAlgos {
            CAST(COALESCE(a2.a2, 0) AS BIGINT) AS auth
          FROM n LEFT JOIN h1 ON n.id = h1.u LEFT JOIN a2 ON n.id = a2.v
          ORDER BY id""",
+    "basket_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         pairs AS (SELECT a.pk AS u, b.pk AS v, COUNT(*) AS c_ab
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         items AS (SELECT pk, COUNT(*) AS c FROM li GROUP BY pk),
+         nn AS (SELECT COUNT(DISTINCT ok) AS n FROM li)
+         SELECT u, v, c_ab,
+           ia.c AS c_a, ib.c AS c_b,
+           CAST(c_ab * 1000000 // ia.c AS BIGINT) AS conf_ab_e6,
+           CAST(c_ab * 1000000 // ib.c AS BIGINT) AS conf_ba_e6,
+           CAST(c_ab * nn.n * 1000000 // (ia.c * ib.c) AS BIGINT)
+             AS lift_e6
+         FROM pairs JOIN items ia ON ia.pk = pairs.u
+           JOIN items ib ON ib.pk = pairs.v CROSS JOIN nn
+         ORDER BY lift_e6 DESC, u, v LIMIT 20""",
+    "graph_knn_degree" ->
+      s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
+         sym AS MATERIALIZED (
+           SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+         deg AS MATERIALIZED (SELECT x, COUNT(*) AS dg FROM sym GROUP BY x),
+         nk AS (SELECT dg AS k, COUNT(*) AS n_k FROM deg GROUP BY dg),
+         snd AS (SELECT dx.dg AS k, CAST(SUM(dy.dg) AS BIGINT) AS snd
+           FROM sym s
+           JOIN deg dx ON dx.x = s.x
+           JOIN deg dy ON dy.x = s.y
+           GROUP BY 1)
+         SELECT snd.k, nk.n_k,
+           CAST(snd.snd * 1000000 // (snd.k * nk.n_k) AS BIGINT) AS knn_e6
+         FROM snd JOIN nk ON nk.k = snd.k ORDER BY snd.k""",
     // same 2 LPA rounds as graph_lpa, then the undivided integer pair
     // (q_num, q_den) — see the query's scaladoc.
     "graph_modularity" ->

@@ -946,6 +946,22 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"corpus exchanged for the centroid join:\n$p")
   }
 
+  test("basket_rules: item counts broadcast onto supported pairs; top-20 is TakeOrdered") {
+    val p = executed(SparkEntry.queries("basket_rules")(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p.split("== Initial Plan ==")(0)).size >= 2,
+      s"item-count joins must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape:\n$p")
+  }
+
+  test("graph_knn_degree: partial-aggregated class sums; output is degree-classes-sized") {
+    val p = executed(SparkEntry.queries("graph_knn_degree")(spark, sf0001))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape:\n$p")
+  }
+
   test("graph_4cliques: in-row triple intersection, never a wedge join") {
     val p = executed(SparkEntry.queries("graph_4cliques")(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
