@@ -198,7 +198,6 @@ object GraphQueries {
           array_join(transform(array_sort(collect_list(col("dst"))),
             x => x.cast("string")), ",").as("successors"),
           count(lit(1)).as("outdegree"))
-        .orderBy("src")
     }),
 
     // -- Q2+Q3-equivalent: adjacency -> explode -> count == edge count;
@@ -232,7 +231,6 @@ object GraphQueries {
         .select(col("id").cast("long").as("src"),
           explode(col("successors")).as("d"))
         .select(col("src"), col("d").cast("long").as("dst"))
-        .orderBy("src", "dst")
     }),
 
     // -- degree-only BV scan: projects (id, outdegree), which prunes to
@@ -245,7 +243,6 @@ object GraphQueries {
       s.read.format("bvgraph").option("basename", base).option("splits", 8).load()
         .select(col("id").cast("long").as("id"),
           col("outdegree").cast("long").as("outdeg"))
-        .orderBy("id")
     }),
 
     // -- id-range predicate pushdown THROUGH the DSv2 scan: the filter on
@@ -262,7 +259,6 @@ object GraphQueries {
         .select(col("id").cast("long").as("src"),
           explode(col("successors")).as("dd"))
         .select(col("src"), col("dd").cast("long").as("dst"))
-        .orderBy("src", "dst")
     }),
 
     // -- BV source composed with the relational surface: the degree-only
@@ -315,7 +311,6 @@ object GraphQueries {
         .select(col("id").cast("long").as("src"),
           explode(col("successors")).as("d"))
         .select(col("src"), col("d").cast("long").as("dst"))
-        .orderBy("src", "dst")
     }),
 
     // -- induced subgraph + dense renumbering (WebGraph's Transform.map
@@ -351,7 +346,6 @@ object GraphQueries {
         .select(col("id").cast("long").as("src"),
           explode(col("successors")).as("d"))
         .select(col("src"), col("d").cast("long").as("dst"))
-        .orderBy("src", "dst")
     }),
 
     // -- symmetrization (the WebGraph-standard undirected closure: every
@@ -380,7 +374,6 @@ object GraphQueries {
         .select(col("id").cast("long").as("src"),
           explode(col("successors")).as("d"))
         .select(col("src"), col("d").cast("long").as("dst"))
-        .orderBy("src", "dst")
     }),
 
     // -- degree-ordered renumbering (WebGraph's Transform.map with a
@@ -418,7 +411,6 @@ object GraphQueries {
         .select(col("id").cast("long").as("src"),
           explode(col("successors")).as("d"))
         .select(col("src"), col("d").cast("long").as("dst"))
-        .orderBy("src", "dst")
     }),
 
     // -- CLUSTER-ordered renumbering (the LLP-shaped ordering workload —
@@ -458,7 +450,6 @@ object GraphQueries {
         .select(col("id").cast("long").as("src"),
           explode(col("successors")).as("d"))
         .select(col("src"), col("d").cast("long").as("dst"))
-        .orderBy("src", "dst")
     }),
 
     // -- graph union THROUGH the sink (WebGraph's Transform.union job —
@@ -490,7 +481,6 @@ object GraphQueries {
         .select(col("id").cast("long").as("src"),
           explode(col("successors")).as("d"))
         .select(col("src"), col("d").cast("long").as("dst"))
-        .orderBy("src", "dst")
     }),
 
     // -- snapshot DIFF between two compressed graphs (the crawl-delta
@@ -531,7 +521,6 @@ object GraphQueries {
         .select(col("src"), col("dst"),
           when(col("in_a").isNull, lit("added")).otherwise(lit("removed"))
             .as("change"))
-        .orderBy("src", "dst")
     }),
 
     // -- integrity check / fsck (the storage-ops workload: validate a
@@ -624,7 +613,6 @@ object GraphQueries {
       }
       res.vertices.map { case (id, comp) => (id, comp) }
         .toDF("id", "component")
-        .orderBy("id")
     }),
 
     // -- host-graph contraction (the WebGraph-ecosystem standard job: a

@@ -84,7 +84,6 @@ object RelationalQueries {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           c4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_c4"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // -- broadcast hash join: part is tiny relative to lineitem at every SF
@@ -196,7 +195,6 @@ object RelationalQueries {
           cents(col("o_totalprice")).cast("long").as("price_cents"))
         .withColumn("near_sum_cents", sum(col("price_cents")).over(w))
         .withColumn("near_n", count(lit(1)).over(w))
-        .orderBy("o_orderkey")
     }),
 
     // -- JSONL sink -> source round-trip: the events table is written as
@@ -241,7 +239,6 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           floor(col("value") * 100).cast("long").as("value_cents"),
           col("ts_us"))
-        .orderBy("event_id")
     }),
 
     // -- CSV sink -> source round-trip, same write-once fixture discipline
@@ -278,7 +275,6 @@ object RelationalQueries {
           col("props"),
           floor(col("value") * 100).cast("long").as("value_cents"),
           col("ts_us"))
-        .orderBy("event_id")
     }),
 
     // -- ORC sink -> source round-trip, same write-once fixture discipline
@@ -316,7 +312,6 @@ object RelationalQueries {
           col("props"),
           floor(col("value") * 100).cast("long").as("value_cents"),
           unix_micros(col("ts")).as("ts_us"))
-        .orderBy("event_id")
     }),
 
     // -- SCHEMA EVOLUTION across parquet vintages — every long-lived 100 TB
@@ -554,7 +549,6 @@ object RelationalQueries {
         .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
         .withColumn("valid_to_us", lead(col("valid_from_us"), 1)
           .over(Window.partitionBy(col("user_id")).orderBy(col("ver"))))
-        .orderBy("user_id", "ver")
     }),
 
     // -- CDC upsert / incremental state maintenance — the MERGE shape every
@@ -675,7 +669,6 @@ object RelationalQueries {
         .withColumn("quartile", ntile(4).over(w).cast("long"))
         .withColumn("pr_e6", floor(percent_rank().over(w) * 1000000).cast("long"))
         .withColumn("cd_e6", floor(cume_dist().over(w) * 1000000).cast("long"))
-        .orderBy("o_orderkey")
     }),
 
     // -- grouped top-k via a bounded-heap Aggregator (k=3 orders per
@@ -715,7 +708,6 @@ object RelationalQueries {
           datediff(col("o_orderdate"),
             lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"),
           lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
-        .orderBy("o_custkey", "o_orderkey")
     }),
 
     // -- set op: INTERSECT (customers active in both order statuses)
@@ -757,7 +749,6 @@ object RelationalQueries {
         .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(wRun))
         .select(col("o_orderkey"), col("o_custkey"), col("first_key"),
           col("last_key"), col("second_key"))
-        .orderBy("o_orderkey")
     }),
 
     // -- array higher-order-function surface over the per-customer order
@@ -1014,7 +1005,6 @@ object RelationalQueries {
         .groupBy("event_id")
         .agg(sum(when(col("eid_b") =!= col("event_id") &&
           abs(col("us_b") - col("us")) <= W, 1).otherwise(0)).as("n_neighbors"))
-        .orderBy("event_id")
     }),
 
     // -- TPC-H Q3 shape: 3-way join + filter + top-10 by computed revenue
@@ -1090,7 +1080,6 @@ object RelationalQueries {
       orders(s, d)
         .select(col("o_orderpriority"), col("o_orderkey"),
           ntile(8).over(w).cast("long").as("bucket"))
-        .orderBy("o_orderpriority", "o_orderkey")
     }),
 
     // -- window: running sum with an explicit rows frame (exact integer sum)
@@ -1101,7 +1090,6 @@ object RelationalQueries {
       orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
           sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
-        .orderBy("o_custkey", "o_orderkey")
     }),
 
     // -- global top-k: Catalyst compiles orderBy+limit to TakeOrderedAndProject
@@ -1193,7 +1181,6 @@ object RelationalQueries {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("price_cents"), col("qty_e2"), col("disc_e2")),
           "measure", "value")
-        .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
 
     // -- NATIVE session windows: Spark's built-in session_window operator
@@ -1211,7 +1198,6 @@ object RelationalQueries {
           unix_micros(col("win.start")).as("start_us"),
           unix_micros(col("win.end")).as("end_us"),
           col("n_events"), col("value_cents"))
-        .orderBy("user_id", "start_us")
     }),
 
     //    user, session break at >30 min, running-sum session numbers —
@@ -1231,7 +1217,6 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("event_id")).as("first_event"),
           sum(floor(col("value") * 100)).as("value_cents"))
-        .orderBy("user_id", "sess_no")
     }),
 
     // -- JSON extraction from the events.props payload
@@ -1242,7 +1227,6 @@ object RelationalQueries {
           col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .filter(col("k_val") > 50)
-        .orderBy("event_id")
     }),
 
     // -- TPC-H Q21's shape (suppliers who ALONE blocked multi-supplier
