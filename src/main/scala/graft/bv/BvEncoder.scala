@@ -9,6 +9,16 @@ import ZigZag.int2nat
   * to (a) create test fixtures — `/root/testdata` has no `.graph` files —
   * and (b) act as the engine's BV *sink* so graphs can be round-tripped.
   *
+  * Successor values are `Long` end-to-end: the universal codes (γ/δ/ζ/…)
+  * are width-agnostic — γ(5) is the same bits whether the 5 came from an
+  * Int or a Long — so ONE encoder serves both the classic (<2³¹ ids) and
+  * the sharded long-id (>2³¹ global ids, SCALE.md "big" mode) write paths,
+  * and graphs written either way are bit-identical for in-range values.
+  * Node indexes `x` stay Int: a single shard's LOCAL node count is capped
+  * at 2³¹ (the offsets index is one array), which is exactly the upstream
+  * BVGraph/big-BVGraph split (it.unimi.dsi.big.webgraph widens values,
+  * not per-segment counts).
+  *
   * Encoding per node (mirror image of [[BvGraph.decodeNode]]):
   * outdegree → reference + copy-blocks → intervals → residuals. Reference
   * selection is cost-based: each candidate in the window is dry-encoded
@@ -44,9 +54,9 @@ final class BvEncoder(props: BvProperties) {
     * /root/reference/.../patched/HdfsBVGraph.java:135). Returns (blocks,
     * leftover successors not covered by the copy).
     */
-  private[bv] def copyBlocks(succ: Array[Int], refList: Array[Int]): (Array[Int], Array[Int]) = {
+  private[bv] def copyBlocks(succ: Array[Long], refList: Array[Long]): (Array[Int], Array[Long]) = {
     val blocks = new scala.collection.mutable.ArrayBuffer[Int]
-    val extras = new scala.collection.mutable.ArrayBuffer[Int]
+    val extras = new scala.collection.mutable.ArrayBuffer[Long]
     var i = 0 // index into succ
     var j = 0 // index into refList
     var curr = 0 // current run length
@@ -68,14 +78,14 @@ final class BvEncoder(props: BvProperties) {
     (blocks.toArray, extras.toArray)
   }
 
-  /** Split `extras` into maximal runs of consecutive ints of length ≥
+  /** Split `extras` into maximal runs of consecutive ids of length ≥
     * minIntervalLength (the intervals) and the rest (residuals).
     */
-  private[bv] def intervalize(extras: Array[Int]): (Array[(Int, Int)], Array[Int]) = {
+  private[bv] def intervalize(extras: Array[Long]): (Array[(Long, Int)], Array[Long]) = {
     if (minIntervalLength == 0 || extras.isEmpty)
       return (Array.empty, extras)
-    val intervals = new scala.collection.mutable.ArrayBuffer[(Int, Int)]
-    val residuals = new scala.collection.mutable.ArrayBuffer[Int]
+    val intervals = new scala.collection.mutable.ArrayBuffer[(Long, Int)]
+    val residuals = new scala.collection.mutable.ArrayBuffer[Long]
     var runStart = 0
     var i = 1
     def closeRun(endExcl: Int): Unit = {
@@ -95,8 +105,8 @@ final class BvEncoder(props: BvProperties) {
     * referenced list. Works against any BitOutput, including a counting one
     * for cost estimation.
     */
-  private def encodeNode(out: BitOutput, x: Int, succ: Array[Int],
-      ref: Int, refList: Array[Int]): Unit = {
+  private def encodeNode(out: BitOutput, x: Int, succ: Array[Long],
+      ref: Int, refList: Array[Long]): Unit = {
     writeCoded(out, codings.outdegree, succ.length.toLong)
     if (succ.isEmpty) return
     if (windowSize > 0) writeCoded(out, codings.reference, ref.toLong)
@@ -116,12 +126,12 @@ final class BvEncoder(props: BvProperties) {
     if (extras.nonEmpty && minIntervalLength != 0) {
       val (intervals, residuals) = intervalize(extras)
       out.writeGamma(intervals.length.toLong)
-      var prev = 0
+      var prev = 0L
       var i = 0
       while (i < intervals.length) {
         val (left, len) = intervals(i)
-        if (i == 0) out.writeGamma(int2nat(left.toLong - (firstNode + x)))
-        else out.writeGamma((left - prev - 1).toLong)
+        if (i == 0) out.writeGamma(int2nat(left - (firstNode + x)))
+        else out.writeGamma(left - prev - 1)
         out.writeGamma((len - minIntervalLength).toLong)
         prev = left + len
         i += 1
@@ -131,16 +141,16 @@ final class BvEncoder(props: BvProperties) {
 
     if (extras.nonEmpty) {
       writeCoded(out, codings.residual,
-        int2nat(extras(0).toLong - (firstNode + x)))
+        int2nat(extras(0) - (firstNode + x)))
       var i = 1
       while (i < extras.length) {
-        writeCoded(out, codings.residual, (extras(i) - extras(i - 1) - 1).toLong)
+        writeCoded(out, codings.residual, extras(i) - extras(i - 1) - 1)
         i += 1
       }
     }
   }
 
-  private def costOf(x: Int, succ: Array[Int], ref: Int, refList: Array[Int]): Long = {
+  private def costOf(x: Int, succ: Array[Long], ref: Int, refList: Array[Long]): Long = {
     val counter = new BitOutput(BitOutput.NullStream)
     encodeNode(counter, x, succ, ref, refList)
     counter.writtenBits
@@ -154,7 +164,7 @@ final class BvEncoder(props: BvProperties) {
   final class Stream(graphOut: java.io.OutputStream) {
     private val out = new BitOutput(graphOut)
     private val cyclic = math.max(windowSize + 1, 1)
-    private val window = new Array[Array[Int]](cyclic)
+    private val window = new Array[Array[Long]](cyclic)
     private val refCounts = new Array[Int](cyclic)
     private val offsetsBuf = new scala.collection.mutable.ArrayBuffer[Long]
     private var x = 0
@@ -164,7 +174,7 @@ final class BvEncoder(props: BvProperties) {
     def arcCount: Long = arcs
 
     /** Append node `x` (implicit: call order defines ids 0,1,2,…). */
-    def append(succ: Array[Int]): Unit = {
+    def append(succ: Array[Long]): Unit = {
       offsetsBuf += out.writtenBits
       arcs += succ.length
       var bestRef = 0
@@ -191,6 +201,9 @@ final class BvEncoder(props: BvProperties) {
       x += 1
     }
 
+    /** Int-adjacency convenience (the classic <2³¹ write path). */
+    def append(succ: Array[Int]): Unit = append(BvEncoder.widenInts(succ))
+
     /** Flush the graph stream; returns (offsetsBytes, propertiesText). */
     def finish(): (Array[Byte], String) = {
       offsetsBuf += out.writtenBits
@@ -212,6 +225,15 @@ final class BvEncoder(props: BvProperties) {
     (graphBos.toByteArray, offsets, propsText)
   }
 
+  /** Long-adjacency encode (values may exceed 2³¹ — shard-global ids). */
+  def encodeLong(adjacency: Array[Array[Long]]): (Array[Byte], Array[Byte], String) = {
+    val graphBos = new java.io.ByteArrayOutputStream()
+    val st = new Stream(graphBos)
+    adjacency.foreach(st.append)
+    val (offsets, propsText) = st.finish()
+    (graphBos.toByteArray, offsets, propsText)
+  }
+
   /** Encode and write the `.graph`/`.offsets`/`.properties` triple. */
   def write(basename: String, adjacency: Array[Array[Int]]): Unit = {
     val (g, o, p) = encode(adjacency)
@@ -224,6 +246,13 @@ final class BvEncoder(props: BvProperties) {
 }
 
 object BvEncoder {
+  private[graft] def widenInts(a: Array[Int]): Array[Long] = {
+    val out = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i).toLong; i += 1 }
+    out
+  }
+
   def apply(
       windowSize: Int = 7,
       maxRefCount: Int = 3,

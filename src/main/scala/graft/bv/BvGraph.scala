@@ -213,6 +213,97 @@ final class BvGraph(
     BvGraph.merge3(copied, intervals, residuals, d)
   }
 
+  /** Long-valued random-access successors — the >2³¹ global-id ("big")
+    * decode path. Bit-compatible with [[successorArray]]: universal codes
+    * are width-agnostic, so the SAME stream decodes through either kernel
+    * as long as values fit the narrower type; this one never narrows. */
+  def successorArrayLong(x: Int): Array[Long] = {
+    requireIndex()
+    val in = newBitInput(4096)
+    in.position(offsets(x))
+    decodeNodeLong(x, in, y => successorArrayLong(y))
+  }
+
+  /** The decode kernel with Long successor VALUES (local node indexes stay
+    * Int — a shard holds <2³¹ nodes; its global ids don't). Mirrors
+    * [[decodeNode]] exactly, but every value-sized read (interval-left
+    * gaps, residual gaps) uses the Long reader: on a >2³¹-id graph a gap
+    * can exceed Int.MaxValue and the Int kernel would silently wrap. */
+  def decodeNodeLong(x: Int, in: BitInput, resolveRef: Int => Array[Long]): Array[Long] = {
+    val d = readCoded(in, codings.outdegree)
+    if (d == 0) return BvGraph.EMPTY_L
+
+    val ref = if (windowSize > 0) readCoded(in, codings.reference) else 0
+
+    // 1. masked copy from the referenced list
+    var copied: Array[Long] = BvGraph.EMPTY_L
+    if (ref > 0) {
+      val refList = resolveRef(x - ref)
+      val blockCount = readCoded(in, codings.blockCount)
+      val out = new Array[Long](d)
+      var nCopied = 0
+      var pos = 0
+      var i = 0
+      while (i < blockCount) {
+        val b = readCoded(in, codings.block) + (if (i == 0) 0 else 1)
+        if ((i & 1) == 0) { // copy block
+          var j = 0
+          while (j < b) { out(nCopied) = refList(pos + j); nCopied += 1; j += 1 }
+        }
+        pos += b
+        i += 1
+      }
+      if ((blockCount & 1) == 0) { // implicit trailing copy block
+        var j = pos
+        while (j < refList.length) { out(nCopied) = refList(j); nCopied += 1; j += 1 }
+      }
+      copied = java.util.Arrays.copyOf(out, nCopied)
+    }
+
+    var extraCount = d - copied.length
+
+    // 2. intervals (γ throughout, first left extreme zigzagged against x)
+    var intervals: Array[Long] = BvGraph.EMPTY_L
+    if (extraCount > 0 && minIntervalLength != 0) {
+      val intervalCount = in.readGamma()
+      if (intervalCount != 0) {
+        val vals = new Array[Long](extraCount)
+        var nv = 0
+        var prev = 0L
+        var i = 0
+        while (i < intervalCount) {
+          val left =
+            if (i == 0) nat2int(in.readLongGamma()) + firstNode + x
+            else in.readLongGamma() + prev + 1
+          val len = in.readGamma() + minIntervalLength
+          var v = left
+          while (v < left + len) { vals(nv) = v; nv += 1; v += 1 }
+          prev = left + len
+          extraCount -= len
+          i += 1
+        }
+        intervals = java.util.Arrays.copyOf(vals, nv)
+      }
+    }
+
+    // 3. residuals (first zigzagged against x, then +1-gap coded)
+    var residuals: Array[Long] = BvGraph.EMPTY_L
+    if (extraCount > 0) {
+      residuals = new Array[Long](extraCount)
+      var prev = firstNode + x + nat2int(readCodedLong(in, codings.residual))
+      residuals(0) = prev
+      var i = 1
+      while (i < extraCount) {
+        prev += readCodedLong(in, codings.residual) + 1
+        residuals(i) = prev
+        i += 1
+      }
+    }
+
+    // 4. merge three ascending, disjoint sequences
+    BvGraph.merge3Long(copied, intervals, residuals, d)
+  }
+
   /** Sequential scan over nodes [from, until): the splittable-read
     * primitive. Mid-stream starts warm the decode window by random access
     * for the `windowSize` predecessors, exactly as the reference's
@@ -257,20 +348,61 @@ final class BvGraph(
     }
   }
 
+  /** [[nodeIterator]]'s Long-valued twin for >2³¹-global-id shards: same
+    * splittable sequential scan (mid-split window warm-up by random
+    * access), successor values decoded wide. Kept as a separate kernel so
+    * the classic path pays zero widening cost — Int adjacency is the hot
+    * path for every <2³¹ graph.
+    */
+  def nodeIteratorLong(from: Int, until: Int,
+      bufferSize: Int = 1 << 20): Iterator[(Int, Array[Long])] = {
+    require(from >= 0 && from <= n, s"Node index out of range: $from")
+    if (from > 0) requireIndex() // mid-split warm-up needs random access
+    val hi = math.min(until, n)
+    if (from >= hi) return Iterator.empty
+    val in = newBitInput(bufferSize)
+    val window = new Array[Array[Long]](cyclicBufferSize)
+    if (from > 0 && windowSize > 0) {
+      var i = 1
+      while (i < math.min(from + 1, cyclicBufferSize)) {
+        window((from - i) % cyclicBufferSize) = successorArrayLong(from - i)
+        i += 1
+      }
+    }
+    in.position(if (from == 0) 0L else offsets(from))
+    new Iterator[(Int, Array[Long])] {
+      private var curr = from
+      def hasNext: Boolean = curr < hi
+      def next(): (Int, Array[Long]) = {
+        val succ = decodeNodeLong(curr, in, y => window(y % cyclicBufferSize))
+        if (offsets != null && in.bitPosition != offsets(curr + 1))
+          throw new java.io.EOFException(
+            s"decode desync at node $curr: ended at bit ${in.bitPosition}, " +
+              s"offsets say ${offsets(curr + 1)} (truncated or corrupt .graph?)")
+        if (windowSize > 0) window(curr % cyclicBufferSize) = succ
+        val r = (curr, succ)
+        curr += 1
+        r
+      }
+    }
+  }
+
   /** Re-derive the n+1 record bit-offsets by one sequential decode pass —
     * the engine's version of the reference's ONLY sink, the offsets
     * regeneration job (writeOffsets,
     * /root/reference/.../patched/HdfsBVGraph.java:393-407). Works in
     * sequential-only mode (no .offsets file needed). */
   def rebuildOffsets(bufferSize: Int = 1 << 20): Array[Long] = {
+    // Long kernel: regeneration must be value-safe on >2³¹-id shards too,
+    // and this is a cold path (one pass per lost index) — widening is free.
     val in = newBitInput(bufferSize)
     in.position(0L)
-    val window = new Array[Array[Int]](cyclicBufferSize)
+    val window = new Array[Array[Long]](cyclicBufferSize)
     val out = new Array[Long](n + 1)
     var x = 0
     while (x < n) {
       out(x) = in.bitPosition
-      val succ = decodeNode(x, in, y => window(y % cyclicBufferSize))
+      val succ = decodeNodeLong(x, in, y => window(y % cyclicBufferSize))
       if (windowSize > 0) window(x % cyclicBufferSize) = succ
       x += 1
     }
@@ -284,6 +416,7 @@ final class BvGraph(
 
 object BvGraph {
   private val EMPTY = new Array[Int](0)
+  private val EMPTY_L = new Array[Long](0)
 
   /** Sentinel offsets source: opens the graph in sequential-only mode (no
     * index decoded; random access and mid-split starts throw). Used by
@@ -361,6 +494,26 @@ object BvGraph {
       val va = if (i < a.length) a(i) else Int.MaxValue
       val vb = if (j < b.length) b(j) else Int.MaxValue
       val vc = if (k < c.length) c(k) else Int.MaxValue
+      if (va <= vb && va <= vc) { out(o) = va; i += 1 }
+      else if (vb <= vc) { out(o) = vb; j += 1 }
+      else { out(o) = vc; k += 1 }
+      o += 1
+    }
+    out
+  }
+
+  /** [[merge3]] for Long-valued lists (the big decode path). */
+  private[bv] def merge3Long(a: Array[Long], b: Array[Long], c: Array[Long],
+      d: Int): Array[Long] = {
+    if (b.isEmpty && c.isEmpty) return a
+    if (a.isEmpty && c.isEmpty) return b
+    if (a.isEmpty && b.isEmpty) return c
+    val out = new Array[Long](d)
+    var (i, j, k, o) = (0, 0, 0, 0)
+    while (o < d) {
+      val va = if (i < a.length) a(i) else Long.MaxValue
+      val vb = if (j < b.length) b(j) else Long.MaxValue
+      val vc = if (k < c.length) c(k) else Long.MaxValue
       if (va <= vb && va <= vc) { out(o) = va; i += 1 }
       else if (vb <= vc) { out(o) = vb; j += 1 }
       else { out(o) = vc; k += 1 }

@@ -41,8 +41,18 @@ import graft.bv.{BitInput, BvGraph, BvProperties, SeekableBytes}
 class BvGraphTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "bvgraph"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    BvGraphTable.SCHEMA
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // long-id graphs surface BIGINT columns. Reads auto-detect from the
+    // manifest (schema is a property of the graph on disk, like parquet
+    // footer inference); a FRESH big write has no manifest yet, so the
+    // writer opts in with .option("idwidth", "long") — the input schema
+    // then validates against the LONG table schema instead of INT.
+    val basename = options.get("basename")
+    if ("long".equalsIgnoreCase(options.getOrDefault("idwidth", "")) ||
+        (basename != null && BvShards.readManifest(basename).exists(_.big)))
+      BvGraphTable.LONG_SCHEMA
+    else BvGraphTable.SCHEMA
+  }
 
   override def getTable(
       schema: StructType,
@@ -51,7 +61,11 @@ class BvGraphTableProvider extends TableProvider with DataSourceRegister {
     val basename = properties.get("basename")
     require(basename != null, "bvgraph source requires .option(\"basename\", ...)")
     val splits = Option(properties.get("splits")).map(_.toInt)
-    new BvGraphTable(basename, splits)
+    // fresh big writes have no manifest to infer from — the idwidth
+    // option forces the LONG schema so the input validates wide
+    val forceLong = "long".equalsIgnoreCase(
+      String.valueOf(properties.getOrDefault("idwidth", "")))
+    new BvGraphTable(basename, splits, forceLong)
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -67,21 +81,36 @@ object BvGraphTable {
     StructField("successors", ArrayType(IntegerType, containsNull = false),
       nullable = false),
     StructField("outdegree", IntegerType, nullable = false)))
+  /** >2^31-global-id ("big") graphs: same columns, BIGINT ids. Outdegree
+    * stays INT — one node's successor list is a single array, so its
+    * length is Int-bounded even in big mode. */
+  val LONG_SCHEMA: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("successors", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("outdegree", IntegerType, nullable = false)))
   /** Default bytes of compressed graph per input partition. */
   val TARGET_SPLIT_BYTES: Long = 32L * 1024 * 1024
 }
 
-class BvGraphTable(basename: String, splits: Option[Int])
+class BvGraphTable(basename: String, splits: Option[Int],
+    forceLong: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  // schema is decided by what's on disk at PLANNING time (manifest
+  // idwidth) — absent/unsharded graphs are classic INT graphs unless the
+  // idwidth=long option forces wide (fresh big writes)
+  private lazy val big: Boolean =
+    forceLong || BvShards.readManifest(basename).exists(_.big)
   override def name(): String = s"bvgraph(`$basename`)"
-  override def schema(): StructType = BvGraphTable.SCHEMA
+  override def schema(): StructType =
+    if (big) BvGraphTable.LONG_SCHEMA else BvGraphTable.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BvGraphScanBuilder(basename, splits)
+    new BvGraphScanBuilder(basename, splits, big)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -89,21 +118,36 @@ class BvGraphTable(basename: String, splits: Option[Int])
     new BvWriteBuilder(basename, info)
 }
 
-class BvGraphScanBuilder(basename: String, splits: Option[Int])
+class BvGraphScanBuilder(basename: String, splits: Option[Int],
+    big: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
 
-  private var required: StructType = BvGraphTable.SCHEMA
+  private var required: StructType =
+    if (big) BvGraphTable.LONG_SCHEMA else BvGraphTable.SCHEMA
   // Long sentinels: "no bound" must not clamp away manifest shards whose
   // global id ranges sit past 2^31 (the Long-id escape hatch)
   private var lo: Long = Long.MinValue // inclusive id lower bound
   private var hi: Long = Long.MaxValue // exclusive id upper bound
   private var accepted: Array[Filter] = Array.empty
   private var pushedAggs: Option[Seq[BvGraphScan.PushedAgg]] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT k plans a k-node prefix scan: the offsets index makes "first k
+    * rows" a planning-time range truncation — one partition, zero decode
+    * I/O past the k-th record — instead of launching a full-range scan
+    * that the LocalLimit then abandons. Spark only offers the limit when
+    * no post-scan filters remain, and this source always re-evaluates
+    * pushed filters as residuals, so a pushed limit implies a bare
+    * (possibly column-pruned) scan — prefix truncation is exact. Spark
+    * still applies its own GlobalLimit above (isPartiallyPushed default),
+    * which is a no-op on the truncated output. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -176,12 +220,13 @@ class BvGraphScanBuilder(basename: String, splits: Option[Int])
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new BvGraphScan(basename, splits, required, lo, hi, pushedAggs)
+    new BvGraphScan(basename, splits, required, lo, hi, pushedAggs, big, limit)
 }
 
 class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
     planLo: Long = Long.MinValue, planHi: Long = Long.MaxValue,
-    pushedAggs: Option[Seq[BvGraphScan.PushedAgg]] = None)
+    pushedAggs: Option[Seq[BvGraphScan.PushedAgg]] = None,
+    big: Boolean = false, limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -239,6 +284,7 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
   override def description(): String =
     s"BvGraphScan(basename=$basename, columns=${required.fieldNames.mkString(",")}" +
       (if (idLo > Long.MinValue || idHi < Long.MaxValue) s", id in [$idLo,$idHi)" else "") +
+      limit.map(l => s", PushedLimit: $l").getOrElse("") +
       pushedAggs.map(a => s", PushedAggregates: ${a.mkString(",")}").getOrElse("") + ")"
 
   /** Clamp a node range to the pushed id bounds. */
@@ -357,19 +403,24 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
           .filter(b => b.getOffset < endByte && b.getOffset + b.getLength > startByte)
           .flatMap(_.getHosts).distinct).getOrElse(Array.empty)
 
+      // pushed LIMIT: truncate the clamped shard walk after `limit` nodes
+      // (one row per node) — a prefix scan, usually a single partition
+      var remaining: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
       return mf.shards.flatMap { sh =>
         val gf = math.max(sh.from, idLo)
-        val gu = math.min(sh.until, idHi)
+        val gu0 = math.min(sh.until, idHi)
+        // saturating: gf + Long.MaxValue must not wrap when no limit is set
+        val gu = if (remaining >= gu0 - gf) gu0 else gf + math.max(0L, remaining)
+        if (gf < gu) remaining -= (gu - gf)
         if (gf >= gu) Nil
         else {
-          // int-schema ceiling: a scanned shard's global ids must fit the
-          // INT id column. Shards beyond 2^31 are plannable metadata (Long
-          // ranges) and prune away under id filters; actually SCANNING one
-          // is an explicit error, not silent overflow.
-          require(gu - 1 <= Int.MaxValue.toLong,
-            s"shard [${sh.from},${sh.until}) holds ids beyond Int.MaxValue; " +
-              "push an id range filter to scan only in-range shards " +
-              "(the id column is INT — see SCALE.md §1 Ceilings)")
+          // int-schema ceiling (classic graphs only): a scanned shard's
+          // global ids must fit the INT id column. Long-id manifests
+          // surface BIGINT and take the Long decode kernel instead.
+          require(big || gu - 1 <= Int.MaxValue.toLong,
+            s"shard [${sh.from},${sh.until}) holds ids beyond Int.MaxValue " +
+              "but the manifest lacks idwidth=long; rewrite through the " +
+              "sink with a BIGINT id schema (see SCALE.md Ceilings)")
           val localFrom = (gf - sh.from).toInt
           val localUntil = (gu - sh.from).toInt
           val graphBytes =
@@ -391,10 +442,17 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
     }
     val g = graph
     val n = g.n
-    val (scanFrom, scanUntil) = clamp(0, n)
+    val (scanFrom, scanUntil0) = clamp(0, n)
+    // pushed LIMIT on an unsharded graph: a [scanFrom, scanFrom+k) prefix
+    val scanUntil = limit match {
+      case Some(l) => math.min(scanUntil0.toLong, scanFrom.toLong + l).toInt
+      case None => scanUntil0
+    }
     if (scanFrom >= scanUntil) return Array.empty
     val totalBits = g.offsets(scanUntil) - g.offsets(scanFrom)
-    val numSplits = splits.getOrElse(
+    // under a pushed limit the byte-based count rules (a k-node prefix
+    // should not be shredded into the caller's full-scan split count)
+    val numSplits = (if (limit.isDefined) None else splits).getOrElse(
       math.max(1, math.ceil((totalBits / 8.0) / BvGraphTable.TARGET_SPLIT_BYTES).toInt))
     val conf = new Configuration()
     val graphPath = new Path(basename + ".graph")
@@ -414,7 +472,7 @@ class BvGraphScan(basename: String, splits: Option[Int], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (pushedAggs.isDefined) new BvAggReaderFactory
-    else new BvGraphReaderFactory(required.fieldNames)
+    else new BvGraphReaderFactory(required.fieldNames, big)
 
   /** Per-task decode counters, surfaced in the Spark UI / listener bus as
     * SQL metrics on the scan node — the observability a production source
@@ -499,24 +557,31 @@ case class BvInputPartition(basename: String, from: Int, until: Int,
   *    per node via the offsets index, successor data never decoded;
   *  - only `id` / nothing → ids synthesized from the range, zero graph I/O.
   */
-class BvGraphReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+class BvGraphReaderFactory(fields: Array[String], big: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BvInputPartition]
-    if (fields.contains("successors")) new BvGraphPartitionReader(p, fields)
-    else if (fields.contains("outdegree")) new BvOutdegreeReader(p, fields)
-    else new BvIdOnlyReader(p, fields.length)
+    if (fields.contains("successors")) {
+      if (big) new BvGraphPartitionReaderLong(p, fields)
+      else new BvGraphPartitionReader(p, fields)
+    }
+    else if (fields.contains("outdegree")) new BvOutdegreeReader(p, fields, big)
+    else new BvIdOnlyReader(p, fields.length, big)
   }
 }
 
 /** Pruned scan: ids synthesized from the range (the scan collapses to a
   * counter). */
-class BvIdOnlyReader(p: BvInputPartition, nFields: Int)
+class BvIdOnlyReader(p: BvInputPartition, nFields: Int, big: Boolean = false)
     extends PartitionReader[InternalRow] {
   private var curr = p.from - 1
   private val row = new GenericInternalRow(nFields)
   override def next(): Boolean = { curr += 1; curr < p.until }
   override def get(): InternalRow = {
-    if (nFields > 0) row.update(0, (curr + p.idOffset).toInt)
+    if (nFields > 0) {
+      if (big) row.update(0, curr + p.idOffset)
+      else row.update(0, (curr + p.idOffset).toInt)
+    }
     row
   }
   override def close(): Unit = ()
@@ -524,7 +589,8 @@ class BvIdOnlyReader(p: BvInputPartition, nFields: Int)
 
 /** Degree-only scan: per node, seek offsets(x) and decode a single
   * outdegree value (the reference's D3 fast path). */
-class BvOutdegreeReader(p: BvInputPartition, fields: Array[String])
+class BvOutdegreeReader(p: BvInputPartition, fields: Array[String],
+    big: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val graph = BvGraphCache.acquire(p.basename)
   private val in = graph.newBitInput()
@@ -537,7 +603,10 @@ class BvOutdegreeReader(p: BvInputPartition, fields: Array[String])
 
   override def next(): Boolean = { curr += 1; curr < p.until }
   override def get(): InternalRow = {
-    if (idIdx >= 0) row.update(idIdx, (curr + p.idOffset).toInt)
+    if (idIdx >= 0) {
+      if (big) row.update(idIdx, curr + p.idOffset)
+      else row.update(idIdx, (curr + p.idOffset).toInt)
+    }
     row.update(outIdx, graph.outdegree(curr, in))
     nodes += 1
     row
@@ -571,6 +640,44 @@ class BvGraphPartitionReader(p: BvInputPartition, fields: Array[String])
 
   override def get(): InternalRow = {
     if (idIdx >= 0) row.update(idIdx, (curr._1 + p.idOffset).toInt)
+    if (succIdx >= 0) row.update(succIdx, UnsafeArrayData.fromPrimitiveArray(curr._2))
+    if (outIdx >= 0) row.update(outIdx, curr._2.length)
+    row
+  }
+
+  override def currentMetricsValues(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(BvTaskMetric("bvNodesDecoded", nodes), BvTaskMetric("bvArcsDecoded", arcs))
+
+  override def close(): Unit = graph.release()
+}
+
+/** [[BvGraphPartitionReader]]'s Long twin for idwidth=long manifests:
+  * same splittable sequential decode, Long node ids and successor values
+  * (the big decode kernel — see [[graft.bv.BvGraph.nodeIteratorLong]]). */
+class BvGraphPartitionReaderLong(p: BvInputPartition, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val graph = BvGraphCache.acquire(p.basename)
+  private val iter = graph.nodeIteratorLong(p.from, p.until)
+  private val idIdx = fields.indexOf("id")
+  private val succIdx = fields.indexOf("successors")
+  private val outIdx = fields.indexOf("outdegree")
+  private var curr: (Int, Array[Long]) = _
+  private val row = new GenericInternalRow(fields.length)
+
+  private var nodes = 0L
+  private var arcs = 0L
+
+  override def next(): Boolean = {
+    if (!iter.hasNext) return false
+    curr = iter.next()
+    nodes += 1
+    arcs += curr._2.length
+    true
+  }
+
+  override def get(): InternalRow = {
+    if (idIdx >= 0) row.update(idIdx, curr._1 + p.idOffset)
     if (succIdx >= 0) row.update(succIdx, UnsafeArrayData.fromPrimitiveArray(curr._2))
     if (outIdx >= 0) row.update(outIdx, curr._2.length)
     row

@@ -71,12 +71,12 @@ class BvWriteBuilder(basename: String, info: LogicalWriteInfo)
 
   override def build(): Write = new BvWrite(basename, info.schema(),
     Option(info.options.get("shards")).map(_.toInt).getOrElse(0),
-    Option(info.options.get("nodes")).map(_.toInt),
+    Option(info.options.get("nodes")).map(_.toLong),
     template)
 }
 
 class BvWrite(basename: String, schema: StructType, shards: Int,
-    padNodes: Option[Int],
+    padNodes: Option[Long],
     template: graft.bv.BvProperties = graft.bv.BvProperties(0, 0))
     extends Write with RequiresDistributionAndOrdering {
   private val ordering: Array[SortOrder] =
@@ -91,10 +91,10 @@ class BvWrite(basename: String, schema: StructType, shards: Int,
     new BvBatchWrite(basename, schema, padNodes, template)
 }
 
-case class BvShardCommit(part: Int, from: Int, until: Int, arcs: Long,
+case class BvShardCommit(part: Int, from: Long, until: Long, arcs: Long,
     graphBytes: Long, nonEmpty: Boolean) extends WriterCommitMessage
 
-class BvBatchWrite(basename: String, schema: StructType, padNodes: Option[Int],
+class BvBatchWrite(basename: String, schema: StructType, padNodes: Option[Long],
     template: graft.bv.BvProperties = graft.bv.BvProperties(0, 0))
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -116,24 +116,37 @@ class BvBatchWrite(basename: String, schema: StructType, padNodes: Option[Int],
     val shards: Seq[BvShardCommit] = padNodes match {
       case None => written.toSeq
       case Some(n) =>
-        val maxUntil = if (written.isEmpty) 0 else written.map(_.until).max
+        val maxUntil = if (written.isEmpty) 0L else written.map(_.until).max
         require(n >= maxUntil,
           s"nodes option ($n) below the max written id range end ($maxUntil)")
         var nextPart = (written.map(_.part).maxOption.getOrElse(-1)) + 1
-        val bounds = (0 +: written.flatMap(s => Seq(s.from, s.until)).toSeq :+ n)
+        val bounds = (0L +: written.flatMap(s => Seq(s.from, s.until)).toSeq :+ n)
         val gaps = bounds.grouped(2).collect {
           case Seq(a, b) if a < b => (a, b)
         }.toSeq
-        val padded = gaps.map { case (gFrom, gUntil) =>
-          val base = BvShards.shardBase(basename, nextPart)
-          nextPart += 1
-          val bytes = BvShards.writeEmptyShard(fs, base, gUntil - gFrom)
-          BvShardCommit(nextPart - 1, gFrom, gUntil, 0L, bytes, nonEmpty = true)
+        // a gap wider than one shard's 2^31 local-node cap is chunked —
+        // pads are ~1 bit/node, so even a multi-billion-id leading gap is
+        // a few hundred MB of sequential metadata writes, never a failure
+        val padded = gaps.flatMap { case (gFrom, gUntil) =>
+          Iterator.iterate(gFrom)(_ + BvShards.MAX_SHARD_NODES)
+            .takeWhile(_ < gUntil).map { cFrom =>
+              val cUntil = math.min(cFrom + BvShards.MAX_SHARD_NODES, gUntil)
+              val base = BvShards.shardBase(basename, nextPart)
+              nextPart += 1
+              val bytes = BvShards.writeEmptyShard(fs, base, cUntil - cFrom)
+              BvShardCommit(nextPart - 1, cFrom, cUntil, 0L, bytes, nonEmpty = true)
+            }.toSeq
         }
         (written.toSeq ++ padded).sortBy(_.from)
     }
     val sb = new StringBuilder
     sb.append(s"shards=${shards.length}\n")
+    // long-id ("big") graphs: the read side must surface BIGINT columns
+    // and use the Long decode kernel — recorded here, decided by the
+    // WRITTEN schema (ids/successors were LONG), mirroring upstream's
+    // it.unimi.dsi.big.webgraph graphclass split
+    if (schema("id").dataType == org.apache.spark.sql.types.LongType)
+      sb.append("idwidth=long\n")
     sb.append(s"nodes=${if (shards.isEmpty) 0 else shards.map(_.until).max}\n")
     sb.append(s"arcs=${shards.map(_.arcs).sum}\n")
     shards.zipWithIndex.foreach { case (sh, i) =>
@@ -158,6 +171,10 @@ class BvBatchWrite(basename: String, schema: StructType, padNodes: Option[Int],
 }
 
 object BvShards {
+  /** Per-shard LOCAL node cap: one shard's offsets index is a single
+    * array, so local node counts stay below 2^31 (global ids don't). */
+  val MAX_SHARD_NODES: Long = Int.MaxValue.toLong
+
   def shardBase(basename: String, part: Int): String =
     f"$basename.d/part-$part%05d"
 
@@ -169,7 +186,12 @@ object BvShards {
     * field existed); planning falls back to one batched directory listing,
     * never per-shard RPCs. */
   case class Shard(base: String, from: Long, until: Long, bytes: Long = -1L)
-  case class Manifest(nodes: Long, arcs: Long, shards: Seq[Shard])
+  /** `big`: ids must surface as BIGINT and decode through the Long kernel
+    * — set by the `idwidth=long` manifest line (written when the sink's
+    * input schema was LONG) or inferred when any shard range crosses 2^31
+    * (such a manifest is unscannable narrow no matter what it claims). */
+  case class Manifest(nodes: Long, arcs: Long, shards: Seq[Shard],
+      big: Boolean = false)
 
   /** Read `<basename>.shards` if present. */
   def readManifest(basename: String): Option[Manifest] = {
@@ -187,8 +209,10 @@ object BvShards {
         props.getProperty(s"shard.$i.until").toLong,
         Option(props.getProperty(s"shard.$i.bytes")).map(_.toLong).getOrElse(-1L))
     }
+    val big = "long" == props.getProperty("idwidth") ||
+      shards.exists(_.until > Int.MaxValue.toLong)
     Some(Manifest(props.getProperty("nodes").toLong,
-      props.getProperty("arcs").toLong, shards))
+      props.getProperty("arcs").toLong, shards, big))
   }
 
   /** Regenerate offsets for every shard of a sharded graph (the sink's
@@ -264,9 +288,12 @@ class BvWriterFactory(basename: String, schema: StructType,
     extends DataWriterFactory {
   private val idIdx = schema.fieldIndex("id")
   private val succIdx = schema.fieldIndex("successors")
+  // long-id write: BIGINT id column selects the wide row accessors (the
+  // codec itself is width-agnostic — same bits either way for in-range ids)
+  private val big = schema("id").dataType == org.apache.spark.sql.types.LongType
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BvShardWriter(basename, partitionId, taskId, idIdx, succIdx, template)
+    new BvShardWriter(basename, partitionId, taskId, idIdx, succIdx, big, template)
 }
 
 /** One task = one shard. Rows arrive id-ascending (RequiresDistributionAnd-
@@ -274,7 +301,7 @@ class BvWriterFactory(basename: String, schema: StructType,
   * the reference window, not the partition. Output goes to an
   * attempt-suffixed temp triple, renamed into place on task commit. */
 class BvShardWriter(basename: String, partitionId: Int, taskId: Long,
-    idIdx: Int, succIdx: Int,
+    idIdx: Int, succIdx: Int, big: Boolean = false,
     template: graft.bv.BvProperties = graft.bv.BvProperties(0, 0))
     extends DataWriter[InternalRow] {
   private val conf = new Configuration()
@@ -284,24 +311,30 @@ class BvShardWriter(basename: String, partitionId: Int, taskId: Long,
 
   private var enc: BvEncoder#Stream = _
   private var graphOut: org.apache.hadoop.fs.FSDataOutputStream = _
-  private var from = -1
-  private var nextId = -1
+  private var from = -1L
+  private var nextId = -1L
 
   override def write(row: InternalRow): Unit = {
-    val id = row.getInt(idIdx)
+    val id = if (big) row.getLong(idIdx) else row.getInt(idIdx).toLong
     if (enc == null) {
       graphOut = fs.create(new Path(tmpBase + ".graph"), true)
       // anchor this shard's value deltas at its global base id — without
       // it every node pays ≈ zigzag(base) bits on its first residual
       // (unary-quotient codings make that catastrophic; see BvProperties)
-      val encoder = new BvEncoder(template.copy(firstNode = id.toLong))
+      val encoder = new BvEncoder(template.copy(firstNode = id))
       enc = new encoder.Stream(graphOut)
       from = id
       nextId = id
     }
     require(id >= nextId, s"ids must be ascending: got $id after ${nextId - 1}")
-    while (nextId < id) { enc.append(Array.empty[Int]); nextId += 1 } // gap nodes
-    val succ = row.getArray(succIdx).toIntArray()
+    require(id - from < BvShards.MAX_SHARD_NODES,
+      s"shard ${partitionId} would hold ${id - from + 1} local nodes " +
+        s"(> 2^31 cap); raise the `shards` option so range partitioning " +
+        "cuts the id space finer")
+    while (nextId < id) { enc.append(BvShardWriter.EMPTY); nextId += 1 } // gap nodes
+    val succ: Array[Long] =
+      if (big) row.getArray(succIdx).toLongArray()
+      else graft.bv.BvEncoder.widenInts(row.getArray(succIdx).toIntArray())
     enc.append(succ)
     nextId += 1
   }
@@ -336,4 +369,8 @@ class BvShardWriter(basename: String, partitionId: Int, taskId: Long,
   }
 
   override def close(): Unit = ()
+}
+
+object BvShardWriter {
+  private val EMPTY = new Array[Long](0)
 }

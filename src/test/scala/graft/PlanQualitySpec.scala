@@ -335,6 +335,21 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("id in [100,600)"), s"id range not pushed:\n$p")
   }
 
+  test("bv_limit: LIMIT k reaches the bvgraph scan as a prefix plan") {
+    val p = planOf("bv_limit")
+    assert(p.contains("PushedLimit: 500"), s"limit not pushed:\n$p")
+  }
+
+  test("bv_big: long-id scan surfaces BIGINT ids straight from the source") {
+    val df = SparkEntry.queries("bv_big")(spark, sf0001)
+    assert(df.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val p = executed(df)
+    // no widening casts: the source emits LONG natively (a CAST above the
+    // scan would mean the schema lied and every row pays a conversion)
+    assert(!p.toLowerCase.contains("cast(id"), s"unexpected id cast:\n$p")
+  }
+
   test("bv scan reports stats so Catalyst can plan broadcasts against it") {
     val base = graft.queries.GraphQueries.bvFixture(spark, sf0001)
     val df = spark.read.format("bvgraph").option("basename", base).load()

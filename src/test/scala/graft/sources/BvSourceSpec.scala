@@ -324,4 +324,24 @@ class BvSourceSpec extends AnyFunSuite {
         "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
     }
   }
+
+  test("limit pushdown plans a single-prefix scan") {
+    val (base, adj) = fixture(400, 11L)
+    val df = spark.read.format("bvgraph")
+      .option("basename", base).option("splits", 6).load()
+      .limit(25)
+    // the first 25 node rows in id order — deterministic because the
+    // pushed limit truncates planning to the [0, 25) prefix
+    val got = df.collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(got.keySet == (0 until 25).toSet)
+    (0 until 25).foreach(x => assert(got(x).sameElements(adj(x)), s"node $x"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.description().contains("PushedLimit: 25"),
+      scans.head.scan.description())
+    // the 6-way split request collapses: 25 nodes plan as one partition
+    assert(scans.head.inputRDD.getNumPartitions == 1)
+  }
 }
