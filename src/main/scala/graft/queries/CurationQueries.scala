@@ -349,8 +349,16 @@ object CurationQueries {
         .filter(col("c_a") + col("c_b") > 0)
         .groupBy(col("source_a"), col("source_b"))
         .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          sum(expr("""((n_a + n_b) * (c_a * n_b - c_b * n_a)
-            * (c_a * n_b - c_b * n_a)) DIV (n_a * n_b * (c_a + c_b))"""))
+          // chi-squared numerator is O(n^5) in per-source doc count —
+          // BIGINT saturates near n ~= 6e3 docs/source, so the statistic
+          // is computed in DECIMAL(38,0) int128 (DuckDB: HUGEINT), exact
+          // to n ~= 4e7 docs/source. Past that, compute on per-mille
+          // histogram SHARES instead of raw counts (the pair relation is
+          // metadata-sized, so the wide math costs nothing).
+          sum(expr("""(CAST(n_a + n_b AS DECIMAL(38,0))
+            * (CAST(c_a AS DECIMAL(19,0)) * n_b - CAST(c_b AS DECIMAL(19,0)) * n_a)
+            * (CAST(c_a AS DECIMAL(19,0)) * n_b - CAST(c_b AS DECIMAL(19,0)) * n_a))
+            DIV (CAST(n_a AS DECIMAL(19,0)) * n_b * (c_a + c_b))"""))
             .as("chi2"))
         .orderBy("source_a", "source_b")
     }),
@@ -750,8 +758,10 @@ object CurationQueries {
            FROM grid g JOIN tot t ON t.source = g.source)
          SELECT a.source AS source_a, b.source AS source_b,
            CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
-           CAST(SUM(((a.n + b.n) * (a.c * b.n - b.c * a.n)
-             * (a.c * b.n - b.c * a.n)) // (a.n * b.n * (a.c + b.c)))
+           CAST(SUM((CAST(a.n + b.n AS HUGEINT)
+             * (CAST(a.c AS HUGEINT) * b.n - CAST(b.c AS HUGEINT) * a.n)
+             * (CAST(a.c AS HUGEINT) * b.n - CAST(b.c AS HUGEINT) * a.n))
+             // (CAST(a.n AS HUGEINT) * b.n * (a.c + b.c)))
              AS BIGINT) AS chi2
          FROM sd a JOIN sd b
            ON a.bkt = b.bkt AND a.source < b.source

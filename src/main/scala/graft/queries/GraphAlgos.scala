@@ -423,6 +423,19 @@ object GraphAlgos {
         weightedCoPurchase(s, d).select(col("u"), col("v"), col("w"),
           (col("w") * lit(1L << 44) + col("u") * lit(1L << 22) + col("v"))
             .as("pk")))
+      // pk packing total-orders (w, u, v) ONLY while u,v < 2^22 and
+      // w < 2^19; out-of-range inputs would silently mis-sort the argmin
+      // (wrong forest, right cardinality — the worst failure mode), so
+      // fail loudly here. One node-sized agg over the already-checkpointed
+      // edge frame; at bigger id spaces widen the shifts like the 10M-node
+      // rehearsal's 2^50/2^25 packing.
+      val mx = we.agg(max(col("u").cast("long")), max(col("v").cast("long")),
+        max(col("w").cast("long"))).head()
+      require(mx.getLong(0) < (1L << 22) && mx.getLong(1) < (1L << 22) &&
+        mx.getLong(2) < (1L << 19),
+        s"graph_msf pk packing out of range: max(u)=${mx.getLong(0)}, " +
+          s"max(v)=${mx.getLong(1)}, max(w)=${mx.getLong(2)} " +
+          "(need u,v < 2^22, w < 2^19) — widen the pk shift widths")
       val (chosen, _, loopIds) = boruvkaForest(s, we, rounds = 2,
         doublings = 15)
       graft.Caches.defer(s)(freeRdds(s, weIds ++ loopIds))

@@ -164,7 +164,16 @@ object GraphQueries {
     * the metadata-sized bucket relation (the only single-partition step),
     * then row_number only WITHIN each bounded bucket. Shared by
     * [[degreeOrderPerm]] (okey = −outdeg) and bv_permute_lpa
-    * (okey = cluster label). */
+    * (okey = cluster label).
+    *
+    * SCALE ASSUMPTION: the cumsum relation holds |distinct (okey, idb)|
+    * rows — bounded by ~n/4096 only while okey cardinality ≪ n. Degrees
+    * satisfy this structurally (|distinct degrees| = O(√m)). LPA labels
+    * usually do (labels = communities), but a weakly-clustered graph can
+    * emit near-unique labels and drag ~n bucket rows into the one-task
+    * window — if an okey family approaches key-per-node, use the
+    * sort-based rank instead (orderBy + zipWithIndex, bv_subgraph's
+    * shape): range-partitioned, no single-task stage at any cardinality. */
   private[graft] def keyOrderPerm(g: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = g.select(col("id"), col("okey"))

@@ -433,18 +433,26 @@ object RelationalQueries {
     //    ONE corpus pass for the per-type moments (map-side partials to
     //    |types| rows), the tiny stats relation broadcast back onto a
     //    second pass, final agg map-side-combines — the corpus never
-    //    shuffles. (Magnitudes: n·Sxx at cents scale stays inside BIGINT
-    //    up to ~1e9 rows per type; beyond that, shift to per-day strata.)
+    //    shuffles. (Magnitudes: the running sums Sx, Sxx fit BIGINT to
+    //    ~1e10 rows/type at cents scale, but the COMPARISON squares them
+    //    — (n·xc−Sx)² ≈ (n·dev_c)² crosses 2^63 near n ≈ 3e9/max|dev_c|,
+    //    i.e. well inside one day of events at 100 TB — so both sides
+    //    are compared in DECIMAL(38,0) int128 arithmetic (exact to 1e38;
+    //    DuckDB mirrors with HUGEINT). Sums themselves stay BIGINT: the
+    //    cheap path for the corpus pass, wide math only on the tiny
+    //    broadcast comparison.)
     "events_outliers" -> ((s, d) => {
       val b = events(s, d).select(col("event_type"),
         floor(col("value") * 100).cast("long").as("xc"))
       val st = b.groupBy("event_type").agg(count(lit(1)).as("n"),
         sum(col("xc")).as("sx"), sum(col("xc") * col("xc")).as("sxx"))
+      val dec = "decimal(19,0)"
+      val dev = col("n").cast(dec) * col("xc").cast(dec) - col("sx").cast(dec)
+      val varTerm = col("n").cast(dec) * col("sxx").cast(dec) -
+        col("sx").cast(dec) * col("sx").cast(dec)
       b.join(broadcast(st), "event_type")
         .groupBy(col("event_type"), col("n"), col("sx"), col("sxx"))
-        .agg(sum(when((col("n") * col("xc") - col("sx"))
-            * (col("n") * col("xc") - col("sx"))
-            > lit(4L) * (col("n") * col("sxx") - col("sx") * col("sx")), 1L)
+        .agg(sum(when(dev * dev > lit(4L).cast(dec) * varTerm, 1L)
           .otherwise(0L)).as("n_outliers"))
         .select(col("event_type"), col("n"),
           expr("sx div n").as("mean_c"), col("n_outliers"))
@@ -1590,8 +1598,10 @@ object RelationalQueries {
            FROM b GROUP BY 1)
          SELECT b.event_type, st.n,
            CAST(st.sx // st.n AS BIGINT) AS mean_c,
-           CAST(SUM(CASE WHEN (st.n * b.xc - st.sx) * (st.n * b.xc - st.sx)
-                 > 4 * (st.n * st.sxx - st.sx * st.sx)
+           CAST(SUM(CASE WHEN
+                 (CAST(st.n AS HUGEINT) * b.xc - st.sx)
+                   * (CAST(st.n AS HUGEINT) * b.xc - st.sx)
+                 > 4 * (CAST(st.n AS HUGEINT) * st.sxx - CAST(st.sx AS HUGEINT) * st.sx)
                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM b JOIN st USING (event_type)
          GROUP BY 1, 2, 3 ORDER BY 1""",

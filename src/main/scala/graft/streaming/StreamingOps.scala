@@ -870,7 +870,12 @@ object StreamingOps {
           }
           val next = s"$base/v$id"
           merged.write.mode("overwrite").parquet(next)
+          val prev = cur
           cur = Some(next)
+          // the superseded snapshot has no readers once `cur` moves on —
+          // delete it so the version chain holds exactly one live dir
+          // (plus the in-flight write), not one per batch forever
+          prev.foreach(StreamingOps.deleteRecursively)
           ()
         }
         .start()
@@ -878,12 +883,27 @@ object StreamingOps {
         stream.addData(b1.toSeq); q.processAllAvailable()
         stream.addData(b2.toSeq); q.processAllAvailable()
       } finally q.stop()
+      // the final snapshot must outlive THIS query's consumption only —
+      // defer the temp-dir removal to the session's next sweep (the same
+      // post-consumption hook that unpins caches), so repeated bench/
+      // verify runs don't leak one graft_fb_state dir per invocation
+      graft.Caches.defer(s) { StreamingOps.deleteRecursively(base) }
       s.read.parquet(cur.get)
         .select(col("user_id"), col("w.us").as("last_ts_us"),
           col("w.event_type").as("last_type"),
           col("w.v_cents").as("last_value_cents"))
         .orderBy("user_id")
     }))
+
+  /** Best-effort recursive delete for the foreachBatch snapshot chain. */
+  private[streaming] def deleteRecursively(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists)
+    } catch { case _: Exception => () }
 
   /** Batch replays of the streaming queries: the replay schedule drops
     * nothing and flushes everything, so each streaming result must equal
