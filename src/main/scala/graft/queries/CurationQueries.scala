@@ -196,6 +196,53 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // -- publish a training shard: the curation pipeline's end made
+    //    DURABLE — curate (C4 rules) → exact-dedup to canonicals → join
+    //    doc metadata back → write a Hive-partitioned parquet shard,
+    //    pre-repartitioned ON the partition key so each lang directory
+    //    compacts to ONE file (layout_compaction's discipline applied at
+    //    publish time instead of as a second rewrite job) → read back
+    //    with a partition filter. Plan-gated on PartitionFilters +
+    //    selectedPartitions == 1, so the query PROVES the published
+    //    layout prunes. Write-once stamped dir + staging/atomic-rename
+    //    publish (jsonl_roundtrip's two-JVM-safe discipline). At 100 TB
+    //    this is the daily "ship a shard" job: one signal pass, one md5
+    //    shuffle, one range-free partitionBy write, zero driver data.
+    "pipeline_publish" -> ((s, d) => {
+      val srcP = java.nio.file.Paths.get(d, "documents.parquet")
+      val stamp = s"${java.nio.file.Files.getLastModifiedTime(srcP).toMillis}" +
+        s"_${java.nio.file.Files.size(srcP)}"
+      val key = s"${d}_$stamp".replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_publish_$key"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+        val kept = c4RulesFrame(s, d).filter(col("keep") === 1L)
+          .select(col("doc_id"), col("n_tokens"), col("text_md5"))
+        val canon = kept.groupBy("text_md5")
+          .agg(min(col("doc_id")).as("canonical_id"))
+        val pub = kept.join(canon,
+            kept("text_md5") === canon("text_md5") &&
+              kept("doc_id") === canon("canonical_id"))
+          .select(kept("doc_id"), col("n_tokens"))
+          .join(documents(s, d).select(col("doc_id"), col("lang"),
+            col("source"), col("n_chars")), "doc_id")
+        val staging = java.nio.file.Paths.get(
+          s"$dir.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+        pub.repartition(col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(staging.toString)
+        try java.nio.file.Files.move(staging, java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists)
+        }
+      }
+      s.read.parquet(dir)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("n_chars"))
+    }),
+
     // -- Gopher-style quality rules (Rae et al. 2021, published rule set)
     //    — the second canonical pre-training filter chain next to C4:
     //    word-count bounds, mean-word-length band (3..10 chars), symbol-
@@ -888,6 +935,32 @@ object CurationQueries {
            CAST((start_off + n_tok - 1) // 256 AS BIGINT) AS end_block,
            CAST((start_off + n_tok - 1) // 256 - start_off // 256 + 1 AS BIGINT) AS n_blocks
          FROM o ORDER BY doc_id""",
+    "pipeline_publish" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+           FROM documents),
+         g AS (SELECT doc_id, w, nt, len(nt) AS nc,
+             CASE WHEN len(w) >= 3 THEN list_transform(
+                    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [nt] END AS g
+           FROM w),
+         b AS (SELECT doc_id, md5(nt) AS text_md5,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(FLOOR((nc - (len(w) - 1)) * 10000 / len(w)) AS BIGINT) AS mean_len_e4,
+             CAST(len(list_intersect(w,
+               ['the','and','of','to','in','is','it','for','on','with'])) AS BIGINT) AS n_stop_types,
+             CAST(FLOOR((len(g) - len(list_distinct(g))) * 1000000.0 / len(g)) AS BIGINT) AS dup_e6
+           FROM g),
+         k AS (SELECT doc_id, n_tokens, text_md5 FROM b
+           WHERE n_tokens BETWEEN 30 AND 1000
+             AND mean_len_e4 BETWEEN 20000 AND 120000
+             AND n_stop_types >= 1 AND dup_e6 < 600000),
+         canon AS (SELECT text_md5, MIN(doc_id) AS cid FROM k GROUP BY 1)
+         SELECT d.doc_id, d.lang, d.source, k.n_tokens, d.n_chars
+         FROM k JOIN canon c ON k.text_md5 = c.text_md5 AND k.doc_id = c.cid
+         JOIN documents d ON d.doc_id = k.doc_id
+         WHERE d.lang = 'en' ORDER BY d.doc_id""",
     "text_dup_ngrams" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,

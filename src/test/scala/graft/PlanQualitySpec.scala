@@ -578,6 +578,25 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("PartitionFilters"), s"no partition filters in scan:\n$p")
   }
 
+  test("pipeline_publish: the published shard prunes to ONE lang partition, one file") {
+    val df = SparkEntry.queries("pipeline_publish")(spark, sf0001)
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the plan")
+    // 5 langs published; the lang='en' read-back must open exactly one
+    // partition directory, and the pre-repartition(col("lang")) write
+    // must have compacted it to a single parquet file
+    val sel = scans.map(_.selectedPartitions).head
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
+      s"expected 1 pruned partition")
+    assert(sel.totalNumberOfFiles == 1,
+      s"expected 1 compacted file, got ${sel.totalNumberOfFiles}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), s"no partition filters in scan:\n$p")
+  }
+
   test("join_dpp: the fact scan carries a dynamic pruning subquery and opens 90/150 partitions") {
     val df = SparkEntry.queries("join_dpp")(spark, sf0001)
     df.collect()
