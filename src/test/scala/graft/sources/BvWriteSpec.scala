@@ -277,15 +277,20 @@ class BvWriteSpec extends AnyFunSuite {
          |shard.1.bytes=${shard.bytes}
          |""".stripMargin)
     val big = spark.read.format("bvgraph").option("basename", s"$dir/big").load()
+    // a shard range past 2^31 flips the manifest to big mode: BIGINT ids
+    assert(big.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
     // metadata aggregates see the full Long id space
     assert(big.groupBy().count().head().getLong(0) == 20)
-    // an id filter prunes to the in-int-range shard: correct global ids
+    // an id filter prunes to the low shard: correct global ids
     val lo = big.filter(col("id") < 100).select("id")
-      .collect().map(_.getInt(0)).sorted
-    assert(lo.sameElements(0 until 10))
-    // actually scanning the beyond-2^31 shard is a loud error, not overflow
-    val err = intercept[Exception](big.select("id").collect())
-    assert(err.getMessage != null)
+      .collect().map(_.getLong(0)).sorted
+    assert(lo.sameElements((0 until 10).map(_.toLong)))
+    // the beyond-2^31 shard actually scans (pre-long-id rounds errored
+    // here): global ids = shard base + local position, no overflow
+    val all = big.select("id").collect().map(_.getLong(0)).sorted
+    assert(all.sameElements(
+      (0 until 10).map(_.toLong) ++ (0 until 10).map(hiFrom + _)))
   }
 
   test("sharded offsets regeneration restores a scannable graph") {
