@@ -365,6 +365,40 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // -- MODEL-BASED quality filter, the fastText/CCNet shape (Wenzek et
+    //    al. 2020; FineWeb's classifier gate): score each doc with a
+    //    LINEAR model over HASHED token features — the hashing trick
+    //    means NO vocabulary table at all, so the filter is one
+    //    stateless codegen'd pass at any corpus size. Weights here are a
+    //    deterministic function of the feature hash (w = (fnv64(tok)
+    //    mod 2^63) mod 2001 − 1000 ∈ [−1000, 1000]) standing in for
+    //    trained parameters — the ARITHMETIC (hash → bounded integer
+    //    weight → summed logit → threshold) is exactly a trained
+    //    classifier's inference path, and being integer-exact it is
+    //    hash-gated end-to-end (a float model would be rows-only).
+    //    Output per doc: token count, logit, mean score ×1000, and the
+    //    keep decision at threshold 0. Scale shape: one token explode,
+    //    partial-aggregated sum on doc_id — raw text never crosses an
+    //    exchange, and there is no model-table join to skew.
+    "quality_classifier" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.Exprs
+      import graft.functions.Fnv64
+      val tok = documents(s, d)
+        .select(col("doc_id"),
+          explode(DedupQueries.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+      val h = Exprs.toColumn(Fnv64(Exprs.toExpr(col("t"))))
+      val w = (h.bitwiseAND(lit(Long.MaxValue)) % lit(2001L)) - lit(1000L)
+      tok.select(col("doc_id"), w.as("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("logit"))
+        .select(col("doc_id"), col("n_tok"), col("logit"),
+          floor(col("logit") * lit(1000L) / col("n_tok")).cast("long")
+            .as("score_x1000"),
+          (col("logit") > 0).cast("long").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // -- distribution DRIFT between corpus sources (the snapshot-vs-
     //    snapshot monitoring a training-data pipeline runs before
     //    admitting a new crawl): per-source doc-length histograms
@@ -829,6 +863,27 @@ object CurationQueries {
              AS BIGINT) AS bits_per_tok_x100
          FROM tok JOIN uni USING (t) CROSS JOIN n
          GROUP BY doc_id ORDER BY doc_id""",
+    "quality_classifier" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+           FROM documents),
+         tok AS (SELECT doc_id, t FROM w WHERE t <> ''),
+         hh AS (SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, len(t)+1),
+                   i -> CAST(ord(substr(t, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * 1099511628211)
+                 % 18446744073709551616) AS h
+           FROM tok),
+         ws AS (SELECT doc_id,
+             CAST((h % 9223372036854775808) % 2001 - 1000 AS BIGINT) AS w
+           FROM hh)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(w) AS BIGINT) AS logit,
+           CAST(FLOOR(SUM(w) * 1000 / COUNT(*)) AS BIGINT) AS score_x1000,
+           CAST(SUM(w) > 0 AS BIGINT) AS keep
+         FROM ws GROUP BY doc_id ORDER BY doc_id""",
     "quality_gopher_rules" ->
       """WITH w AS (SELECT doc_id, text,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,

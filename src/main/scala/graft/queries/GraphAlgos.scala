@@ -1072,6 +1072,63 @@ object GraphAlgos {
       lbl.orderBy("node")
     }),
 
+    // -- MAXIMAL-INDEPENDENT-SET rounds (Luby 1986, the deterministic
+    //    variant): node priorities are a fixed multiplicative hash packed
+    //    with the id into one BIGINT (prio = (x·2654435761 mod 1e9+7)·2²²
+    //    + x — a TOTAL order, so "local minimum" has no ties), and each
+    //    round admits every undecided node whose priority beats all its
+    //    undecided neighbors, then retires the admitted set plus its
+    //    neighborhood. Two fixed rounds keep the oracle replayable as
+    //    chained CTEs (expected-fraction-retired per round is a constant,
+    //    so the production fixpoint is O(log n) rounds of this same
+    //    body). The admitted set is independent BY CONSTRUCTION: two
+    //    adjacent local minima would each have to beat the other. Output:
+    //    every node with the round that decided it (0 = still undecided
+    //    after 2 rounds) and its side (in/out). MIS is the scheduling /
+    //    graph-coloring primitive (round-robin seed selection, conflict-
+    //    free batching at 100 TB). Scale shape per round: one min-agg
+    //    over the endpoint list partitioned on x (partial-aggregated)
+    //    and two node-sized anti-joins; the edge set is touched once per
+    //    round and shrinks to the undecided-induced subgraph.
+    "graph_mis" -> ((s, d) => {
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      // prio packs (hash, id) into one BIGINT; needs id < 2^22 like
+      // graph_msf's pk (checked there against the same id space — at
+      // bigger spaces widen the shift).
+      def prio(c: Column): Column =
+        ((c * lit(2654435761L)) % lit(1000000007L)) * lit(1L << 22) + c
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val nodes = sym.select(col("x")).distinct()
+      def round(edges: DataFrame, undecided: DataFrame): (DataFrame, DataFrame) = {
+        val mn = edges.groupBy(col("x")).agg(min(prio(col("y"))).as("mn"))
+        val in = undecided.join(mn, Seq("x"), "left")
+          .filter(col("mn").isNull || prio(col("x")) < col("mn"))
+          .select(col("x"))
+        val out = edges
+          .join(in.withColumnRenamed("x", "y"), "y")
+          .select(col("x")).distinct()
+        (in, out)
+      }
+      val (in1, out1) = round(sym, nodes)
+      val u1 = nodes.join(in1, Seq("x"), "left_anti")
+        .join(out1, Seq("x"), "left_anti")
+      val sym2 = sym.join(u1, "x")
+        .join(u1.withColumnRenamed("x", "y"), "y")
+      val (in2, out2) = round(sym2, u1)
+      val u2 = u1.join(in2, Seq("x"), "left_anti")
+        .join(out2, Seq("x"), "left_anti")
+      in1.select(col("x"), lit(1L).as("rnd"), lit("in").as("st"))
+        .unionByName(out1.select(col("x"), lit(1L).as("rnd"), lit("out").as("st")))
+        .unionByName(in2.select(col("x"), lit(2L).as("rnd"), lit("in").as("st")))
+        .unionByName(out2.select(col("x"), lit(2L).as("rnd"), lit("out").as("st")))
+        .unionByName(u2.select(col("x"), lit(0L).as("rnd"),
+          lit("undecided").as("st")))
+        .select(col("x").cast("long").as("node"), col("rnd"), col("st"))
+        .orderBy("node")
+    }),
+
     // -- ASSOCIATION RULES over the order baskets (the market-basket
     //    twin of text_collocations' lift mining): for every co-purchased
     //    part pair with support ≥ 5 orders, directional confidences
@@ -1568,6 +1625,41 @@ object GraphAlgos {
            FROM sym s JOIN l1 n ON n.x = s.y JOIN l1 o ON o.x = s.x
            GROUP BY s.x, o.lbl)
          SELECT x AS node, lbl AS label FROM l2 ORDER BY node""",
+    "graph_mis" ->
+      s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
+         sym AS MATERIALIZED (
+           SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+         nodes AS (SELECT DISTINCT x FROM sym),
+         m1 AS (SELECT x, MIN((y * 2654435761 % 1000000007) * 4194304 + y) AS mn
+           FROM sym GROUP BY x),
+         in1 AS MATERIALIZED (SELECT n.x FROM nodes n LEFT JOIN m1 ON m1.x = n.x
+           WHERE m1.mn IS NULL
+              OR (n.x * 2654435761 % 1000000007) * 4194304 + n.x < m1.mn),
+         out1 AS MATERIALIZED (
+           SELECT DISTINCT s.x FROM sym s JOIN in1 i ON i.x = s.y),
+         u1 AS MATERIALIZED (
+           SELECT x FROM nodes
+           EXCEPT SELECT x FROM in1
+           EXCEPT SELECT x FROM out1),
+         sym2 AS MATERIALIZED (SELECT s.x, s.y FROM sym s
+           JOIN u1 a ON a.x = s.x JOIN u1 b ON b.x = s.y),
+         m2 AS (SELECT x, MIN((y * 2654435761 % 1000000007) * 4194304 + y) AS mn
+           FROM sym2 GROUP BY x),
+         in2 AS MATERIALIZED (SELECT u.x FROM u1 u LEFT JOIN m2 ON m2.x = u.x
+           WHERE m2.mn IS NULL
+              OR (u.x * 2654435761 % 1000000007) * 4194304 + u.x < m2.mn),
+         out2 AS MATERIALIZED (
+           SELECT DISTINCT s.x FROM sym2 s JOIN in2 i ON i.x = s.y),
+         u2 AS (SELECT x FROM u1
+           EXCEPT SELECT x FROM in2
+           EXCEPT SELECT x FROM out2)
+         SELECT x AS node, rnd, st FROM (
+           SELECT x, CAST(1 AS BIGINT) AS rnd, 'in' AS st FROM in1
+           UNION ALL SELECT x, 1, 'out' FROM out1
+           UNION ALL SELECT x, 2, 'in' FROM in2
+           UNION ALL SELECT x, 2, 'out' FROM out2
+           UNION ALL SELECT x, 0, 'undecided' FROM u2)
+         ORDER BY node""",
     "graph_ball2" ->
       s"""WITH $edgesCte,
          sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),

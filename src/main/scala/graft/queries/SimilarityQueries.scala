@@ -151,6 +151,55 @@ object SimilarityQueries {
         .orderBy(col("d2n2").desc, col("vec_id")).limit(20)
     }),
 
+    // -- K-MEANS (2 exact Lloyd iterations, k=8) over the embeddings —
+    //    the clustering stage behind SemDeDup-style semantic curation
+    //    and IVF index training (sim_ann_ivf's per-label centroids are
+    //    the stand-in this replaces when labels don't exist). Every step
+    //    is EXACT integer so the assignment is hash-gated end-to-end:
+    //    dims quantize to q = floor(double(x)·1000) + 1000 (the +1000
+    //    shift keeps every value ≥ 0, so the centroid update S_d DIV n
+    //    is a plain floor division with identical truncation semantics
+    //    in both engines; shifting all dims never changes a distance).
+    //    Init = the k lowest vec_ids (deterministic); assignment = argmin
+    //    of Σ_d (q_d − c_d)² with ties to the lower cluster id via one
+    //    min(struct) — a total order. Scale shape: centroids are k×dim
+    //    integers BROADCAST to the scan (the corpus never shuffles for
+    //    assignment); the update is one posexplode + partial-aggregated
+    //    (cluster, dim) sum — k·dim rows — exactly how a production
+    //    Lloyd step runs at 100 TB (the corpus streams once per
+    //    iteration, all reduce-side state is k·dim-sized).
+    "cluster_kmeans" -> ((s, d) => {
+      val k = 8
+      val e = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000d)).cast("long") + lit(1000L))
+          .as("xs"))
+      def d2(xs: Column, cs: Column): Column = aggregate(
+        zip_with(xs, cs, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      def assign(vecs: DataFrame, cents: DataFrame, outCol: String): DataFrame =
+        vecs.crossJoin(broadcast(cents))
+          .groupBy(vecs.columns.map(col): _*)
+          .agg(min(struct(d2(col("xs"), col("cs")).as("d"),
+            col("cid").as("c"))).as("m"))
+          .withColumn(outCol, col("m.c"))
+          .withColumn("dist2", col("m.d"))
+          .drop("m")
+      val c0 = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("xs").as("cs"))
+      val a1 = assign(e, c0, "c1").drop("dist2")
+      val c1 = a1.select(col("c1"), posexplode(col("xs")).as(Seq("dim", "qd")))
+        .groupBy(col("c1"), col("dim"))
+        .agg(expr("sum(qd) div count(1)").as("cd"))
+        .groupBy(col("c1"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
+          x => x.getField("cd")).as("cs"))
+        .select(col("c1").as("cid"), col("cs"))
+      assign(a1, c1, "c2")
+        .select(col("vec_id"), col("c1"), col("c2"), col("dist2").as("d2"))
+        .orderBy("vec_id")
+    }),
+
     // -- exact top-10 cosine neighbors for probe vectors vec_id < 4.
     "sim_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -330,6 +379,39 @@ object SimilarityQueries {
   }.mkString("\n         + ")
 
   val oracleSql: Map[String, String] = Map(
+    "cluster_kmeans" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000) AS BIGINT) + 1000) AS xs
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, xs AS cs FROM e WHERE vec_id < 8),
+         p1 AS (SELECT e.vec_id, e.xs, c0.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(e.xs) + 1),
+                 i -> (e.xs[i] - c0.cs[i]) * (e.xs[i] - c0.cs[i]))),
+               (a, x) -> a + x) AS d
+           FROM e CROSS JOIN c0),
+         a1 AS MATERIALIZED (SELECT vec_id, xs, cid AS c1 FROM (
+             SELECT vec_id, xs, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk
+             FROM p1) WHERE rnk = 1),
+         s1 AS (SELECT c1, r.i AS dim,
+             CAST(SUM(xs[r.i]) // COUNT(*) AS BIGINT) AS cd
+           FROM a1, unnest(generate_series(1, len(xs))) AS r(i)
+           GROUP BY c1, r.i),
+         c1t AS (SELECT c1 AS cid, list(cd ORDER BY dim) AS cs
+           FROM s1 GROUP BY c1),
+         p2 AS (SELECT a1.vec_id, a1.c1, c1t.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(a1.xs) + 1),
+                 i -> (a1.xs[i] - c1t.cs[i]) * (a1.xs[i] - c1t.cs[i]))),
+               (a, x) -> a + x) AS d
+           FROM a1 CROSS JOIN c1t),
+         a2 AS (SELECT vec_id, c1, cid AS c2, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk
+           FROM p2)
+         SELECT vec_id, c1, c2, d AS d2 FROM a2 WHERE rnk = 1
+         ORDER BY vec_id""",
     "embed_outliers_centroid" ->
       """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
              list_transform(embedding, x ->

@@ -125,6 +125,51 @@ class QuerySurfaceSpec extends AnyFunSuite {
       "a label is not a node id")
   }
 
+  test("graph_mis: in-sets independent, decision sets partition the nodes") {
+    val rows = SparkEntry.queries("graph_mis")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byNode = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byNode.size == rows.length, "a node was decided twice")
+    val in = rows.filter(_.getString(2) == "in").map(_.getLong(0)).toSet
+    assert(in.nonEmpty, "no node entered the independent set in 2 rounds")
+    val edges = queries.GraphAlgos.coPurchaseEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (u, v) =>
+      assert(!(in.contains(u) && in.contains(v)),
+        s"adjacent nodes $u-$v both in the independent set")
+    }
+    // every neighbor of an in-node is out (the set is maximal so far)
+    val out = rows.filter(_.getString(2) == "out").map(_.getLong(0)).toSet
+    edges.foreach { case (u, v) =>
+      if (in.contains(u)) assert(out.contains(v), s"$v neighbors in-node $u")
+      if (in.contains(v)) assert(out.contains(u), s"$u neighbors in-node $v")
+    }
+  }
+
+  test("cluster_kmeans: total assignment, k clusters, exact re-distance") {
+    val rows = SparkEntry.queries("cluster_kmeans")(spark, sf0001).collect()
+    val nVec = Tables.embeddings(spark, sf0001).count()
+    assert(rows.length == nVec, "every vector must be assigned")
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 8))
+    assert(rows.forall(r => r.getLong(3) >= 0), "squared distance negative")
+    // the init vectors must land in their own cluster at iteration 1
+    rows.filter(_.getLong(0) < 8).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0),
+        s"init centroid ${r.getLong(0)} not in its own cluster")
+    }
+  }
+
+  test("quality_classifier: logit bounded by ±1000·n_tok, keep = logit>0") {
+    val rows = SparkEntry.queries("quality_classifier")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, logit, keep) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(math.abs(logit) <= 1000L * nTok, s"logit out of range: $r")
+      assert(keep == (if (logit > 0) 1L else 0L), s"keep mismatch: $r")
+    }
+  }
+
   test("graph_ball2: ball contains self plus distance-1 set; harmonic identity") {
     val rows = SparkEntry.queries("graph_ball2")(spark, sf0001).collect()
     assert(rows.nonEmpty)
