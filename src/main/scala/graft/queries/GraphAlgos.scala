@@ -1267,6 +1267,44 @@ object GraphAlgos {
         .orderBy("node")
     }),
 
+    // -- sampled BETWEENNESS at radius 2 (Brandes 2001 dependency
+    //    accumulation, depth-bounded the way production centrality runs
+    //    at corpus scale — Riondato-Kornaropoulos sampling): from every
+    //    seed s (id ≡ 0 mod 17), every node t at distance EXACTLY 2
+    //    contributes σ_st(w)/σ_st to each middle node w, where σ_st =
+    //    |CN(s,t)| (every length-2 shortest path is s–w–t through a
+    //    common neighbor). The per-pair share surfaces as the exact
+    //    floor 1e6 DIV σ_st, summed per w — deterministic under any
+    //    partitioning, replayed digit-for-digit by the oracle. Output
+    //    per middle node: how many sampled shortest paths cross it and
+    //    the accumulated (scaled) betweenness. Scale shape: the two-hop
+    //    expansion is the same seed-bounded Σdeg² as graph_ball2; the
+    //    "exactly 2" filter is one anti-join against the seed adjacency;
+    //    σ is one partial-aggregated count on (s,t); the dependency
+    //    accumulation is one partial-aggregated sum on w.
+    "graph_betweenness2" -> ((s, d) => {
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val d1 = sym.filter(col("x") % 17 === 0)
+        .select(col("x").as("s"), col("y").as("w"))
+      val paths = d1
+        .join(sym.select(col("x").as("w"), col("y").as("t")), "w")
+        .filter(col("t") =!= col("s"))
+        .join(d1.select(col("s"), col("w").as("t")), Seq("s", "t"),
+          "left_anti") // t must NOT be adjacent to s: distance exactly 2
+      val sigma = paths.groupBy(col("s"), col("t"))
+        .agg(count(lit(1)).as("sigma"))
+      paths.join(sigma, Seq("s", "t"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_paths"),
+          sum(expr("1000000 DIV sigma")).as("bc2_e6"))
+        .select(col("w").cast("long").as("node"), col("n_paths"),
+          col("bc2_e6"))
+        .orderBy("node")
+    }),
+
     // -- deterministic random walks (the node2vec/DeepWalk sampling shape):
     //    from every seed (id ≡ 0 mod 17) take 3 steps, at each step moving
     //    to the neighbor minimizing a LCG-style hash of (current, step,
@@ -1660,6 +1698,23 @@ object GraphAlgos {
            UNION ALL SELECT x, 2, 'out' FROM out2
            UNION ALL SELECT x, 0, 'undecided' FROM u2)
          ORDER BY node""",
+    "graph_betweenness2" ->
+      s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
+         sym AS MATERIALIZED (
+           SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+         d1 AS MATERIALIZED (
+           SELECT x AS s, y AS w FROM sym WHERE x % 17 = 0),
+         paths AS MATERIALIZED (
+           SELECT p.s, p.w, n.y AS t
+           FROM d1 p JOIN sym n ON n.x = p.w
+           WHERE n.y <> p.s
+             AND NOT EXISTS (SELECT 1 FROM d1 a
+                             WHERE a.s = p.s AND a.w = n.y)),
+         sigma AS (SELECT s, t, COUNT(*) AS sigma FROM paths GROUP BY s, t)
+         SELECT p.w AS node, CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(SUM(1000000 // g.sigma) AS BIGINT) AS bc2_e6
+         FROM paths p JOIN sigma g ON g.s = p.s AND g.t = p.t
+         GROUP BY p.w ORDER BY node""",
     "graph_ball2" ->
       s"""WITH $edgesCte,
          sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),

@@ -314,6 +314,50 @@ object TextQueries {
         .limit(20)
     }),
 
+    // -- RAKE keyword extraction (Rose et al. 2010): stopwords split
+    //    each doc into candidate phrases (maximal stopword-free token
+    //    runs); every word scores deg/freq over the corpus phrase table
+    //    (deg = Σ lengths of phrases containing it, freq = # phrase
+    //    memberships) and a phrase scores the sum of its words' scores.
+    //    Scores stay exact integers (deg·1e6 DIV freq), so the top-20
+    //    ranking is partitioning-independent and hash-gated. Scale
+    //    shape: segmentation is a PER-DOC window cumsum (bounded by doc
+    //    length, never a global window); the word-stats table is
+    //    vocabulary-sized (Zipf-small → broadcast back); phrase
+    //    reassembly shuffles once on (doc, phrase-slot); top-20 is
+    //    TakeOrderedAndProject.
+    "text_rake" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "t")))
+        .filter(col("t") =!= "")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val members = tok
+        .withColumn("isstop", col("t").isInCollection(STOP_EN))
+        .withColumn("ph", sum(col("isstop").cast("long")).over(w))
+        .filter(!col("isstop"))
+        .select(col("doc_id"), col("ph"), col("pos"), col("t"))
+      val plen = members.groupBy(col("doc_id"), col("ph"))
+        .agg(count(lit(1)).as("len"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t"))).as("phrase"))
+      val wstat = members
+        .join(plen.select(col("doc_id"), col("ph"), col("len")),
+          Seq("doc_id", "ph"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      val scored = members.join(broadcast(wstat), "t")
+        .groupBy(col("doc_id"), col("ph"))
+        .agg(sum(expr("deg * 1000000 DIV freq")).as("score_e6"))
+      scored.join(plen, Seq("doc_id", "ph"))
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          max(col("score_e6")).as("score_e6"))
+        .orderBy(col("score_e6").desc, col("phrase"))
+        .limit(20)
+    }),
+
     // -- BPE MERGE LEARNING (tokenizer training — the op that turns this
     //    engine's token pipeline from "apply a vocab" into "train one"):
     //    3 rounds of byte-pair encoding over the corpus VOCABULARY. The
@@ -480,6 +524,33 @@ object TextQueries {
          SELECT doc_id, dl, tf1, tf2, tf3,
            CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_e6
          FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 20""",
+    "text_rake" ->
+      """WITH w AS (SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, r.i AS pos, ws[r.i] AS t
+           FROM w, unnest(generate_series(1, len(ws))) AS r(i)
+           WHERE ws[r.i] <> ''),
+         seg AS (SELECT doc_id, pos, t,
+             t IN ('the','and','of','to','in','is','it','for','on','with')
+               AS isstop,
+             SUM(CASE WHEN t IN ('the','and','of','to','in','is','it',
+                 'for','on','with') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS ph
+           FROM tok),
+         members AS (SELECT doc_id, ph, pos, t FROM seg WHERE NOT isstop),
+         plen AS (SELECT doc_id, ph, COUNT(*) AS len,
+             string_agg(t, ' ' ORDER BY pos) AS phrase
+           FROM members GROUP BY doc_id, ph),
+         wstat AS (SELECT t, COUNT(*) AS freq, SUM(len) AS deg
+           FROM members JOIN plen USING (doc_id, ph) GROUP BY t),
+         scored AS (SELECT m.doc_id, m.ph,
+             SUM(deg * 1000000 // freq) AS score_e6
+           FROM members m JOIN wstat USING (t) GROUP BY m.doc_id, m.ph)
+         SELECT p.phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(s.score_e6) AS BIGINT) AS score_e6
+         FROM scored s JOIN plen p USING (doc_id, ph)
+         GROUP BY p.phrase ORDER BY score_e6 DESC, phrase LIMIT 20""",
     "text_collocations" ->
       """WITH w AS (SELECT string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

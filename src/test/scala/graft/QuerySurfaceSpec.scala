@@ -146,6 +146,29 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_betweenness2: shares bounded by path counts and sum to ~1 per pair") {
+    val rows = SparkEntry.queries("graph_betweenness2")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nPaths, bc) = (r.getLong(1), r.getLong(2))
+      assert(nPaths >= 1)
+      assert(bc <= 1000000L * nPaths, s"share above 1 per path: $r")
+      assert(bc >= 1, s"zero accumulated betweenness with paths present: $r")
+    }
+  }
+
+  test("text_rake: phrases are stopword-free and scores positive") {
+    val stops = Set("the", "and", "of", "to", "in", "is", "it", "for", "on", "with")
+    val rows = SparkEntry.queries("text_rake")(spark, sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.nonEmpty && words.forall(w => !stops.contains(w)),
+        s"stopword inside a candidate phrase: ${r.getString(0)}")
+      assert(r.getLong(1) >= 1 && r.getLong(2) > 0, s"bad counts: $r")
+    }
+  }
+
   test("cluster_kmeans: total assignment, k clusters, exact re-distance") {
     val rows = SparkEntry.queries("cluster_kmeans")(spark, sf0001).collect()
     val nVec = Tables.embeddings(spark, sf0001).count()
