@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{Fnv64, Shingles, VecDot}
+import graft.functions.{Fnv64, Shingles, VecDot, VecDotLong}
 
 /** Session extensions: registers the engine's native Catalyst expressions
   * as SQL functions. Enable with
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_long"),
+      new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
+      (children: Seq[Expression]) => VecDotLong(children.head, children(1))))
     // shingles(text, n, distinct) — n/distinct must be non-null literals
     // of the right type; anything else (a column, NULL, a LONG) is a
     // clear analysis-time error, never a raw ClassCastException/NPE.

@@ -68,6 +68,69 @@ object SimilarityQueries {
     array((0 until bands).map(b =>
       srpBandBucket(v, b * bitsPerBand, bitsPerBand, dims)): _*)
 
+  /** Two exact integer Lloyd iterations over a `(vec_id, xs)` frame
+    * (xs: non-negative quantized BIGINT dims) — the engine behind
+    * `cluster_kmeans`, shared with [[graft.EmbedScaleRehearsal]] so the
+    * rehearsed path IS the production path. Init = the k lowest vec_ids;
+    * assignment broadcasts the k×dim centroid table (the corpus never
+    * shuffles); the update is one posexplode + partial-aggregated
+    * (cluster, dim) integer sum with floor-division centroids. Returns
+    * `(vec_id, c1, c2, d2)` — both assignments and the exact squared
+    * distance to the iteration-2 centroid. */
+  def lloydTwoSteps(e: DataFrame, k: Int): DataFrame = {
+    // ‖x−c‖² = x·x − 2·x·c + c·c: codegen'd integer dot products
+    // (graft.functions.VecDotLong) instead of an interpreted
+    // aggregate(zip_with(...)) per (vector, centroid) pair. Centroids
+    // are k×dim integers — BOUNDED driver scalars, like every Lloyd
+    // implementation's — embedded as array LITERALS, so each assignment
+    // round is ONE map-only codegen'd projection over the corpus: no
+    // crossJoin row expansion, no re-grouping shuffle, zero exchanges.
+    // Exact BIGINT: quantized dims stay ≤ ~5·10³ over ≤128 dims, so
+    // every dot ≤ 128·(5·10³)² ≈ 3.2e9 ≪ 2⁶³.
+    def dotL(a: Column, b: Column): Column =
+      Exprs.toColumn(graft.functions.VecDotLong(
+        Exprs.toExpr(a), Exprs.toExpr(b)))
+    // cents: (cid -> centroid dims), cid-ascending; argmin ties resolve
+    // to the LOWEST cid via the when-chain order (same total order as a
+    // min over struct(d, cid)).
+    def assign(vecs: DataFrame, cents: Seq[(Long, Seq[Long])],
+        outCol: String): DataFrame = {
+      val withXx = vecs.withColumn("_xx", dotL(col("xs"), col("xs")))
+      val ds = cents.map { case (cid, cs) =>
+        val cc = cs.map(x => x * x).sum
+        cid -> (col("_xx") - lit(2L) * dotL(col("xs"), typedLit(cs)) + lit(cc))
+      }
+      val withD = ds.foldLeft(withXx) { case (df, (cid, d)) =>
+        df.withColumn(s"_d$cid", d)
+      }
+      val dmin = least(ds.map { case (cid, _) => col(s"_d$cid") }: _*)
+      val cmin = ds.foldRight(lit(-1L)) { case ((cid, _), rest) =>
+        when(col(s"_d$cid") === col("_dmin"), lit(cid)).otherwise(rest)
+      }
+      withD.withColumn("_dmin", dmin)
+        .withColumn(outCol, cmin)
+        .withColumn("dist2", col("_dmin"))
+        .drop("_xx" +: "_dmin" +: ds.map { case (cid, _) => s"_d$cid" }: _*)
+    }
+    def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
+      // bounded driver scalar: exactly k rows of k×dim integers
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+        .sortBy(_._1).toSeq
+    val c0 = collectCents(e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("xs").as("cs")))
+    val a1 = assign(e, c0, "c1").drop("dist2")
+    val c1 = collectCents(
+      a1.select(col("c1"), posexplode(col("xs")).as(Seq("dim", "qd")))
+        .groupBy(col("c1"), col("dim"))
+        .agg(expr("sum(qd) div count(1)").as("cd"))
+        .groupBy(col("c1"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
+          x => x.getField("cd")).as("cs"))
+        .select(col("c1").as("cid"), col("cs")))
+    assign(a1, c1, "c2")
+      .select(col("vec_id"), col("c1"), col("c2"), col("dist2").as("d2"))
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
     * cells (centroids = per-label mean vectors — the stand-in for k-means
     * in this environment), then each probe searches only its `nprobe`
@@ -169,35 +232,11 @@ object SimilarityQueries {
     //    Lloyd step runs at 100 TB (the corpus streams once per
     //    iteration, all reduce-side state is k·dim-sized).
     "cluster_kmeans" -> ((s, d) => {
-      val k = 8
       val e = embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000d)).cast("long") + lit(1000L))
           .as("xs"))
-      def d2(xs: Column, cs: Column): Column = aggregate(
-        zip_with(xs, cs, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      def assign(vecs: DataFrame, cents: DataFrame, outCol: String): DataFrame =
-        vecs.crossJoin(broadcast(cents))
-          .groupBy(vecs.columns.map(col): _*)
-          .agg(min(struct(d2(col("xs"), col("cs")).as("d"),
-            col("cid").as("c"))).as("m"))
-          .withColumn(outCol, col("m.c"))
-          .withColumn("dist2", col("m.d"))
-          .drop("m")
-      val c0 = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("xs").as("cs"))
-      val a1 = assign(e, c0, "c1").drop("dist2")
-      val c1 = a1.select(col("c1"), posexplode(col("xs")).as(Seq("dim", "qd")))
-        .groupBy(col("c1"), col("dim"))
-        .agg(expr("sum(qd) div count(1)").as("cd"))
-        .groupBy(col("c1"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
-          x => x.getField("cd")).as("cs"))
-        .select(col("c1").as("cid"), col("cs"))
-      assign(a1, c1, "c2")
-        .select(col("vec_id"), col("c1"), col("c2"), col("dist2").as("d2"))
-        .orderBy("vec_id")
+      lloydTwoSteps(e, k = 8).orderBy("vec_id")
     }),
 
     // -- exact top-10 cosine neighbors for probe vectors vec_id < 4.

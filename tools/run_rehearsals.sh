@@ -3,12 +3,13 @@
 # which CHECKS its planted or closed-form expectations and exits non-zero
 # on any mismatch. Sizes are the SCALE.md-documented defaults; pass
 # smaller ones for a smoke run:
-#   tools/run_rehearsals.sh [graphNodes] [textDocs] [relRows]
+#   tools/run_rehearsals.sh [graphNodes] [textDocs] [relRows] [embVecs]
 set -e
 cd /root/repo
 GN=${1:-10000000}
 TD=${2:-1000000}
 RR=${3:-50000000}
+EV=${4:-2000000}
 # copyResources too: a bare `compile` leaves META-INF/services out of the
 # classes dir and the bvgraph short name would fail to resolve
 sbt -batch compile Compile/copyResources 2>&1 | grep -E 'error|success'
@@ -32,3 +33,5 @@ echo "== curation (TextScaleRehearsal $TD docs) =="
 run graft.TextScaleRehearsal "$TD"
 echo "== relational (RelationalScaleRehearsal $RR rows) =="
 run graft.RelationalScaleRehearsal "$RR"
+echo "== embeddings (EmbedScaleRehearsal $EV vectors) =="
+run graft.EmbedScaleRehearsal "$EV"
