@@ -34,6 +34,9 @@ object Profile {
       Map("_copurchase" -> ((s, d) => queries.GraphAlgos.coPurchaseEdges(s, d)))
     names.foreach { name =>
       (1 to runs).foreach { i =>
+        // -Dgraft.sweep=1 replicates Bench's cold-cache discipline (hard
+        // sweep before every timed run) instead of warm-session timing
+        if (sys.props.get("graft.sweep").contains("1")) Caches.hardSweep(spark)
         val t0 = System.nanoTime()
         val df = SparkEntry.queries.getOrElse(name, extras(name))(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()

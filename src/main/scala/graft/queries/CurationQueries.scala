@@ -590,6 +590,32 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // -- EPOCH-BASED domain up-sampling (the replication half of data
+    //    mixing — the Pile/Llama "epochs per dataset" recipe, complement
+    //    of mix_rebalance/mix_temperature's down-sampling): each source
+    //    carries a target epoch count from its mixing table — stood in
+    //    for here by a deterministic function of the source name
+    //    (1 + fnv64(source) mod 4 ∈ [1,4], the same trained-config
+    //    stand-in discipline as quality_classifier's weights) — and
+    //    every doc is replicated once per epoch with its epoch index.
+    //    Because the epoch count is a pure per-row function of `source`,
+    //    the WHOLE query is one codegen'd projection + explode: no
+    //    aggregate, no join, no shuffle, at any corpus size — the ideal
+    //    plan for materializing a training-run manifest. Downstream
+    //    consumers shuffle the replicated stream at most once (their own
+    //    packing/shards), never this operator.
+    "mix_epochs" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.Exprs
+      import graft.functions.Fnv64
+      val h = Exprs.toColumn(Fnv64(Exprs.toExpr(col("source"))))
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (lit(1L) + (h.bitwiseAND(lit(Long.MaxValue)) % lit(4L)))
+            .as("n_epochs"))
+        .select(col("doc_id"), col("source"), col("n_epochs"),
+          explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+    }),
+
     // -- deterministic negative sampling (the contrastive-pairs step of an
     //    embedding-training pipeline): every anchor doc (doc_id ≡ 0 mod 10)
     //    draws k=3 pseudo-random negatives via exact BIGINT hash arithmetic
@@ -1103,6 +1129,20 @@ object CurationQueries {
              AS n_kept
          FROM h JOIN r ON h.source = r.source
          GROUP BY r.source, r.n_total, r.sq, r.thresh ORDER BY r.source""",
+    "mix_epochs" ->
+      """WITH hh AS (SELECT doc_id, source,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, len(source)+1),
+                   i -> CAST(ord(substr(source, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * 1099511628211)
+                 % 18446744073709551616) AS h
+           FROM documents),
+         ep AS (SELECT doc_id, source,
+             CAST(1 + (h % 9223372036854775808) % 4 AS BIGINT) AS n_epochs
+           FROM hh)
+         SELECT doc_id, source, n_epochs, CAST(e AS BIGINT) AS epoch
+         FROM ep, unnest(generate_series(1, n_epochs)) AS r(e)""",
     "quality_novelty" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

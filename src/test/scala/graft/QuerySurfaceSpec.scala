@@ -183,6 +183,21 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("mix_epochs: per-source epoch counts in [1,4], full epoch sequences") {
+    val rows = SparkEntry.queries("mix_epochs")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val perSource = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).toSet)
+    perSource.foreach { case (src, es) =>
+      assert(es.size == 1, s"source $src got two different epoch counts")
+      assert(es.head >= 1 && es.head <= 4, s"epochs out of range for $src")
+    }
+    rows.groupBy(r => (r.getLong(0), r.getString(1))).foreach { case (k, rs) =>
+      val n = rs.head.getLong(2)
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to n),
+        s"doc $k missing epochs: ${rs.map(_.getLong(3)).sorted.toSeq}")
+    }
+  }
+
   test("quality_classifier: logit bounded by ±1000·n_tok, keep = logit>0") {
     val rows = SparkEntry.queries("quality_classifier")(spark, sf0001).collect()
     assert(rows.nonEmpty)
