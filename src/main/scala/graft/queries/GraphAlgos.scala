@@ -1101,19 +1101,22 @@ object GraphAlgos {
       val sym = e.select(col("u").as("x"), col("v").as("y"))
         .unionByName(e.select(col("v").as("x"), col("u").as("y")))
       val nodes = sym.select(col("x")).distinct()
+      // each round's (in, out) feeds three+ downstream consumers (the
+      // undecided anti-joins, the induced subgraph, the final union) —
+      // pin them so the shared lineage computes once, not per branch
       def round(edges: DataFrame, undecided: DataFrame): (DataFrame, DataFrame) = {
         val mn = edges.groupBy(col("x")).agg(min(prio(col("y"))).as("mn"))
-        val in = undecided.join(mn, Seq("x"), "left")
+        val in = graft.Caches.pin(undecided.join(mn, Seq("x"), "left")
           .filter(col("mn").isNull || prio(col("x")) < col("mn"))
-          .select(col("x"))
-        val out = edges
+          .select(col("x")))
+        val out = graft.Caches.pin(edges
           .join(in.withColumnRenamed("x", "y"), "y")
-          .select(col("x")).distinct()
+          .select(col("x")).distinct())
         (in, out)
       }
       val (in1, out1) = round(sym, nodes)
-      val u1 = nodes.join(in1, Seq("x"), "left_anti")
-        .join(out1, Seq("x"), "left_anti")
+      val u1 = graft.Caches.pin(nodes.join(in1, Seq("x"), "left_anti")
+        .join(out1, Seq("x"), "left_anti"))
       val sym2 = sym.join(u1, "x")
         .join(u1.withColumnRenamed("x", "y"), "y")
       val (in2, out2) = round(sym2, u1)
