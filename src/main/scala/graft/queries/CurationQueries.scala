@@ -399,6 +399,42 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // -- BIGRAM-LM quality scoring (the CCNet/KenLM perplexity gate in
+    //    its exact-integer form): train the bigram model ON the corpus —
+    //    c2(w1,w2) bigram counts, c1(w1) = Σ_w2 c2 first-token totals —
+    //    then score each doc by its mean conditional bigram probability
+    //    P(w2|w1) = c2/c1 in ppm, floored per occurrence with BIGINT DIV
+    //    so both engines agree bit-for-bit (a float log-perplexity would
+    //    be rows-only; the ppm mean ranks docs identically to the
+    //    perplexity it is a monotone transform of, per-doc-length). Low
+    //    avg ⇒ improbable token transitions ⇒ gibberish / OCR noise;
+    //    boilerplate scores high — the complement of quality_surprisal's
+    //    unigram rarity signal. Scale shape: ONE bigram explode (narrow,
+    //    from array slices — no self-join); the model table is
+    //    vocab²-bounded (Zipf-small vs the corpus — AQE broadcasts it);
+    //    the per-doc mean partial-aggregates on doc_id; raw text never
+    //    crosses an exchange.
+    "quality_lm_bigram" -> ((s, d) => {
+      val tk = DedupQueries.tokens(col("text"))
+      val big = documents(s, d)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+            slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      big.join(c2.join(c1, "w1"), Seq("w1", "w2"))
+        .select(col("doc_id"), expr("(1000000 * c2) DIV c1").as("ppm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_ppm DIV n_bigrams").as("avg_cond_ppm"),
+          (expr("sum_ppm DIV n_bigrams") >= 34500L).cast("long").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // -- distribution DRIFT between corpus sources (the snapshot-vs-
     //    snapshot monitoring a training-data pipeline runs before
     //    admitting a new crawl): per-source doc-length histograms
@@ -513,6 +549,30 @@ object CurationQueries {
         .withColumn("rate_e6",
           floor(col("n_sampled") * lit(1000000.0) / col("n_total")).cast("long"))
         .orderBy("lang", "source")
+    }),
+
+    // -- IMPORTANCE-weighted sampling (the quality-aware downsampling
+    //    step between filtering and mixing: keep MORE of the better
+    //    docs instead of a flat rate). Each doc gets a quality tier
+    //    q = 1 + min(3, n_tok DIV 40) ∈ [1,4] (token count as the cheap
+    //    stand-in for a quality score — any integer signal slots in) and
+    //    an acceptance rate q/8, decided content-addressed: keep iff the
+    //    doc's 3-hex md5 prefix (0..4095) < q·512. Deterministic under
+    //    re-partitioning / re-ingest / cluster resize — the property
+    //    rand()-weighted sampling lacks — and exact-integer end-to-end.
+    //    Scale shape: ONE stateless corpus pass (hash + compare in the
+    //    scan stage, no joins, no shuffle before the final ordering);
+    //    per-tier accounting partial-aggregates to 4 rows.
+    "sample_importance" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          size(DedupQueries.tokens(col("text"))).cast("long").as("n_tok"),
+          conv(substring(md5(DedupQueries.norm(col("text"))), 1, 3), 16, 10)
+            .cast("long").as("hv"))
+        .withColumn("q", lit(1L) + least(lit(3L), expr("n_tok DIV 40")))
+        .filter(col("hv") < col("q") * 512L)
+        .select("doc_id", "n_tok", "q", "hv")
+        .orderBy("doc_id")
     }),
 
     // -- domain-mix rebalancing (the data-mixing step of a pre-training
@@ -773,9 +833,116 @@ object CurationQueries {
             .when(col("level") === 1L, col("l1")).otherwise(lit(0L))
             .as("class_langs"))
         .orderBy("doc_id")
+    }),
+
+    // -- t-closeness audit (the third rung of the anonymity ladder:
+    //    a class can be large AND diverse yet still leak if its
+    //    sensitive-attribute DISTRIBUTION deviates from the corpus).
+    //    Quasi-identifier = source; sensitive attribute = the ORDERED
+    //    128-char length bucket; distance = the 1-D earth-mover's
+    //    distance EMD(P_src, P_corpus) = Σ_b |cum(P_src − P_corpus)|
+    //    / (B−1). Distributions are quantized to exact ppm shares
+    //    (1e6·c DIV n) BEFORE differencing, so every intermediate is a
+    //    bounded integer (|cum diff| ≤ B·1e6 ≈ 4e7 at ANY corpus size —
+    //    no cross-multiplied n·N product to overflow) and both engines
+    //    agree bit-for-bit. Scale shape: one narrow pass → (source,
+    //    bucket) counts; the dense source×bucket grid, the cumsum
+    //    window, and the EMD sum all run on a metadata-sized relation
+    //    (|sources|·|buckets| rows) — the corpus never shuffles twice.
+    "anon_tcloseness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = 60000L // t·1e6: flag sources farther than 0.06 from corpus
+      val docs = documents(s, d)
+        .select(col("source"), expr("n_chars div 128").as("bkt"))
+      val cnt = docs.groupBy("source", "bkt").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("source").agg(sum(col("c")).as("n"))
+      val glob = docs.groupBy("bkt").agg(count(lit(1)).as("g"))
+      val nAll = docs.agg(count(lit(1)).as("nn"), countDistinct(col("bkt")).as("nb"))
+      // dense grid: every source × every global bucket (zero-filled), so
+      // cumulative shares line up even where a source has no docs in a
+      // bucket — metadata-sized (|sources| × |buckets|)
+      val grid = tot.select(col("source"), col("n"))
+        .crossJoin(glob)
+        .join(cnt, Seq("source", "bkt"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(nAll))
+        .select(col("source"), col("bkt"), col("n"), col("nb"),
+          (expr("(1000000 * c) DIV n") - expr("(1000000 * g) DIV nn"))
+            .as("dppm"))
+      val w = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      grid.withColumn("cum", sum(col("dppm")).over(w))
+        .groupBy(col("source"), col("n"), col("nb"))
+        .agg(sum(abs(col("cum"))).as("emd_sum"))
+        .select(col("source"), col("n"),
+          expr("emd_sum DIV (nb - 1)").as("emd_ppm"),
+          (expr("emd_sum DIV (nb - 1)") <= t).cast("long").as("t_close"))
+        .orderBy("source")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "quality_lm_bigram" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS w
+           FROM documents),
+         b AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM w, unnest(range(1, len(w))) AS t(i)),
+         c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1
+           FROM c2 GROUP BY 1),
+         sc AS (SELECT b.doc_id, (1000000 * c2.c2) // c1.c1 AS ppm
+           FROM b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+           JOIN c1 ON c1.w1 = b.w1),
+         a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(ppm) AS BIGINT) AS sum_ppm
+           FROM sc GROUP BY 1)
+         SELECT doc_id, n_bigrams,
+           CAST(sum_ppm // n_bigrams AS BIGINT) AS avg_cond_ppm,
+           CAST(CASE WHEN sum_ppm // n_bigrams >= 34500 THEN 1 ELSE 0 END
+             AS BIGINT) AS keep
+         FROM a ORDER BY doc_id""",
+    "sample_importance" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(regexp_replace(lower(trim(text)),
+               '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok,
+             CAST((strpos('0123456789abcdef', substr(md5(regexp_replace(
+                 lower(trim(text)), '\s+', ' ', 'g')), 1, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(regexp_replace(
+                 lower(trim(text)), '\s+', ' ', 'g')), 2, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(regexp_replace(
+                 lower(trim(text)), '\s+', ' ', 'g')), 3, 1)) - 1)
+               AS BIGINT) AS hv
+           FROM documents),
+         q AS (SELECT doc_id, n_tok, hv,
+             CAST(1 + LEAST(3, n_tok // 40) AS BIGINT) AS q FROM d)
+         SELECT doc_id, n_tok, q, hv FROM q
+         WHERE hv < q * 512 ORDER BY doc_id""",
+    "anon_tcloseness" ->
+      """WITH d AS (SELECT source, n_chars // 128 AS bkt FROM documents),
+         cnt AS (SELECT source, bkt, CAST(COUNT(*) AS BIGINT) AS c
+           FROM d GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+           FROM cnt GROUP BY 1),
+         gb AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS g
+           FROM d GROUP BY 1),
+         nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(COUNT(DISTINCT bkt) AS BIGINT) AS nb FROM d),
+         grid AS (SELECT t.source, gl.bkt, t.n, na.nb,
+             (1000000 * COALESCE(c.c, 0)) // t.n
+               - (1000000 * gl.g) // na.nn AS dppm
+           FROM tot t CROSS JOIN gb gl
+           LEFT JOIN cnt c ON c.source = t.source AND c.bkt = gl.bkt
+           CROSS JOIN nall na),
+         cum AS (SELECT source, n, nb,
+             SUM(dppm) OVER (PARTITION BY source ORDER BY bkt) AS cum
+           FROM grid),
+         e AS (SELECT source, n, nb, CAST(SUM(ABS(cum)) AS BIGINT) AS emd_sum
+           FROM cum GROUP BY 1, 2, 3)
+         SELECT source, n, CAST(emd_sum // (nb - 1) AS BIGINT) AS emd_ppm,
+           CAST(CASE WHEN emd_sum // (nb - 1) <= 60000 THEN 1 ELSE 0 END
+             AS BIGINT) AS t_close
+         FROM e ORDER BY source""",
     "anon_ldiversity" ->
       """WITH d AS (SELECT doc_id, lang, source,
            n_chars // 128 AS b128, n_chars // 512 AS b512 FROM documents),

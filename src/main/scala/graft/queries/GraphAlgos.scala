@@ -686,6 +686,76 @@ object GraphAlgos {
         .agg(sum(col("ne")).as("n_edges"), sum(col("tri")).as("triangles"))
     }),
 
+    // -- k-TRUSS peeling (k = 10) on the co-purchase graph: two rounds of
+    //    "drop every edge supporting fewer than k−2 = 8 triangles", then
+    //    the support histogram of the survivors — the cohesion ladder one
+    //    rung above graph_kcore (a k-truss edge needs k−2 TRIANGLES, not
+    //    just k−2 neighbors, so trusses isolate genuinely dense cores).
+    //    Support per round comes from the compact-forward orientation
+    //    (graph_triangles' trick): each triangle is found ONCE at its base
+    //    oriented edge as an in-row sorted-array intersection — never a
+    //    materialized wedge join — then explodes to its 3 canonical edges
+    //    and counts per edge. Per-round cost is one triangle pass: the
+    //    explode is triangle-count-sized (3 rows per triangle), the
+    //    support count partial-aggregates on (u,v), and hub fan-out stays
+    //    bounded by the orientation's ~sqrt(m) out-degree cap. Rounds are
+    //    eagerly checkpointed with previous-generation frees (kcore
+    //    hygiene) so the plan stays flat. The fixed 2-round peel is a
+    //    deterministic operator in its own right (both engines run the
+    //    same rounds; full decomposition = run to fixpoint at 100 TB,
+    //    same per-round shape). Orientation-invariance of support lets
+    //    the oracle use the simpler symmetric wedge join.
+    "graph_truss" -> ((s, d) => {
+      val km2 = 8L
+      def supportOf(edges: DataFrame): DataFrame = {
+        val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("dg"))
+        val dir = edges
+          .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")),
+              struct(col("u").as("s"), col("v").as("t")))
+              .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+          .select(col("e.s").as("s"), col("e.t").as("t"))
+        val adj = dir.groupBy(col("s"))
+          .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+        // inner join on t: an oriented edge whose head has no out-edges
+        // bases no triangle, so dropping it here loses nothing — the
+        // final left join below restores support-0 edges.
+        val tri = dir
+          .join(adj.select(col("s"), col("nbrs").as("na")), Seq("s"))
+          .join(adj.select(col("s").as("t"), col("nbrs").as("nb")), Seq("t"))
+          .select(col("s"), col("t"),
+            explode(array_intersect(col("na"), col("nb"))).as("w"))
+        val triEdges = tri.select(explode(array(
+            struct(col("s").as("p"), col("t").as("q")),
+            struct(least(col("s"), col("w")).as("p"),
+              greatest(col("s"), col("w")).as("q")),
+            struct(least(col("t"), col("w")).as("p"),
+              greatest(col("t"), col("w")).as("q")))).as("ed"))
+          .select(least(col("ed.p"), col("ed.q")).as("u"),
+            greatest(col("ed.p"), col("ed.q")).as("v"))
+        edges.join(
+          triEdges.groupBy("u", "v").agg(count(lit(1)).as("sup")),
+          Seq("u", "v"), "left")
+          .na.fill(0L, Seq("sup"))
+      }
+      var (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      for (_ <- 1 to 2) {
+        val (next, nIds) = checkpointWithIds(
+          supportOf(e).filter(col("sup") >= km2).select("u", "v"))
+        freeRdds(s, eIds)
+        e = next; eIds = nIds
+      }
+      // the last generation stays pinned until the caller's terminal
+      // action; Caches.sweep releases it before the next query builds
+      supportOf(e).groupBy(col("sup"))
+        .agg(count(lit(1)).as("n_edges"))
+        .orderBy("sup")
+    }),
+
     // -- neighbor-set Jaccard similarity per co-purchase edge — the graph
     //    twin of the dedup family's set-similarity operators: for each
     //    edge (u,v), |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over the undirected
@@ -1555,6 +1625,34 @@ object GraphAlgos {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "graph_truss" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         s0 AS (SELECT u AS a, v AS b FROM e0
+           UNION ALL SELECT v, u FROM e0),
+         p0 AS (SELECT e0.u, e0.v, COUNT(s2.b) AS sup
+           FROM e0 LEFT JOIN s0 s1 ON s1.a = e0.u
+           LEFT JOIN s0 s2 ON s2.a = e0.v AND s2.b = s1.b
+           GROUP BY e0.u, e0.v),
+         e1 AS MATERIALIZED (SELECT u, v FROM p0 WHERE sup >= 8),
+         s1 AS (SELECT u AS a, v AS b FROM e1
+           UNION ALL SELECT v, u FROM e1),
+         p1 AS (SELECT e1.u, e1.v, COUNT(s2.b) AS sup
+           FROM e1 LEFT JOIN s1 x1 ON x1.a = e1.u
+           LEFT JOIN s1 s2 ON s2.a = e1.v AND s2.b = x1.b
+           GROUP BY e1.u, e1.v),
+         e2 AS MATERIALIZED (SELECT u, v FROM p1 WHERE sup >= 8),
+         s2t AS (SELECT u AS a, v AS b FROM e2
+           UNION ALL SELECT v, u FROM e2),
+         p2 AS (SELECT e2.u, e2.v, COUNT(y2.b) AS sup
+           FROM e2 LEFT JOIN s2t y1 ON y1.a = e2.u
+           LEFT JOIN s2t y2 ON y2.a = e2.v AND y2.b = y1.b
+           GROUP BY e2.u, e2.v)
+         SELECT CAST(sup AS BIGINT) AS sup,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+         FROM p2 GROUP BY sup ORDER BY sup""",
     "graph_msf" ->
       s"""WITH we AS MATERIALIZED (
            SELECT u, v, w, w * 17592186044416 + u * 4194304 + v AS pk FROM (
