@@ -353,7 +353,87 @@ object ScaleOps {
           (col("min_p") <= 511 && col("max_p") >= 256 &&
             col("min_s") <= 47 && col("max_s") >= 32).cast("int"))
         .orderBy("file_id")
+    }),
+
+    // -- HILBERT-curve layout: the locality-tighter sibling of
+    //    layout_zorder (the Hilbert curve never takes the long diagonal
+    //    jumps a Morton curve does, so file bounding boxes are tighter
+    //    for the same file size — the reason Delta/Iceberg offer it as
+    //    the premium clustering option). Coordinates are the 8-bit
+    //    (l_partkey mod 256, l_suppkey mod 256) grid; the order-8 xy→d
+    //    walk is the classic 8-step reflect/rotate loop UNROLLED into
+    //    pure integer when-chains (bit tests, reflections, swaps — zero
+    //    UDFs, all codegen'd in the scan projection); the oracle runs
+    //    the identical 8 steps as chained CTEs. Layout + reporting shape
+    //    is exactly layout_zorder's: global sort by (h, tie-breaks) =
+    //    the layout operation (repartitionByRange + local sort at
+    //    scale), then per-1000-row-file bounding boxes + 2-D box
+    //    pruning survival.
+    "layout_hilbert" -> ((s, d) => {
+      import s.implicits._
+      def step(sv: Long, x: Column, y: Column, dd: Column)
+          : (Column, Column, Column) = {
+        val rx1 = x.bitwiseAND(lit(sv)) > 0
+        val ry = when(y.bitwiseAND(lit(sv)) > 0, lit(1L)).otherwise(lit(0L))
+        val d2 = dd + lit(sv * sv) * when(rx1, lit(3L) - ry).otherwise(ry)
+        val x2 = when(ry === 0L, when(rx1, lit(255L) - y).otherwise(y))
+          .otherwise(x)
+        val y2 = when(ry === 0L, when(rx1, lit(255L) - x).otherwise(x))
+          .otherwise(y)
+        (x2, y2, d2)
+      }
+      val base = lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey").cast("long") % 256).as("x"),
+        (col("l_suppkey").cast("long") % 256).as("y"))
+      // materialize each step as named columns: the per-step expressions
+      // reference the previous step's x/y twice, so inlining all 8 steps
+      // would double the tree per step (2^8 leaves) — projection
+      // boundaries keep the generated code linear in the step count
+      val walked = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex
+        .foldLeft(base.withColumn("x0", col("x")).withColumn("y0", col("y"))
+          .withColumn("d0", lit(0L))) { case (df, (sv, i)) =>
+          val (x2, y2, d2) =
+            step(sv, col(s"x$i"), col(s"y$i"), col(s"d$i"))
+          df.withColumn(s"x${i + 1}", x2).withColumn(s"y${i + 1}", y2)
+            .withColumn(s"d${i + 1}", d2)
+        }
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("x"), col("y"), col("d8").as("h"))
+      walked.orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+        .select(col("x"), col("y")).rdd.map(r => (r.getLong(0), r.getLong(1)))
+        .zipWithIndex()
+        .map { case ((x, y), rank) => (x, y, rank / 1000) }
+        .toDF("x", "y", "file_id")
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .withColumn("overlaps_box",
+          (col("min_x") <= 127 && col("max_x") >= 64 &&
+            col("min_y") <= 63 && col("max_y") >= 32).cast("int"))
+        .orderBy("file_id")
     }))
+
+  /** The 8 unrolled Hilbert xy→d steps as chained DuckDB CTEs — generated
+    * from the same per-step reflect/rotate formulas the Spark side runs,
+    * so the two engines walk the identical curve. */
+  private def hilbertSqlSteps: String =
+    Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex.map { case (sv, i) =>
+      val x = s"x$i"; val y = s"y$i"; val d = s"d$i"
+      s"""h${i + 1} AS (SELECT l_orderkey, l_linenumber, x, y,
+         $d + ${sv * sv} * (CASE WHEN ($x & $sv) > 0
+             THEN 3 - (CASE WHEN ($y & $sv) > 0 THEN 1 ELSE 0 END)
+             ELSE (CASE WHEN ($y & $sv) > 0 THEN 1 ELSE 0 END) END)
+           AS d${i + 1},
+         CASE WHEN ($y & $sv) = 0 THEN
+           CASE WHEN ($x & $sv) > 0 THEN 255 - $y ELSE $y END
+           ELSE $x END AS x${i + 1},
+         CASE WHEN ($y & $sv) = 0 THEN
+           CASE WHEN ($x & $sv) > 0 THEN 255 - $x ELSE $x END
+           ELSE $y END AS y${i + 1}
+       FROM h$i)"""
+    }.mkString(",\n         ")
 
   private val FNV_SQL_KEY =
     """list_reduce(
@@ -363,6 +443,25 @@ object ScaleOps {
          (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616)"""
 
   val oracleSql: Map[String, String] = Map(
+    "layout_hilbert" ->
+      s"""WITH h0 AS (SELECT l_orderkey, l_linenumber,
+             CAST(l_partkey AS BIGINT) % 256 AS x,
+             CAST(l_suppkey AS BIGINT) % 256 AS y,
+             CAST(l_partkey AS BIGINT) % 256 AS x0,
+             CAST(l_suppkey AS BIGINT) % 256 AS y0,
+             CAST(0 AS BIGINT) AS d0
+           FROM lineitem),
+         $hilbertSqlSteps,
+         f AS (SELECT x, y,
+             CAST(FLOOR((row_number() OVER (ORDER BY d8, l_orderkey,
+               l_linenumber) - 1) / 1000) AS BIGINT) AS file_id
+           FROM h8)
+         SELECT file_id, COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y,
+           CAST(MIN(x) <= 127 AND MAX(x) >= 64
+             AND MIN(y) <= 63 AND MAX(y) >= 32 AS INTEGER) AS overlaps_box
+         FROM f GROUP BY 1 ORDER BY 1""",
     "layout_compaction" ->
       """WITH p AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
              COUNT(*) AS n_rows

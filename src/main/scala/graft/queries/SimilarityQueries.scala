@@ -239,6 +239,107 @@ object SimilarityQueries {
       lloydTwoSteps(e, k = 8).orderBy("vec_id")
     }),
 
+    // -- PRODUCT-QUANTIZATION ANN (the memory-bounded scale path one rung
+    //    past int8: FAISS's IVFPQ building block). The 64-dim quantized
+    //    vector splits into m = 4 subspaces of 16 dims; each subspace
+    //    trains its own k = 8 codebook (one exact integer Lloyd step —
+    //    init = the 8 lowest vec_ids, update = dimwise SUM DIV COUNT,
+    //    the cluster_kmeans arithmetic per subspace) and every corpus
+    //    vector compresses to 4 small codes — at 100 TB the searchable
+    //    index is 4 bytes/vector instead of 256, the entire point of PQ.
+    //    Probes (vec_id < 4) search by ASYMMETRIC distance (ADC):
+    //    dist(q, x) = Σ_j ‖sub_j(q) − C_j[code_j(x)]‖², exact BIGINT, so
+    //    the "approximate" ranking is a deterministic function of the
+    //    data — hash-gated, not rows-only. Plan shape: codebooks and
+    //    probes are BOUNDED driver scalars (4×8×16 ints, 4×64 ints —
+    //    same argument as lloydTwoSteps' centroids), so training
+    //    assignment, encoding, and the ADC scan are each ONE map-only
+    //    codegen'd projection over the corpus (per-probe lookup tables
+    //    fold into literal when-chains — Σ_j 8 precomputed integers);
+    //    the only aggregations are the k·m·16-row codebook update and
+    //    the final per-probe top-5.
+    "sim_pq_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = 4; val sd = 16; val k = 8
+      def dotL(a: Column, b: Column): Column =
+        Exprs.toColumn(graft.functions.VecDotLong(
+          Exprs.toExpr(a), Exprs.toExpr(b)))
+      val e = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000d)).cast("long") + lit(1000L))
+          .as("xs"))
+      val subs = e.select(col("vec_id") +:
+        (0 until m).map(j => slice(col("xs"), j * sd + 1, sd).as(s"s$j")): _*)
+      // argmin code over a literal codebook: ‖x−c‖² = x·x − 2x·c + c·c,
+      // x·x hoisted once per subspace, ties to the LOWEST cid (when-chain
+      // in ascending cid order — the same total order as the oracle's
+      // ROW_NUMBER OVER (ORDER BY d, cid)).
+      def withCodes(df: DataFrame, cbs: Seq[Seq[(Long, Seq[Long])]],
+          out: Int => String): DataFrame =
+        (0 until m).foldLeft(df) { (acc, j) =>
+          val xx = dotL(col(s"s$j"), col(s"s$j"))
+          val ds = cbs(j).map { case (cid, cs) =>
+            val cc = cs.map(x => x * x).sum
+            cid -> (xx - lit(2L) * dotL(col(s"s$j"), typedLit(cs)) + lit(cc))
+          }
+          val dmin = least(ds.map(_._2): _*)
+          val code = ds.foldRight(lit(-1L)) { case ((cid, dc), rest) =>
+            when(dc === dmin, lit(cid)).otherwise(rest)
+          }
+          acc.withColumn(out(j), code)
+        }
+      def l2(a: Seq[Long], b: Seq[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      // bounded driver scalars: k init rows, then k×m×16 codebook ints
+      val init = subs.filter(col("vec_id") < k).collect()
+        .map(r => r.getLong(0) ->
+          (0 until m).map(j => r.getSeq[Long](j + 1).toSeq))
+        .sortBy(_._1).toSeq
+      val c0 = (0 until m).map(j => init.map { case (cid, ss) => cid -> ss(j) })
+      val a1 = withCodes(subs, c0, j => s"c$j")
+      val upd = a1.select(col("vec_id") +:
+          (0 until m).map(j => col(s"s$j")) :+
+          explode(array((0 until m).map(j =>
+            struct(lit(j).as("j"), col(s"c$j").as("code"))): _*)).as("jc"): _*)
+        .select(col("jc.j").as("j"), col("jc.code").as("code"),
+          posexplode((0 until m).foldRight(lit(null).cast("array<bigint>")) {
+            case (j, rest) => when(col("jc.j") === j, col(s"s$j")).otherwise(rest)
+          }).as(Seq("dim", "qd")))
+        .groupBy(col("j"), col("code"), col("dim"))
+        .agg(expr("sum(qd) div count(1)").as("cd"))
+        .groupBy(col("j"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
+          x => x.getField("cd")).as("cs"))
+        .collect()
+      val cb = (0 until m).map(j => upd.filter(_.getInt(0) == j)
+        .map(r => r.getLong(1) -> r.getSeq[Long](2).toSeq).sortBy(_._1).toSeq)
+      val encoded = withCodes(subs, cb, j => s"c$j")
+      // probes are 4 rows — a bounded scalar; each probe's ADC becomes a
+      // literal lookup table over the 8 codes per subspace
+      val probes = subs.filter(col("vec_id") < 4).collect()
+        .map(r => r.getLong(0) ->
+          (0 until m).map(j => r.getSeq[Long](j + 1).toSeq))
+        .sortBy(_._1).toSeq
+      val probeCols = probes.map { case (qid, qs) =>
+        val adc = (0 until m).map { j =>
+          cb(j).foldRight(lit(0L)) { case ((cid, cs), rest) =>
+            when(col(s"c$j") === cid, lit(l2(qs(j), cs))).otherwise(rest)
+          }
+        }.reduce(_ + _)
+        struct(lit(qid).as("qid"), adc.as("adc"))
+      }
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+      encoded.select(col("vec_id"),
+          explode(array(probeCols: _*)).as("p"))
+        .select(col("p.qid").as("qid"), col("vec_id"), col("p.adc").as("adc"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("vec_id"), col("adc"))
+        .orderBy("qid", "rnk")
+    }),
+
     // -- exact top-10 cosine neighbors for probe vectors vec_id < 4.
     "sim_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -418,6 +519,58 @@ object SimilarityQueries {
   }.mkString("\n         + ")
 
   val oracleSql: Map[String, String] = Map(
+    "sim_pq_topk" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000) AS BIGINT) + 1000) AS xs
+           FROM embeddings),
+         sub AS MATERIALIZED (SELECT vec_id, j, xs[16*j+1 : 16*j+16] AS sv
+           FROM e, unnest([0, 1, 2, 3]) AS t(j)),
+         c0 AS (SELECT vec_id AS cid, j, sv AS cs FROM sub WHERE vec_id < 8),
+         d1 AS (SELECT s.vec_id, s.j, c.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 17),
+                 i -> (s.sv[i] - c.cs[i]) * (s.sv[i] - c.cs[i]))),
+               (a, x) -> a + x) AS d
+           FROM sub s JOIN c0 c ON c.j = s.j),
+         a1 AS MATERIALIZED (SELECT vec_id, j, cid FROM (
+             SELECT vec_id, j, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid)
+                 AS rnk
+             FROM d1) WHERE rnk = 1),
+         upd AS (SELECT a1.j, a1.cid, t.i AS dim,
+             CAST(SUM(s.sv[t.i]) // COUNT(*) AS BIGINT) AS cd
+           FROM a1 JOIN sub s ON s.vec_id = a1.vec_id AND s.j = a1.j,
+             unnest(range(1, 17)) AS t(i)
+           GROUP BY 1, 2, 3),
+         cb AS MATERIALIZED (SELECT j, cid, list(cd ORDER BY dim) AS cs
+           FROM upd GROUP BY 1, 2),
+         d2 AS (SELECT s.vec_id, s.j, c.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 17),
+                 i -> (s.sv[i] - c.cs[i]) * (s.sv[i] - c.cs[i]))),
+               (a, x) -> a + x) AS d
+           FROM sub s JOIN cb c ON c.j = s.j),
+         codes AS MATERIALIZED (SELECT vec_id, j, cid AS code FROM (
+             SELECT vec_id, j, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid)
+                 AS rnk
+             FROM d2) WHERE rnk = 1),
+         probes AS (SELECT vec_id AS qid, j, sv AS qv
+           FROM sub WHERE vec_id < 4),
+         adc AS (SELECT p.qid, c.vec_id,
+             CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 17),
+                 i -> (p.qv[i] - cb.cs[i]) * (p.qv[i] - cb.cs[i]))),
+               (a, x) -> a + x)) AS BIGINT) AS adc
+           FROM codes c JOIN cb ON cb.j = c.j AND cb.cid = c.code
+           JOIN probes p ON p.j = c.j
+           GROUP BY 1, 2),
+         r AS (SELECT qid, vec_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+           FROM adc WHERE vec_id <> qid)
+         SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     "cluster_kmeans" ->
       """WITH e AS MATERIALIZED (SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),

