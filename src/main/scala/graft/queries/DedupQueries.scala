@@ -293,6 +293,51 @@ object DedupQueries {
         .orderBy("canonical_id")
     }),
 
+    // -- URL canonicalization dedup (the first dedup a WEB CRAWL runs —
+    //    the reference's own domain: the same page arrives as
+    //    http://host/p, HTTP://WWW.HOST:80/p#frag, host/p/?utm_…, and a
+    //    crawler must collapse them BEFORE any content comparison).
+    //    Rules, applied in order: strip the #fragment; strip utm_*
+    //    tracking params (re-promoting the first survivor to '?');
+    //    lowercase scheme://authority; drop the default :80 port and the
+    //    www. prefix; drop the trailing slash. The URL variants are
+    //    synthesized deterministically from doc_id (test plumbing, like
+    //    the multimodal stubs — 3 casing/port/param variants per target
+    //    page); the OPERATOR is the canonicalize→group pipeline, which
+    //    at 100 TB is one stateless codegen'd projection (five regex
+    //    rewrites in the scan stage) + one hash-partitioned groupBy on
+    //    the canonical key — no text ever moves, exactly dedup_exact's
+    //    shape with the canonicalizer in front.
+    "dedup_url" -> ((s, d) => {
+      val tgt = expr("doc_id div 3")
+      val hk = concat(lit("src"), (tgt % 20).cast("string"))
+      val idp = (tgt % 7).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("http://"), hk, lit(".example.com/d/"),
+            tgt.cast("string"), lit("?id="), idp))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("HTTP://WWW."), upper(hk), lit(".EXAMPLE.COM:80/d/"),
+            tgt.cast("string"), lit("?utm_campaign=x&id="), idp, lit("#top")))
+        .otherwise(
+          concat(lit("http://"), hk, lit(".example.com:80/d/"),
+            tgt.cast("string"), lit("/?id="), idp, lit("&utm_source=y")))
+      val noFrag = regexp_replace(url, "#.*$", "")
+      val noUtm = regexp_replace(noFrag, "[?&]utm_[a-z]+=[^&]*", "")
+      val fixedQ = regexp_replace(noUtm, "^([^?]*)&", "$1?")
+      val head = regexp_replace(
+        regexp_replace(lower(col("_hd")), "://www\\.", "://"), ":80$", "")
+      val rest = regexp_replace(
+        regexp_replace(expr("substring(_fq, length(_hd) + 1)"),
+          "/\\?", "?"), "/$", "")
+      documents(s, d)
+        .select(col("doc_id"), fixedQ.as("_fq"))
+        .withColumn("_hd", regexp_extract(col("_fq"), "^([a-zA-Z]+://[^/?#]+)", 1))
+        .select(col("doc_id"), concat(head, rest).as("curl"))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_doc"))
+        .orderBy("curl")
+    }),
+
     // -- exact n-gram Jaccard via rare-shingle inverted index: candidates
     //    share >= 1 shingle with df <= 50. The posting self-join COUNTS
     //    shared rare shingles per pair (one hash agg — never an
@@ -763,6 +808,46 @@ object DedupQueries {
      GROUP BY n.doc_id ORDER BY n.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_url" ->
+      """WITH raw AS (SELECT doc_id,
+             doc_id // 3 AS tgt,
+             doc_id % 3 AS v,
+             'src' || CAST((doc_id // 3) % 20 AS VARCHAR) AS hk,
+             CAST((doc_id // 3) % 7 AS VARCHAR) AS idp
+           FROM documents),
+         urls AS (SELECT doc_id,
+             CASE v
+               WHEN 0 THEN 'http://' || hk || '.example.com/d/'
+                 || CAST(tgt AS VARCHAR) || '?id=' || idp
+               WHEN 1 THEN 'HTTP://WWW.' || upper(hk) || '.EXAMPLE.COM:80/d/'
+                 || CAST(tgt AS VARCHAR) || '?utm_campaign=x&id=' || idp
+                 || '#top'
+               ELSE 'http://' || hk || '.example.com:80/d/'
+                 || CAST(tgt AS VARCHAR) || '/?id=' || idp || '&utm_source=y'
+             END AS url
+           FROM raw),
+         c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u
+           FROM urls),
+         c2 AS (SELECT doc_id,
+             regexp_replace(u, '[?&]utm_[a-z]+=[^&]*', '', 'g') AS u
+           FROM c1),
+         c3 AS (SELECT doc_id, regexp_replace(u, '^([^?]*)&', '\1?') AS u
+           FROM c2),
+         c4 AS (SELECT doc_id,
+             lower(regexp_extract(u, '^([a-zA-Z]+://[^/?#]+)', 1)) AS head,
+             substr(u, length(regexp_extract(u, '^([a-zA-Z]+://[^/?#]+)', 1))
+               + 1) AS rest
+           FROM c3),
+         c5 AS (SELECT doc_id,
+             regexp_replace(regexp_replace(head, '://www\.', '://'),
+               ':80$', '') AS head,
+             regexp_replace(regexp_replace(rest, '/\?', '?'), '/$', '')
+               AS rest
+           FROM c4),
+         canon AS (SELECT doc_id, head || rest AS curl FROM c5)
+         SELECT curl, CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS canonical_doc
+         FROM canon GROUP BY curl ORDER BY curl""",
     "dedup_incremental" -> incrementalOracle,
     "dedup_minhash" -> jaccardOracle,
     "dedup_clusters" -> clustersOracle,

@@ -131,6 +131,29 @@ object SimilarityQueries {
       .select(col("vec_id"), col("c1"), col("c2"), col("dist2").as("d2"))
   }
 
+  /** Per-cell mean centroids with norms — (cell, cv, cn); cells = labels
+    * (the stand-in for a trained coarse quantizer in this environment). */
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    e.select(col("label").as("cell"), posexplode(col("v")))
+      .groupBy("cell", "pos").agg(avg(col("col")).as("c"))
+      .groupBy("cell").agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+
+  /** The `n` nearest cells per vector by centroid cosine (ties to the
+    * lower cell id). Centroids broadcast — nlist ≪ corpus always. */
+  private def nearestCells(df: DataFrame, centroids: DataFrame,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= n)
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
     * cells (centroids = per-label mean vectors — the stand-in for k-means
     * in this environment), then each probe searches only its `nprobe`
@@ -143,24 +166,13 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")))
-    val centroids = e.select(col("label").as("cell"), posexplode(col("v")))
-      .groupBy("cell", "pos").agg(avg(col("col")).as("c"))
-      .groupBy("cell").agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("cv"))
-      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-    def nearestCells(df: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cell"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= n)
-    }
-    val corpus = nearestCells(e.select(col("vec_id"), col("v"), col("nrm")), 1)
+    val centroids = ivfCentroids(e)
+    val corpus = nearestCells(
+      e.select(col("vec_id"), col("v"), col("nrm")), centroids, 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val probes = nearestCells(
-      e.filter(col("vec_id") < 4).select(col("vec_id"), col("v"), col("nrm")), nprobe)
+      e.filter(col("vec_id") < 4).select(col("vec_id"), col("v"), col("nrm")),
+      centroids, nprobe)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
@@ -173,6 +185,93 @@ object SimilarityQueries {
         col("cell"), floor(col("sim") * 1000000).cast("long").as("sim_e6"))
       .orderBy("qid", "rnk")
   }
+
+
+  /** PQ training + corpus encoding shared by sim_pq_topk and
+    * sim_ann_ivfpq: m = 4 subspaces of 16 dims, k = 8 codes per subspace,
+    * one exact integer Lloyd step per subspace (init = the 8 lowest
+    * vec_ids, update = dimwise SUM DIV COUNT — cluster_kmeans' arithmetic
+    * applied subspace-wise). Returns (encoded corpus [vec_id, s0..s3,
+    * c0..c3], codebooks cb(j) = cid-ascending (cid, 16 dims), and the
+    * probe subvectors for vec_id < 4). Codebooks and probes are BOUNDED
+    * driver scalars (4×8×16 and 4×4×16 ints — the lloydTwoSteps
+    * argument), so training assignment and encoding are each ONE
+    * map-only codegen'd projection over the corpus; the only shuffle is
+    * the k·m·16-row codebook update. */
+  private[queries] def pqTrainEncode(s: SparkSession, d: String)
+      : (DataFrame, IndexedSeq[Seq[(Long, Seq[Long])]],
+         Seq[(Long, IndexedSeq[Seq[Long]])]) = {
+    val m = 4; val sd = 16; val k = 8
+    def dotL(a: Column, b: Column): Column =
+      Exprs.toColumn(graft.functions.VecDotLong(
+        Exprs.toExpr(a), Exprs.toExpr(b)))
+    val e = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000d)).cast("long") + lit(1000L))
+        .as("xs"))
+    val subs = e.select(col("vec_id") +:
+      (0 until m).map(j => slice(col("xs"), j * sd + 1, sd).as(s"s$j")): _*)
+    // argmin code over a literal codebook: ‖x−c‖² = x·x − 2x·c + c·c,
+    // x·x hoisted once per subspace, ties to the LOWEST cid (when-chain
+    // in ascending cid order — the same total order as the oracle's
+    // ROW_NUMBER OVER (ORDER BY d, cid)).
+    def withCodes(df: DataFrame, cbs: Seq[Seq[(Long, Seq[Long])]]): DataFrame =
+      (0 until m).foldLeft(df) { (acc, j) =>
+        val xx = dotL(col(s"s$j"), col(s"s$j"))
+        val ds = cbs(j).map { case (cid, cs) =>
+          val cc = cs.map(x => x * x).sum
+          cid -> (xx - lit(2L) * dotL(col(s"s$j"), typedLit(cs)) + lit(cc))
+        }
+        val dmin = least(ds.map(_._2): _*)
+        val code = ds.foldRight(lit(-1L)) { case ((cid, dc), rest) =>
+          when(dc === dmin, lit(cid)).otherwise(rest)
+        }
+        acc.withColumn(s"c$j", code)
+      }
+    // bounded driver scalars: k init rows, then k×m×16 codebook ints
+    val init = subs.filter(col("vec_id") < k).collect()
+      .map(r => r.getLong(0) ->
+        (0 until m).map(j => r.getSeq[Long](j + 1).toSeq))
+      .sortBy(_._1).toSeq
+    val c0 = (0 until m).map(j => init.map { case (cid, ss) => cid -> ss(j) })
+    val a1 = withCodes(subs, c0)
+    val upd = a1.select(col("vec_id") +:
+        (0 until m).map(j => col(s"s$j")) :+
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), col(s"c$j").as("code"))): _*)).as("jc"): _*)
+      .select(col("jc.j").as("j"), col("jc.code").as("code"),
+        posexplode((0 until m).foldRight(lit(null).cast("array<bigint>")) {
+          case (j, rest) => when(col("jc.j") === j, col(s"s$j")).otherwise(rest)
+        }).as(Seq("dim", "qd")))
+      .groupBy(col("j"), col("code"), col("dim"))
+      .agg(expr("sum(qd) div count(1)").as("cd"))
+      .groupBy(col("j"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
+        x => x.getField("cd")).as("cs"))
+      .collect()
+    val cb = (0 until m).map(j => upd.filter(_.getInt(0) == j)
+      .map(r => r.getLong(1) -> r.getSeq[Long](2).toSeq).sortBy(_._1).toSeq)
+    val probes = subs.filter(col("vec_id") < 4).collect()
+      .map(r => r.getLong(0) ->
+        (0 until m).map(j => r.getSeq[Long](j + 1).toSeq))
+      .sortBy(_._1).toSeq
+    (withCodes(subs, cb), cb, probes)
+  }
+
+  /** Exact integer L2² between two driver-side subvectors. */
+  private def l2sq(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** One probe's ADC distance Σ_j ‖sub_j(q) − C_j[c_j]‖² as a literal
+    * lookup-table when-chain over the code columns c0..c3 — 4×8
+    * precomputed integers, zero per-row arithmetic beyond the chain. */
+  private def adcFor(cb: IndexedSeq[Seq[(Long, Seq[Long])]],
+      qs: IndexedSeq[Seq[Long]]): Column =
+    cb.indices.map { j =>
+      cb(j).foldRight(lit(0L)) { case ((cid, cs), rest) =>
+        when(col(s"c$j") === cid, lit(l2sq(qs(j), cs))).otherwise(rest)
+      }
+    }.reduce(_ + _)
 
   val queries: Map[String, Q] = Map(
     // -- IVF ANN with nprobe=2 of 10 cells (approximate by design ->
@@ -260,73 +359,9 @@ object SimilarityQueries {
     //    the final per-probe top-5.
     "sim_pq_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val m = 4; val sd = 16; val k = 8
-      def dotL(a: Column, b: Column): Column =
-        Exprs.toColumn(graft.functions.VecDotLong(
-          Exprs.toExpr(a), Exprs.toExpr(b)))
-      val e = embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000d)).cast("long") + lit(1000L))
-          .as("xs"))
-      val subs = e.select(col("vec_id") +:
-        (0 until m).map(j => slice(col("xs"), j * sd + 1, sd).as(s"s$j")): _*)
-      // argmin code over a literal codebook: ‖x−c‖² = x·x − 2x·c + c·c,
-      // x·x hoisted once per subspace, ties to the LOWEST cid (when-chain
-      // in ascending cid order — the same total order as the oracle's
-      // ROW_NUMBER OVER (ORDER BY d, cid)).
-      def withCodes(df: DataFrame, cbs: Seq[Seq[(Long, Seq[Long])]],
-          out: Int => String): DataFrame =
-        (0 until m).foldLeft(df) { (acc, j) =>
-          val xx = dotL(col(s"s$j"), col(s"s$j"))
-          val ds = cbs(j).map { case (cid, cs) =>
-            val cc = cs.map(x => x * x).sum
-            cid -> (xx - lit(2L) * dotL(col(s"s$j"), typedLit(cs)) + lit(cc))
-          }
-          val dmin = least(ds.map(_._2): _*)
-          val code = ds.foldRight(lit(-1L)) { case ((cid, dc), rest) =>
-            when(dc === dmin, lit(cid)).otherwise(rest)
-          }
-          acc.withColumn(out(j), code)
-        }
-      def l2(a: Seq[Long], b: Seq[Long]): Long =
-        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-      // bounded driver scalars: k init rows, then k×m×16 codebook ints
-      val init = subs.filter(col("vec_id") < k).collect()
-        .map(r => r.getLong(0) ->
-          (0 until m).map(j => r.getSeq[Long](j + 1).toSeq))
-        .sortBy(_._1).toSeq
-      val c0 = (0 until m).map(j => init.map { case (cid, ss) => cid -> ss(j) })
-      val a1 = withCodes(subs, c0, j => s"c$j")
-      val upd = a1.select(col("vec_id") +:
-          (0 until m).map(j => col(s"s$j")) :+
-          explode(array((0 until m).map(j =>
-            struct(lit(j).as("j"), col(s"c$j").as("code"))): _*)).as("jc"): _*)
-        .select(col("jc.j").as("j"), col("jc.code").as("code"),
-          posexplode((0 until m).foldRight(lit(null).cast("array<bigint>")) {
-            case (j, rest) => when(col("jc.j") === j, col(s"s$j")).otherwise(rest)
-          }).as(Seq("dim", "qd")))
-        .groupBy(col("j"), col("code"), col("dim"))
-        .agg(expr("sum(qd) div count(1)").as("cd"))
-        .groupBy(col("j"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
-          x => x.getField("cd")).as("cs"))
-        .collect()
-      val cb = (0 until m).map(j => upd.filter(_.getInt(0) == j)
-        .map(r => r.getLong(1) -> r.getSeq[Long](2).toSeq).sortBy(_._1).toSeq)
-      val encoded = withCodes(subs, cb, j => s"c$j")
-      // probes are 4 rows — a bounded scalar; each probe's ADC becomes a
-      // literal lookup table over the 8 codes per subspace
-      val probes = subs.filter(col("vec_id") < 4).collect()
-        .map(r => r.getLong(0) ->
-          (0 until m).map(j => r.getSeq[Long](j + 1).toSeq))
-        .sortBy(_._1).toSeq
+      val (encoded, cb, probes) = pqTrainEncode(s, d)
       val probeCols = probes.map { case (qid, qs) =>
-        val adc = (0 until m).map { j =>
-          cb(j).foldRight(lit(0L)) { case ((cid, cs), rest) =>
-            when(col(s"c$j") === cid, lit(l2(qs(j), cs))).otherwise(rest)
-          }
-        }.reduce(_ + _)
-        struct(lit(qid).as("qid"), adc.as("adc"))
+        struct(lit(qid).as("qid"), adcFor(cb, qs).as("adc"))
       }
       val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
       encoded.select(col("vec_id"),
@@ -337,6 +372,48 @@ object SimilarityQueries {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk").cast("long").as("rnk"),
           col("vec_id"), col("adc"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // -- IVF + PQ (the FAISS IVFPQ production shape at 100 TB: the coarse
+    //    quantizer prunes the corpus to nprobe cells AND the searchable
+    //    index holds 4 small codes per vector instead of the raw 256
+    //    bytes — both memory and scan cost drop together). Cells and
+    //    probe-cell assignment are sim_ann_ivf's (per-label mean
+    //    centroids, nprobe = 2 of 10 by centroid cosine); candidate
+    //    ranking is sim_pq_topk's exact-integer ADC over the PQ codes, so
+    //    the ranking arithmetic is hash-gated even though the search is
+    //    approximate by design. Plan shape: the candidate set is the
+    //    cell-join of the encoded corpus with an 8-row broadcast probe
+    //    table; ADC is a literal lookup-table when-chain dispatched on
+    //    qid — the corpus streams once past the probe cells, no exact
+    //    re-rank pass, no row ever carries a raw vector.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorm(embeddings(s, d)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")))
+      val centroids = ivfCentroids(e)
+      val corpusCell = nearestCells(
+        e.select(col("vec_id"), col("v"), col("nrm")), centroids, 1)
+        .select(col("vec_id"), col("cell"))
+      val probeCell = nearestCells(
+        e.filter(col("vec_id") < 4).select(col("vec_id"), col("v"), col("nrm")),
+        centroids, 2)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val (encoded, cb, probes) = pqTrainEncode(s, d)
+      val adc = probes.foldRight(lit(-1L)) { case ((qid, qs), rest) =>
+        when(col("qid") === qid, adcFor(cb, qs)).otherwise(rest)
+      }
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+      encoded.select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+        .join(corpusCell, "vec_id")
+        .join(broadcast(probeCell), "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc", adc)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("vec_id"), col("cell"), col("adc"))
         .orderBy("qid", "rnk")
     }),
 
@@ -519,6 +596,89 @@ object SimilarityQueries {
   }.mkString("\n         + ")
 
   val oracleSql: Map[String, String] = Map(
+    "sim_ann_ivfpq" ->
+      """WITH en AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           FROM en),
+         cpos AS (SELECT label AS cell, i AS pos, AVG(v[i]) AS c
+           FROM n, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY label, i),
+         cent AS (SELECT cell, list(c ORDER BY pos) AS cv
+           FROM cpos GROUP BY cell),
+         centn AS (SELECT cell, cv,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cv, x -> x * x)), (acc, x) -> acc + x)) AS cn
+           FROM cent),
+         csim AS (SELECT n.vec_id, n.nrm, c.cell,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])),
+               (acc, x) -> acc + x) / (n.nrm * c.cn) AS cs
+           FROM n, centn c),
+         corpuscell AS (SELECT vec_id, cell FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cell) AS crnk
+            FROM csim) WHERE crnk <= 1),
+         probecell AS (SELECT vec_id AS qid, cell FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cell) AS crnk
+            FROM csim WHERE vec_id < 4) WHERE crnk <= 2),
+         e AS MATERIALIZED (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000) AS BIGINT) + 1000) AS xs
+           FROM embeddings),
+         sub AS MATERIALIZED (SELECT vec_id, j, xs[16*j+1 : 16*j+16] AS sv
+           FROM e, unnest([0, 1, 2, 3]) AS t(j)),
+         c0 AS (SELECT vec_id AS cid, j, sv AS cs FROM sub WHERE vec_id < 8),
+         d1 AS (SELECT s.vec_id, s.j, c.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 17),
+                 i -> (s.sv[i] - c.cs[i]) * (s.sv[i] - c.cs[i]))),
+               (a, x) -> a + x) AS d
+           FROM sub s JOIN c0 c ON c.j = s.j),
+         a1 AS MATERIALIZED (SELECT vec_id, j, cid FROM (
+             SELECT vec_id, j, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid)
+                 AS rnk
+             FROM d1) WHERE rnk = 1),
+         upd AS (SELECT a1.j, a1.cid, t.i AS dim,
+             CAST(SUM(s.sv[t.i]) // COUNT(*) AS BIGINT) AS cd
+           FROM a1 JOIN sub s ON s.vec_id = a1.vec_id AND s.j = a1.j,
+             unnest(range(1, 17)) AS t(i)
+           GROUP BY 1, 2, 3),
+         cb AS MATERIALIZED (SELECT j, cid, list(cd ORDER BY dim) AS cs
+           FROM upd GROUP BY 1, 2),
+         d2 AS (SELECT s.vec_id, s.j, c.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 17),
+                 i -> (s.sv[i] - c.cs[i]) * (s.sv[i] - c.cs[i]))),
+               (a, x) -> a + x) AS d
+           FROM sub s JOIN cb c ON c.j = s.j),
+         codes AS MATERIALIZED (SELECT vec_id, j, cid AS code FROM (
+             SELECT vec_id, j, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid)
+                 AS rnk
+             FROM d2) WHERE rnk = 1),
+         probesub AS (SELECT vec_id AS qid, j, sv AS qv
+           FROM sub WHERE vec_id < 4),
+         adc AS (SELECT p.qid, c.vec_id,
+             CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 17),
+                 i -> (p.qv[i] - cb.cs[i]) * (p.qv[i] - cb.cs[i]))),
+               (a, x) -> a + x)) AS BIGINT) AS adc
+           FROM codes c JOIN cb ON cb.j = c.j AND cb.cid = c.code
+           JOIN probesub p ON p.j = c.j
+           GROUP BY 1, 2),
+         cand AS (SELECT pc.qid, cc.vec_id, cc.cell, a.adc
+           FROM corpuscell cc JOIN probecell pc ON pc.cell = cc.cell
+           JOIN adc a ON a.qid = pc.qid AND a.vec_id = cc.vec_id
+           WHERE cc.vec_id <> pc.qid),
+         r AS (SELECT qid, vec_id, cell, adc,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+           FROM cand)
+         SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cell, adc
+         FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     "sim_pq_topk" ->
       """WITH e AS MATERIALIZED (SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),

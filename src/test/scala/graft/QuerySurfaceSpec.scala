@@ -411,4 +411,40 @@ class QuerySurfaceSpec extends AnyFunSuite {
       assert(r.getInt(6) == (if (expect) 1 else 0), s"overlap flag wrong: $r")
     }
   }
+
+  test("sim_ann_ivfpq: well-formed ranks, ADC consistent with the full PQ scan") {
+    val ivfpq = SparkEntry.queries("sim_ann_ivfpq")(spark, sf0001).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"ranks broken for $qid")
+      val adcs = rs.sortBy(_.getLong(1)).map(_.getLong(4)).toSeq
+      assert(adcs == adcs.sorted && adcs.forall(_ >= 0),
+        s"ADC not monotone for $qid")
+      assert(!rs.map(_.getLong(2)).contains(qid), "self in neighbor list")
+      assert(rs.map(r => r.getInt(3)).toSet.size <= 2,
+        s"results from more than nprobe=2 cells for $qid")
+    }
+    // same (qid, vec_id) must carry the same ADC distance in both PQ views
+    val pq = SparkEntry.queries("sim_pq_topk")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    ivfpq.foreach { r =>
+      pq.get((r.getLong(0), r.getLong(2))).foreach(a =>
+        assert(a == r.getLong(4), s"ADC differs between PQ views: $r"))
+    }
+  }
+
+  test("dedup_url: canonical urls carry no tracking/casing/port residue") {
+    val rows = SparkEntry.queries("dedup_url")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf0001).count(), "groups must partition docs")
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(u == u.toLowerCase, s"uncanonical casing survived: $u")
+      Seq("www.", ":80", "utm_", "#", "/?").foreach(bad =>
+        assert(!u.contains(bad), s"'$bad' survived canonicalization: $u"))
+      assert(r.getLong(1) >= 2, s"a variant group failed to collapse: $r")
+    }
+  }
 }
