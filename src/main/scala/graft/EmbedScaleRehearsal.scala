@@ -74,16 +74,42 @@ object EmbedScaleRehearsal {
         sum(when(col("c2") =!= col("vec_id") % 8, 1L).otherwise(0L)).as("m2"),
         sum(col("d2")).as("ssd")).head()
     }
+    // PQ phase: the SHARED pqTrainEncodeFrame production path (behind
+    // sim_pq_topk / sim_ann_ivfpq) over the same planted corpus. The
+    // planting is recoverable SUBSPACE-WISE too: within any 16-dim slice
+    // two clusters differ in ~8 dims ⇒ inter-center distance² ≈
+    // 8·(4000)² = 1.28e8 vs worst-case jitter² 16·200² = 6.4e5 (200×),
+    // and init ids 0..7 are one per true cluster — so every subspace
+    // codebook must recover the planting and EVERY vector's 4 codes must
+    // all equal vec_id mod 8. Encoding is the claim being timed: one
+    // map-only literal-codebook projection per corpus pass, the exact
+    // shape a 100 TB index build runs.
+    val (resPq, tPq) = timed {
+      val (encoded, _, _) =
+        graft.queries.SimilarityQueries.pqTrainEncodeFrame(vecs)
+      encoded.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c0") =!= col("vec_id") % 8 ||
+          col("c1") =!= col("vec_id") % 8 ||
+          col("c2") =!= col("vec_id") % 8 ||
+          col("c3") =!= col("vec_id") % 8, 1L).otherwise(0L)).as("mis"))
+        .head()
+    }
     vecs.unpersist(blocking = false)
     val (total, mis1, mis2, ssd) =
       (res.getLong(0), res.getLong(1), res.getLong(2), res.getLong(3))
-    val ok = total == nVec && mis1 == 0L && mis2 == 0L
+    val (pqTotal, pqMis) = (resPq.getLong(0), resPq.getLong(1))
+    val ok = total == nVec && mis1 == 0L && mis2 == 0L &&
+      pqTotal == nVec && pqMis == 0L
     def f(v: Double): String = f"$v%.2f"
     println(s"""{"vectors":$n,"dims":64,"k":8,""" +
       s""""lloyd2_sec":${f(tLloyd)},""" +
       s""""kvec_per_sec":${f(nVec / tLloyd / 1000.0)},""" +
       s""""mismatch_round1":$mis1,"mismatch_round2":$mis2,""" +
-      s""""sum_sq_dist":$ssd,"checks":$ok}""")
+      s""""sum_sq_dist":$ssd,""" +
+      s""""pq_sec":${f(tPq)},""" +
+      s""""pq_kvec_per_sec":${f(nVec / tPq / 1000.0)},""" +
+      s""""pq_code_mismatch":$pqMis,"checks":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

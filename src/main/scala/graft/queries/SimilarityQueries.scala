@@ -200,63 +200,90 @@ object SimilarityQueries {
     * the k·m·16-row codebook update. */
   private[queries] def pqTrainEncode(s: SparkSession, d: String)
       : (DataFrame, IndexedSeq[Seq[(Long, Seq[Long])]],
-         Seq[(Long, IndexedSeq[Seq[Long]])]) = {
-    val m = 4; val sd = 16; val k = 8
-    def dotL(a: Column, b: Column): Column =
-      Exprs.toColumn(graft.functions.VecDotLong(
-        Exprs.toExpr(a), Exprs.toExpr(b)))
-    val e = embeddings(s, d).select(col("vec_id"),
+         Seq[(Long, IndexedSeq[Seq[Long]])]) =
+    pqTrainEncodeFrame(embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1000d)).cast("long") + lit(1000L))
-        .as("xs"))
-    val subs = e.select(col("vec_id") +:
-      (0 until m).map(j => slice(col("xs"), j * sd + 1, sd).as(s"s$j")): _*)
-    // argmin code over a literal codebook: ‖x−c‖² = x·x − 2x·c + c·c,
-    // x·x hoisted once per subspace, ties to the LOWEST cid (when-chain
-    // in ascending cid order — the same total order as the oracle's
-    // ROW_NUMBER OVER (ORDER BY d, cid)).
+        .as("xs")))
+
+  /** [[pqTrainEncode]] over an arbitrary pre-quantized `(vec_id, xs)`
+    * frame — shared with [[graft.EmbedScaleRehearsal]] so the rehearsed
+    * PQ path IS the production path. */
+  private[graft] def pqTrainEncodeFrame(e: DataFrame)
+      : (DataFrame, IndexedSeq[Seq[(Long, Seq[Long])]],
+         Seq[(Long, IndexedSeq[Seq[Long]])]) = {
+    val m = 4; val sd = 16; val k = 8
+    val dbg = sys.props.get("graft.debug").contains("1")
+    val t0 = System.nanoTime()
+    def mark(phase: String): Unit = if (dbg)
+      println(f"[pq] $phase @${(System.nanoTime() - t0) / 1e9}%.2fs")
+    // the entire 4-subspace argmin is ONE native expression (PqEncode)
+    // whose codebooks enter the generated code as REFERENCE OBJECTS:
+    // earlier formulations (per-centroid when-chains over literal
+    // arrays) baked codebook VALUES into the generated source, so every
+    // retrain compiled a fresh giant class whose one huge invocation ran
+    // bytecode-interpreted before the JIT warmed (measured ~13 s per
+    // cold pass at 1M×64, 25x the warm pass). Value-independent source
+    // means one compiled+JITted class serves the c0 pass, the final
+    // encode, and any future retrain. Ties resolve to the LOWEST cid
+    // (strict < over ascending cids — the oracle's ROW_NUMBER ORDER BY
+    // d, cid total order).
     def withCodes(df: DataFrame, cbs: Seq[Seq[(Long, Seq[Long])]]): DataFrame =
-      (0 until m).foldLeft(df) { (acc, j) =>
-        val xx = dotL(col(s"s$j"), col(s"s$j"))
-        val ds = cbs(j).map { case (cid, cs) =>
-          val cc = cs.map(x => x * x).sum
-          cid -> (xx - lit(2L) * dotL(col(s"s$j"), typedLit(cs)) + lit(cc))
-        }
-        val dmin = least(ds.map(_._2): _*)
-        val code = ds.foldRight(lit(-1L)) { case ((cid, dc), rest) =>
-          when(dc === dmin, lit(cid)).otherwise(rest)
-        }
-        acc.withColumn(s"c$j", code)
-      }
+      df.withColumn("_pqc", Exprs.toColumn(graft.functions.PqEncode(
+          Exprs.toExpr(col("xs")), cbs, sd)))
+        .withColumns(
+          (0 until m).map(j => s"c$j" -> element_at(col("_pqc"), j + 1)).toMap)
+        .drop("_pqc")
+    def subVecs(r: org.apache.spark.sql.Row): IndexedSeq[Seq[Long]] = {
+      val xs = r.getSeq[Long](1)
+      (0 until m).map(j => xs.slice(j * sd, j * sd + sd).toSeq)
+    }
     // bounded driver scalars: k init rows, then k×m×16 codebook ints
-    val init = subs.filter(col("vec_id") < k).collect()
-      .map(r => r.getLong(0) ->
-        (0 until m).map(j => r.getSeq[Long](j + 1).toSeq))
-      .sortBy(_._1).toSeq
+    val init = subs(e).filter(col("vec_id") < k).collect()
+      .map(r => r.getLong(0) -> subVecs(r)).sortBy(_._1).toSeq
+    mark("init collect")
     val c0 = (0 until m).map(j => init.map { case (cid, ss) => cid -> ss(j) })
-    val a1 = withCodes(subs, c0)
-    val upd = a1.select(col("vec_id") +:
-        (0 until m).map(j => col(s"s$j")) :+
-        explode(array((0 until m).map(j =>
-          struct(lit(j).as("j"), col(s"c$j").as("code"))): _*)).as("jc"): _*)
-      .select(col("jc.j").as("j"), col("jc.code").as("code"),
-        posexplode((0 until m).foldRight(lit(null).cast("array<bigint>")) {
-          case (j, rest) => when(col("jc.j") === j, col(s"s$j")).otherwise(rest)
-        }).as(Seq("dim", "qd")))
+    // EAGER checkpoint between the code computation and the explode:
+    // without the barrier, CollapseProject folds the 36-dot argmin tree
+    // into the Generate's child projection, which runs OUTSIDE
+    // whole-stage codegen — the duplicated when-chain subtrees then
+    // evaluate interpreted per row (measured 30s vs 1s for the same
+    // update at 1M×64). The checkpoint pins the codes once, the explode
+    // reads 5 flat columns, and the generation is freed right after.
+    val (a1, a1Ids) = GraphAlgos.checkpointWithIds(
+      withCodes(subs(e), c0).select(
+        col("xs") +: (0 until m).map(j => col(s"c$j")): _*))
+    // ONE posexplode over the raw 64 dims (subspace and in-subspace dim
+    // recovered arithmetically, the code by a 4-branch when-chain) —
+    // stacking a struct-explode on a per-subspace posexplode doubles the
+    // Generate operators outside codegen
+    val upd = a1.select(
+        (0 until m).map(j => col(s"c$j")) :+
+        posexplode(col("xs")).as(Seq("dim64", "qd")): _*)
+      .select(expr(s"CAST(dim64 div $sd AS INT)").as("j"),
+        (0 until m).foldRight(lit(-1L)) { case (j, rest) =>
+          when(expr(s"dim64 div $sd") === j, col(s"c$j")).otherwise(rest)
+        }.as("code"),
+        expr(s"CAST(dim64 % $sd AS INT)").as("dim"), col("qd"))
       .groupBy(col("j"), col("code"), col("dim"))
       .agg(expr("sum(qd) div count(1)").as("cd"))
       .groupBy(col("j"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cd")))),
         x => x.getField("cd")).as("cs"))
       .collect()
+    GraphAlgos.freeRdds(e.sparkSession, a1Ids)
+    mark("codebook update collect")
     val cb = (0 until m).map(j => upd.filter(_.getInt(0) == j)
       .map(r => r.getLong(1) -> r.getSeq[Long](2).toSeq).sortBy(_._1).toSeq)
-    val probes = subs.filter(col("vec_id") < 4).collect()
-      .map(r => r.getLong(0) ->
-        (0 until m).map(j => r.getSeq[Long](j + 1).toSeq))
-      .sortBy(_._1).toSeq
-    (withCodes(subs, cb), cb, probes)
+    val probes = subs(e).filter(col("vec_id") < 4).collect()
+      .map(r => r.getLong(0) -> subVecs(r)).sortBy(_._1).toSeq
+    mark("probes collect")
+    (withCodes(subs(e), cb), cb, probes)
   }
+
+  /** The (vec_id, xs) projection every PQ pass starts from. */
+  private def subs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("xs"))
 
   /** Exact integer L2² between two driver-side subvectors. */
   private def l2sq(a: Seq[Long], b: Seq[Long]): Long =
