@@ -293,6 +293,39 @@ object DedupQueries {
         .orderBy("canonical_id")
     }),
 
+    // -- BLOOM-GUARDED ingest dedup (the membership check a streaming
+    //    ingest runs against its HISTORY before admitting a batch: at
+    //    100 TB the history's exact key set is unjoinable per batch, but
+    //    its Bloom bitset is a few MB broadcast). History = the first
+    //    half of the corpus (doc_id < 250 — the documents table is 500
+    //    rows at every SF); the key is a PREFIX fingerprint (md5 of the
+    //    first 8 normalized tokens — the boilerplate-opening signal).
+    //    The batch side filters through the broadcast bitset IN THE SCAN
+    //    STAGE, then the surviving candidates verify exactly against the
+    //    history signatures — no false negatives by Bloom's contract and
+    //    the verify join removes false positives, so the output provably
+    //    equals the plain exact join, which IS the oracle (the
+    //    join_bloom_prefilter argument). Scale shape: history scanned
+    //    once into a 2 KB agg state; the batch never shuffles until the
+    //    candidate sliver.
+    "dedup_bloom" -> ((s, d) => {
+      import s.implicits._
+      def sig: Column = md5(array_join(slice(tokens(col("text")), 1, 8), " "))
+      val hist = documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), sig.as("sig"))
+      val (bh1, bh2) = ScaleOps.h12(col("sig"))
+      val bits = hist.select(bh1.as("h1"), bh2.as("h2")).as[(Long, Long)]
+        .select(new SketchAggs.BloomBits(
+          ScaleOps.BLOOM_BITS, ScaleOps.BLOOM_K).toColumn).head()
+      documents(s, d).filter(col("doc_id") >= 250)
+        .select(col("doc_id"), sig.as("sig"))
+        .filter(ScaleOps.bloomContains(col("sig"), bits))
+        .join(hist.groupBy("sig").agg(count(lit(1)).as("n_hist"),
+          min(col("doc_id")).as("first_doc")), Seq("sig"))
+        .select(col("doc_id"), col("sig"), col("n_hist"), col("first_doc"))
+        .orderBy("doc_id")
+    }),
+
     // -- URL canonicalization dedup (the first dedup a WEB CRAWL runs —
     //    the reference's own domain: the same page arrives as
     //    http://host/p, HTTP://WWW.HOST:80/p#frag, host/p/?utm_…, and a
@@ -808,6 +841,17 @@ object DedupQueries {
      GROUP BY n.doc_id ORDER BY n.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_bloom" ->
+      """WITH sigs AS (SELECT doc_id,
+             md5(array_to_string((string_split(regexp_replace(
+               lower(trim(text)), '\s+', ' ', 'g'), ' '))[1:8], ' ')) AS sig
+           FROM documents),
+         hist AS (SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_hist,
+             MIN(doc_id) AS first_doc
+           FROM sigs WHERE doc_id < 250 GROUP BY 1)
+         SELECT s.doc_id, s.sig, h.n_hist, h.first_doc
+         FROM sigs s JOIN hist h ON h.sig = s.sig
+         WHERE s.doc_id >= 250 ORDER BY s.doc_id""",
     "dedup_url" ->
       """WITH raw AS (SELECT doc_id,
              doc_id // 3 AS tgt,

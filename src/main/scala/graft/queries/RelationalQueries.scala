@@ -963,6 +963,79 @@ object RelationalQueries {
         .orderBy("day_num")
     }),
 
+    // -- HOLT double-exponential forecast per event type (the trend
+    //    sibling of forecast_naive_seasonal): level and trend smooth
+    //    with α = β = 1/2 in EXACT integers — l_t = (x_t + l_{t−1} +
+    //    b_{t−1}) DIV 2, b_t = (l_t − l_{t−1} + b_{t−1}) DIV 2, both
+    //    with truncate-toward-zero division (identical in Spark and
+    //    DuckDB, so negative trends stay bit-equal; DIV is emulated in
+    //    the fold lambda as (v − v%2)/2, exact for the bounded daily
+    //    counts). The recurrence is genuinely sequential, so it runs as
+    //    a row-local fold over the per-type daily series — which is the
+    //    SCALE-correct shape: the corpus reduces to a (type, day) count
+    //    relation in one partial-aggregated pass, and the fold touches
+    //    only the metadata-sized series (days per type), never corpus
+    //    rows. Output: fitted level/trend + 1- and 7-step forecasts.
+    "forecast_holt" -> ((s, d) => {
+      def tdiv2(c: Column): Column = ((c - (c % 2)) / lit(2)).cast("long")
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      daily.groupBy("event_type")
+        .agg(transform(array_sort(collect_list(struct(col("day"), col("n")))),
+          x => x.getField("n")).as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .withColumn("st", aggregate(
+          slice(col("xs"), lit(2), size(col("xs")) - 1),
+          struct(element_at(col("xs"), 1).as("l"),
+            (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b")),
+          (acc, x) => {
+            val lNew = tdiv2(x + acc.getField("l") + acc.getField("b"))
+            val bNew = tdiv2(lNew - acc.getField("l") + acc.getField("b"))
+            struct(lNew.as("l"), bNew.as("b"))
+          }))
+        .select(col("event_type"),
+          size(col("xs")).cast("long").as("n_days"),
+          col("st.l").as("level"), col("st.b").as("trend"),
+          (col("st.l") + col("st.b")).as("fc_1"),
+          (col("st.l") + lit(7L) * col("st.b")).as("fc_7"))
+        .orderBy("event_type")
+    }),
+
+    // -- INCREMENTAL aggregate maintenance (the materialized-view /
+    //    Delta-style pattern: never recompute a 100 TB rollup for a
+    //    day's delta). The standing aggregate over the base partition
+    //    (days before the cutover) merges with the delta batch's partial
+    //    aggregate by PURE ADDITION — count and sum are commutative
+    //    monoids, so base ⊕ delta is provably the full recompute, and
+    //    the ORACLE IS the full recompute: the hash gate itself proves
+    //    the maintenance identity. Scale shape: both sides are
+    //    group-cardinality-sized partial aggregates (one pass each at
+    //    build time; in production the base side is a stored table and
+    //    only the delta is scanned), merged by a full-outer join on the
+    //    group key with null-coalesced addition.
+    "mv_incremental" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val cut = ev.agg(expr("min(day) + (max(day) - min(day)) * 4 div 5"))
+        .head().getLong(0) // bounded driver scalar: the cutover day
+      def agg0(df: DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      val base = agg0(ev.filter(col("day") < cut))
+        .select(col("event_type"), col("n").as("n0"), col("c").as("c0"))
+      val delta = agg0(ev.filter(col("day") >= cut))
+        .select(col("event_type"), col("n").as("n1"), col("c").as("c1"))
+      base.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L)))
+            .as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     // -- CUSUM drift detection per event type (sequential analysis —
     //    the change-point monitor a rate-spike test can't replace): the
     //    recurrence S_t = max(0, S_{t-1} + x_t − k) looks inherently
@@ -1842,6 +1915,42 @@ object RelationalQueries {
            CAST(hist_cents // 3 AS BIGINT) AS fc_cents,
            CAST(rev_cents - hist_cents // 3 AS BIGINT) AS err_cents
          FROM f WHERE n_hist = 3 ORDER BY day_num""",
+    "forecast_holt" ->
+      // the (l, b) state PACKS into one BIGINT ((l+2^19)·2^20 + b+2^19):
+      // DuckDB's list_reduce mis-evaluates struct accumulators whose
+      // fields reference each other across chained steps (verified:
+      // 2-element struct fold returns b=-3 where stepwise evaluation
+      // gives -5), while a scalar accumulator folds correctly. Both l
+      // and b stay far inside ±2^19 for daily event counts.
+      """WITH daily AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         ser AS (SELECT event_type, list(n ORDER BY day) AS xs
+           FROM daily GROUP BY 1),
+         f AS (SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days,
+             list_reduce(
+               list_prepend(CAST((xs[1] + 524288) * 1048576
+                 + (xs[2] - xs[1] + 524288) AS BIGINT),
+                 list_transform(xs[2:len(xs)], x -> CAST(x AS BIGINT))),
+               (acc, x) ->
+                 ((x + (acc // 1048576 - 524288) + (acc % 1048576 - 524288))
+                     // 2 + 524288) * 1048576
+                 + ((x + (acc // 1048576 - 524288) + (acc % 1048576 - 524288))
+                     // 2
+                    - (acc // 1048576 - 524288) + (acc % 1048576 - 524288))
+                     // 2 + 524288) AS st
+           FROM ser WHERE len(xs) >= 2)
+         SELECT event_type, n_days,
+           st // 1048576 - 524288 AS level,
+           st % 1048576 - 524288 AS trend,
+           (st // 1048576 - 524288) + (st % 1048576 - 524288) AS fc_1,
+           (st // 1048576 - 524288) + 7 * (st % 1048576 - 524288) AS fc_7
+         FROM f ORDER BY event_type""",
+    "mv_incremental" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
     "events_cusum" ->
       """WITH hours AS (SELECT event_type,
              epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n

@@ -32,18 +32,18 @@ object ScaleOps {
     * scale m is sized to the build-side key count (~10 bits/key for 1% FP)
     * and the bitset stays broadcast-sized (Spark's own runtime filter caps
     * it at 8 MB). */
-  private val BLOOM_BITS = 1 << 14
-  private val BLOOM_K = 3
+  private[queries] val BLOOM_BITS = 1 << 14
+  private[queries] val BLOOM_K = 3
 
   /** Double-hash base pair; build and probe sides MUST share these exact
     * column expressions (xxhash64 seeds differ per column list). */
-  private def h12(key: Column): (Column, Column) =
+  private[queries] def h12(key: Column): (Column, Column) =
     (xxhash64(key), xxhash64(key, lit(1)))
 
   /** Membership test as pure codegen'd built-ins over the literal bitset:
     * bit i of word w via element_at + precomputed single-bit masks (no
     * dynamic shift needed — shiftleft/shiftright take static amounts). */
-  private def bloomContains(key: Column, bits: Array[Long]): Column = {
+  private[queries] def bloomContains(key: Column, bits: Array[Long]): Column = {
     val bitsLit = typedlit(bits)
     val masks = typedlit((0 until 64).map(i => 1L << i).toArray)
     val (h1r, h2r) = h12(key)

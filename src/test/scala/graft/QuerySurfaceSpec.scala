@@ -447,4 +447,55 @@ class QuerySurfaceSpec extends AnyFunSuite {
       assert(r.getLong(1) >= 2, s"a variant group failed to collapse: $r")
     }
   }
+
+  test("forecast_holt: fold equals a driver-side replay of the recurrence") {
+    val rows = SparkEntry.queries("forecast_holt")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    def tdiv2(v: Long): Long = v / 2 // JVM / truncates toward zero, like DIV
+    rows.foreach { r =>
+      val xs = daily(r.getString(0))
+      var l = xs.head; var b = xs(1) - xs.head
+      xs.tail.foreach { x =>
+        val ln = tdiv2(x + l + b); b = tdiv2(ln - l + b); l = ln
+      }
+      assert(r.getLong(2) == l && r.getLong(3) == b,
+        s"fold mismatch for ${r.getString(0)}: got (${r.getLong(2)},${r.getLong(3)}) want ($l,$b)")
+      assert(r.getLong(4) == l + b && r.getLong(5) == l + 7 * b)
+    }
+  }
+
+  test("mv_incremental: base + delta merge equals the full recompute") {
+    val rows = SparkEntry.queries("mv_incremental")(spark, sf0001).collect()
+    val full = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.length == full.size)
+    rows.foreach { r =>
+      val (n, c) = full(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == c,
+        s"incremental != full for ${r.getString(0)}")
+    }
+  }
+
+  test("dedup_bloom: flagged batch docs exactly match the plain history join") {
+    val rows = SparkEntry.queries("dedup_bloom")(spark, sf0001).collect()
+    assert(rows.nonEmpty, "no prefix-fingerprint matches at sf0.001")
+    val sig = md5(array_join(slice(
+      queries.DedupQueries.tokens(col("text")), 1, 8), " "))
+    val sigs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), sig.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val hist = sigs.filter(_._1 < 250).map(_._2).toSet
+    val expect = sigs.filter { case (id, sg) => id >= 250 && hist.contains(sg) }
+      .map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet == expect,
+      "bloom+verify output differs from the exact membership join")
+  }
 }
