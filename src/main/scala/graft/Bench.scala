@@ -66,7 +66,12 @@ object Bench {
     val benchLoadStart = load1()
     // a failed query reports -1 (never its partial elapsed time, which
     // would read as a speedup) and is excluded from the total
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY: comma-separated name filter for LOCAL iteration
+    // (the driver never sets it — the headline record is always full)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val nRuns = if (isNoisy(name)) runsNoisy else runs
       val samples = (1 to nRuns).flatMap { _ =>
         Caches.hardSweep(spark) // order-independent: no inherited caches
