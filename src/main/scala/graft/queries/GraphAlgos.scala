@@ -1389,6 +1389,39 @@ object GraphAlgos {
         .orderBy("node")
     }),
 
+    // -- ADAMIC–ADAR link prediction over sampled seeds (the classic
+    //    common-neighbor feature: a shared LOW-degree neighbor is strong
+    //    evidence two nodes belong together, a shared hub is weak). For
+    //    every seed s (id ≡ 0 mod 17) and every non-adjacent node t at
+    //    distance 2, AA(s,t) = Σ_{w ∈ N(s)∩N(t)} 1e6 DIV bitlen(deg w) —
+    //    the bit-length surrogate for 1/log₂(deg) (quality_surprisal's
+    //    libm-free trick), so the score is an exact integer both engines
+    //    reproduce. Plan shape = graph_betweenness2's: the seed-adjacent
+    //    wedge expansion carries each midpoint's precomputed weight,
+    //    ONE (s,t) shuffle partial-aggregates the scores, and the
+    //    top-100 is TakeOrderedAndProject — only 100 rows ever reach
+    //    the driver at any graph size.
+    "graph_adamic_adar" -> ((s, d) => {
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val d1 = sym.filter(col("x") % 17 === 0)
+        .select(col("x").as("s"), col("y").as("w"))
+      val wedges = d1
+        .join(deg.select(col("x").as("w"),
+          expr("1000000 DIV length(bin(dg))").as("aw")), "w")
+        .join(sym.select(col("x").as("w"), col("y").as("t")), "w")
+        .filter(col("t") =!= col("s"))
+        .join(d1.select(col("s"), col("w").as("t")), Seq("s", "t"),
+          "left_anti") // distance exactly 2: t not adjacent to s
+      wedges.groupBy(col("s"), col("t"))
+        .agg(count(lit(1)).as("n_common"), sum(col("aw")).as("aa_e6"))
+        .orderBy(col("aa_e6").desc, col("s"), col("t"))
+        .limit(100)
+    }),
+
     // -- deterministic random walks (the node2vec/DeepWalk sampling shape):
     //    from every seed (id ≡ 0 mod 17) take 3 steps, at each step moving
     //    to the neighbor minimizing a LCG-style hash of (current, step,
@@ -1636,6 +1669,28 @@ object GraphAlgos {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "graph_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         sym AS (SELECT u AS x, v AS y FROM e
+           UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT x, COUNT(*) AS dg FROM sym GROUP BY 1),
+         d1 AS (SELECT x AS s, y AS w FROM sym WHERE x % 17 = 0),
+         wedges AS (SELECT d1.s, d1.w, sym.y AS t,
+             1000000 // length(bin(deg.dg)) AS aw
+           FROM d1
+           JOIN deg ON deg.x = d1.w
+           JOIN sym ON sym.x = d1.w
+           WHERE sym.y <> d1.s),
+         pruned AS (SELECT p.s, p.t, p.aw FROM wedges p
+           LEFT JOIN d1 q ON q.s = p.s AND q.w = p.t
+           WHERE q.s IS NULL)
+         SELECT s, t, CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(aw) AS BIGINT) AS aa_e6
+         FROM pruned GROUP BY s, t
+         ORDER BY aa_e6 DESC, s, t LIMIT 100""",
     "graph_truss" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
              FROM lineitem),

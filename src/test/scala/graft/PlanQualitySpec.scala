@@ -1075,4 +1075,27 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"the two vintages must merge in one scan, not a join:\n$p")
     Caches.hardSweep(spark)
   }
+
+  test("sim_pq_topk: join-free ADC scan over the native pq_encode projection") {
+    val p = executed(SparkEntry.queries("sim_pq_topk")(spark, sf0001))
+    assert(p.contains("pq_encode"), s"native PQ encoder missing from the plan:\n$p")
+    assert(!p.contains("Join"),
+      s"the ADC scan must be a pure projection + window, no join:\n$p")
+  }
+
+  test("graph_truss: per-round support is an in-row intersection, never a wedge join") {
+    val p = executed(SparkEntry.queries("graph_truss")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in the truss peel:\n$p")
+    assert(p.contains("array_intersect"),
+      s"expected the sorted-array triangle intersection:\n$p")
+  }
+
+  test("graph_betweenness2: sigma comes from one pair-key window, not a join-back") {
+    val p = executed(SparkEntry.queries("graph_betweenness2")(spark, sf0001))
+    assert("(?s)Window".r.findAllIn(p.split("== Initial Plan ==")(0)).size >= 1,
+      s"pair-count window missing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"wedge relation should not re-shuffle into a sigma join:\n$p")
+  }
 }

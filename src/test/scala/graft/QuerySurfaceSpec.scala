@@ -498,4 +498,21 @@ class QuerySurfaceSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == expect,
       "bloom+verify output differs from the exact membership join")
   }
+
+  test("graph_adamic_adar: seeds sampled, scores bounded by the hub weight cap") {
+    val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      val (sNode, t, nc, aa) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sNode % 17 == 0, s"non-seed source: $r")
+      assert(sNode != t, "self pair")
+      assert(nc >= 1, "pair with no common neighbor")
+      // a common neighbor has degree >= 2 => bitlen >= 2 => term <= 5e5
+      assert(aa <= nc * 500000L && aa >= nc * 1000000L / 64,
+        s"score outside the bit-length weight envelope: $r")
+    }
+    val scores = rows.map(_.getLong(3)).toSeq
+    assert(scores == scores.sorted.reverse, "top-100 not score-descending")
+  }
 }
