@@ -444,6 +444,50 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // -- PQ kNN match graph by SYMMETRIC distance (SDC — the other half
+    //    of the PQ story: ADC serves probe-time search, SDC serves the
+    //    all-pairs batch jobs like SemDeDup's match-graph build, where
+    //    BOTH sides live compressed). dist(x,y) ≈ Σ_j ‖C_j[x_j] −
+    //    C_j[y_j]‖² comes from four 8×8 integer lookup tables — 64-long
+    //    array literals indexed by code_a·8 + code_b, so the generated
+    //    source stays value-independent (the PqEncode lesson) and the
+    //    per-pair work is 4 element_at + 3 adds. Pairs form only within
+    //    a coarse cell (knn_graph's blocking); each row carries 4 SMALL
+    //    ints instead of a 256-byte vector — the entire reason SDC
+    //    exists at 100 TB: the self-join shuffles codes, never vectors.
+    //    Top-3 per vector under (sdc, nbr_id) — exact integers,
+    //    hash-gated.
+    "sim_pq_knn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (encoded, cb, _) = pqTrainEncode(s, d)
+      val cells = embeddings(s, d).select(col("vec_id"), col("label").as("cell"))
+      val luts = cb.indices.map { j =>
+        val m = cb(j).map { case (cid, cs) => cid -> cs }.toMap
+        Array.tabulate(64) { i =>
+          (for { a <- m.get(i / 8); b <- m.get(i % 8) } yield l2sq(a, b))
+            .getOrElse(0L)
+        }.toSeq
+      }
+      val codes = encoded
+        .select(col("vec_id") +: (0 until cb.length).map(j => col(s"c$j")): _*)
+        .join(cells, "vec_id")
+      val other = codes.select(col("cell") +: col("vec_id").as("nbr_id") +:
+        (0 until cb.length).map(j => col(s"c$j").as(s"n$j")): _*)
+      val sdc = cb.indices.map(j =>
+        element_at(typedLit(luts(j)),
+          (col(s"c$j") * 8 + col(s"n$j")).cast("int") + 1)).reduce(_ + _)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sdc"), col("nbr_id"))
+      codes.join(other, Seq("cell"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("sdc", sdc)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
+          col("nbr_id"), col("sdc"))
+        .orderBy("vec_id", "rnk")
+    }),
+
     // -- exact top-10 cosine neighbors for probe vectors vec_id < 4.
     "sim_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -758,6 +802,63 @@ object SimilarityQueries {
            FROM adc WHERE vec_id <> qid)
          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
          FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "sim_pq_knn" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000) AS BIGINT) + 1000) AS xs
+           FROM embeddings),
+         sub AS MATERIALIZED (SELECT vec_id, j, xs[16*j+1 : 16*j+16] AS sv
+           FROM e, unnest([0, 1, 2, 3]) AS t(j)),
+         c0 AS (SELECT vec_id AS cid, j, sv AS cs FROM sub WHERE vec_id < 8),
+         d1 AS (SELECT s.vec_id, s.j, c.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 17),
+                 i -> (s.sv[i] - c.cs[i]) * (s.sv[i] - c.cs[i]))),
+               (a, x) -> a + x) AS d
+           FROM sub s JOIN c0 c ON c.j = s.j),
+         a1 AS MATERIALIZED (SELECT vec_id, j, cid FROM (
+             SELECT vec_id, j, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid)
+                 AS rnk
+             FROM d1) WHERE rnk = 1),
+         upd AS (SELECT a1.j, a1.cid, t.i AS dim,
+             CAST(SUM(s.sv[t.i]) // COUNT(*) AS BIGINT) AS cd
+           FROM a1 JOIN sub s ON s.vec_id = a1.vec_id AND s.j = a1.j,
+             unnest(range(1, 17)) AS t(i)
+           GROUP BY 1, 2, 3),
+         cb AS MATERIALIZED (SELECT j, cid, list(cd ORDER BY dim) AS cs
+           FROM upd GROUP BY 1, 2),
+         d2 AS (SELECT s.vec_id, s.j, c.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 17),
+                 i -> (s.sv[i] - c.cs[i]) * (s.sv[i] - c.cs[i]))),
+               (a, x) -> a + x) AS d
+           FROM sub s JOIN cb c ON c.j = s.j),
+         codes AS MATERIALIZED (SELECT vec_id, j, cid AS code FROM (
+             SELECT vec_id, j, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid)
+                 AS rnk
+             FROM d2) WHERE rnk = 1),
+         cw AS (SELECT c.vec_id, emb.label AS cell, c.j, c.code
+           FROM codes c JOIN embeddings emb ON emb.vec_id = c.vec_id),
+         pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id, a.j,
+             a.code AS ca, b.code AS cbid
+           FROM cw a JOIN cw b ON a.cell = b.cell AND a.j = b.j
+             AND a.vec_id <> b.vec_id),
+         dists AS (SELECT p.vec_id, p.nbr_id,
+             CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 17),
+                 i -> (x.cs[i] - y.cs[i]) * (x.cs[i] - y.cs[i]))),
+               (a, v) -> a + v)) AS BIGINT) AS sdc
+           FROM pairs p JOIN cb x ON x.j = p.j AND x.cid = p.ca
+             JOIN cb y ON y.j = p.j AND y.cid = p.cbid
+           GROUP BY 1, 2),
+         r AS (SELECT vec_id, nbr_id, sdc,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sdc, nbr_id)
+               AS rnk
+           FROM dists)
+         SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, sdc
+         FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""",
     "cluster_kmeans" ->
       """WITH e AS MATERIALIZED (SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),

@@ -515,4 +515,27 @@ class QuerySurfaceSpec extends AnyFunSuite {
     val scores = rows.map(_.getLong(3)).toSeq
     assert(scores == scores.sorted.reverse, "top-100 not score-descending")
   }
+
+  test("sim_pq_knn: SDC is symmetric, non-negative, cell-respecting") {
+    val rows = SparkEntry.queries("sim_pq_knn")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val cell = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sdcOf = rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (v, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length),
+        s"ranks broken for $v")
+      val ds = rs.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      assert(ds == ds.sorted && ds.forall(_ >= 0), s"SDC not monotone for $v")
+    }
+    rows.foreach { r =>
+      assert(cell(r.getLong(0)) == cell(r.getLong(2)),
+        s"cross-cell pair surfaced: $r")
+      // symmetric distance: wherever the reverse pair also surfaced, the
+      // two directions must carry the identical SDC value
+      sdcOf.get((r.getLong(2), r.getLong(0))).foreach(back =>
+        assert(back == r.getLong(3), s"SDC asymmetric: $r vs $back"))
+    }
+  }
 }
