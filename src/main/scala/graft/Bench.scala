@@ -15,10 +15,18 @@ import org.apache.spark.sql.SparkSession
   * 10.2 s where the same unchanged code measured 2.9–3.9 s in two other
   * runs on the same box — so those queries get SPARK_GRAFT_RUNS_NOISY
   * samples (default 5) and every query's per-run times plus the box's
-  * /proc/loadavg at each run start go into the BENCH.md record: a
-  * contended run is self-evident from the record instead of reading as a
-  * code regression. Reported: median per query (and the max across runs
-  * in `queries_max`), total = sum of medians. */
+  * /proc/loadavg at each run start go into the BENCH.md record.
+  *
+  * Since round 8 the record does not just EXPOSE contention, it ACTS on
+  * it: a run whose steal+iowait share exceeded 2% or whose entry load
+  * exceeded cpus/4 is resampled (at most nRuns extra attempts), the
+  * median prefers clean samples, and any query whose reported median
+  * still rests on contended runs is listed in `queries_contended` —
+  * round 7's acceptance metric read 1.92 s/query off a contended driver
+  * record where the same code measures 1.24 on a quiet box, and the
+  * record should self-correct rather than self-incriminate. Reported:
+  * median per query (and the max across runs in `queries_max`),
+  * total = sum of medians. */
 object Bench {
   /** 1-minute load average at call time; -1 where /proc is unavailable. */
   private def load1(): Double =
@@ -64,16 +72,36 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     def fmt(v: Double): String = f"$v%.3f"
     val benchLoadStart = load1()
+    // contention thresholds (the round-7 lesson: the driver's record read
+    // 1.92 s/query where a quiet box reproduces 1.24 — its own load/steal
+    // columns showed load to 19.7 and steal to 25.6% on exactly the slow
+    // rows). A run is CONTENDED when hypervisor-steal+iowait exceeded 2%
+    // of CPU jiffies during it or the box entered it at load > cpus/4;
+    // contended runs are RESAMPLED (bounded: at most nRuns extra) and the
+    // median prefers clean samples. Queries whose reported median still
+    // includes contended runs are listed in `queries_contended` so the
+    // record adjudicates itself.
+    val stealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "2.0").toDouble
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX",
+      (cpus.toInt / 4.0).toString).toDouble
     // a failed query reports -1 (never its partial elapsed time, which
     // would read as a speedup) and is excluded from the total
     // SPARK_GRAFT_ONLY: comma-separated name filter for LOCAL iteration
-    // (the driver never sets it — the headline record is always full)
+    // (the driver never sets it — the headline record is always full).
+    // The active filter is echoed into the record and unknown names fail
+    // fast: a typo'd value must not masquerade as a full headline run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names no registered query: ${unknown.toSeq.sorted
+          .mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val nRuns = if (isNoisy(name)) runsNoisy else runs
-      val samples = (1 to nRuns).flatMap { _ =>
+      def sampleOnce(): Option[(Double, Double, Double)] = {
         Caches.hardSweep(spark) // order-independent: no inherited caches
         val ld = load1()
         val c0 = cpuStat()
@@ -90,29 +118,46 @@ object Bench {
             None
         }
       }
+      def clean(sm: (Double, Double, Double)): Boolean =
+        sm._3 <= stealMax && (sm._2 < 0 || sm._2 <= loadMax)
+      var samples = (1 to nRuns).flatMap(_ => sampleOnce())
+      // bounded resample: keep sampling while the clean count is short of
+      // nRuns, up to nRuns extra attempts total
+      var extra = 0
+      while (samples.count(clean) < nRuns && extra < nRuns) {
+        extra += 1
+        samples = samples ++ sampleOnce()
+      }
+      val preferred = { val c = samples.filter(clean)
+        if (c.size >= (nRuns + 1) / 2) c else samples }
+      val contended = samples.nonEmpty && preferred.exists(!clean(_))
       val times = samples.map(_._1)
       val loads = samples.map(_._2)
       val steals = samples.map(_._3)
-      if (times.isEmpty) (name, -1.0, -1.0, times, loads, steals)
+      if (times.isEmpty) (name, -1.0, -1.0, times, loads, steals, false)
       else {
-        val sorted = times.sorted
-        (name, sorted(sorted.length / 2), sorted.last, times, loads, steals)
+        val med = { val st = preferred.map(_._1).sorted; st(st.length / 2) }
+        (name, med, times.max, times, loads, steals, contended)
       }
     }
-    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map { case (k, med, _, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, _, mx, _, _, _) => "\"" + k + "\":" + fmt(mx) }
+    val qsMax = results.map { case (k, _, mx, _, _, _, _) => "\"" + k + "\":" + fmt(mx) }
       .mkString("{", ",", "}")
-    val qsRuns = results.map { case (k, _, _, ts, _, _) =>
+    val qsRuns = results.map { case (k, _, _, ts, _, _, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsLoad = results.map { case (k, _, _, _, lds, _) =>
+    val qsLoad = results.map { case (k, _, _, _, lds, _, _) =>
       "\"" + k + "\":" + lds.map(l => f"$l%.2f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsSteal = results.map { case (k, _, _, _, _, sts) =>
+    val qsSteal = results.map { case (k, _, _, _, _, sts, _) =>
       "\"" + k + "\":" + sts.map(s => f"$s%.1f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, med, _, _, _, _) if med < 0 => "\"" + k + "\"" }
+    val qsContended = results.collect { case (k, _, _, _, _, _, true) =>
+      "\"" + k + "\"" }.mkString("[", ",", "]")
+    val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")).getOrElse("null")
+    val failed = results.collect { case (k, med, _, _, _, _, _) if med < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     // stdout gets the SHORT line (medians only): the round-4 harness
     // truncated the long line mid-JSON and recovered nothing. The full
@@ -120,11 +165,14 @@ object Bench {
     // stay auditable regardless of the driver's capture window.
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""queries_contended":$qsContended,"only":$onlyJson,""" +
         s""""runs":$runs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_max":$qsMax,"queries_runs":$qsRuns,"queries_load":$qsLoad,""" +
-        s""""queries_steal_pct":$qsSteal,""" +
+        s""""queries_steal_pct":$qsSteal,"queries_contended":$qsContended,""" +
+        s""""only":$onlyJson,""" +
+        f""""steal_max":$stealMax%.1f,"load_max":$loadMax%.1f,""" +
         s""""runs":$runs,"runs_noisy":$runsNoisy,""" +
         f""""load_start":$benchLoadStart%.2f,"load_end":${load1()}%.2f,""" +
         s""""errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
@@ -138,7 +186,11 @@ object Bench {
         "`queries_steal_pct` = hypervisor-steal + iowait share of total " +
         "CPU jiffies during each run — loadavg is 1-min smoothed and " +
         "misses short stalls entirely, steal share is the direct contention " +
-        "reading — so a contended run is self-evident from the record).\n\n" +
+        f"reading. Runs with steal > $stealMax%.1f%% or entry load > " +
+        f"$loadMax%.1f are RESAMPLED (bounded) and medians prefer clean " +
+        "samples; `queries_contended` lists queries whose reported median " +
+        "still rests on contended runs — those numbers are lower bounds on " +
+        "the box, not the code).\n\n" +
         s"```json\n$fullLine\n```\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         md.getBytes(java.nio.charset.StandardCharsets.UTF_8))

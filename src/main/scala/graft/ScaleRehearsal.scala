@@ -323,12 +323,18 @@ object ScaleRehearsal {
       (arcs, graphBytesOf(pbase) * 8.0 / arcs)
     }
     // Borůvka MSF at scale (graph_msf's shared loop): undirected edges
-    // u < v with deterministic hash weights, pk packed wide enough for
-    // the rehearsal id space (w < 2^10, ids < 2^25). The check is the
-    // FOREST INVARIANT — every chosen edge reduces the component count
+    // u < v with deterministic hash weights, pk shifts WIDENED
+    // AUTOMATICALLY from the rehearsal id space (idBits = bits of n−1,
+    // w < 2^10 ⇒ needs 2·idBits + 10 ≤ 63 — holds to n = 2^26.5 ≈ 95M;
+    // past that drop to a two-column argmin). The check is the FOREST
+    // INVARIANT — every chosen edge reduces the component count
     // by exactly one, so incident-node count − chosen = final components
     // — which holds only if selection, mutual-pair breaking and the
     // doubling relabel are all exactly right; no reference answer needed.
+    val idBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, n - 1L))
+    require(2 * idBits + 10 <= 63,
+      s"msf pk packing cannot hold $idBits-bit ids — use a struct argmin")
     val ((msfNodes, msfChosen, msfComps), tMsf) = timed {
       val und = g.select(col("id").cast("long").as("a"),
           explode(col("successors")).as("b0"))
@@ -337,8 +343,9 @@ object ScaleRehearsal {
           greatest(col("a"), col("b")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
       val (we, weIds) = checkpoint(und.select(col("u"), col("v"),
-        (((col("u") * 2654435761L + col("v")) % 997 + 1) * (1L << 50)
-          + col("u") * (1L << 25) + col("v")).as("pk")))
+        (((col("u") * 2654435761L + col("v")) % 997 + 1)
+          * (1L << (2 * idBits))
+          + col("u") * (1L << idBits) + col("v")).as("pk")))
       val doublings = math.max(1,
         64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1L)))
       val (chosen, comps, loopIds) = graft.queries.GraphAlgos
@@ -393,6 +400,73 @@ object ScaleRehearsal {
       (reached, mism)
     }
 
+    // LONG-ID (>2^33) ANALYTICS rehearsal — bv_big proves sink→source
+    // round-trips above 2^33; this closes the loop to the ALGORITHM
+    // layer: the same adjacency shifted past 2^33 (every id overflows
+    // Int), written idwidth=long, scanned through the Long decode
+    // kernel, and pushed through (a) the 3-iteration pageRankLoop and
+    // (b) the 2-round min-label propagation (graph_lpa's kernel — the
+    // component-labeling primitive). Checks are SHIFT INVARIANCE: arcs
+    // and node counts match the narrow graph, the rank floor holds for
+    // every node, and — the exact gate — every LPA label satisfies
+    // lbl_big(x + 2^33.x) == lbl_narrow(x) + shift ROW FOR ROW (min
+    // labels are all-integer, so invariance is exact, not approximate).
+    // A silent 32-bit truncation anywhere in the scan, join keys, agg
+    // keys, or checkpoint encoders breaks one of these loudly.
+    val BIG = 12_000_000_000L // > 2^33: catches truncation AND sign wraps
+    val bigBase = base + "_big"
+    val ((bigArcs, bigPrOk, lpaMismatch), tBig) = timed {
+      adj.select((col("id").cast("long") + BIG).as("id"),
+          transform(col("successors"), x => x.cast("long") + BIG)
+            .as("successors"),
+          col("outdegree"))
+        .write.format("bvgraph").option("basename", bigBase)
+        .option("idwidth", "long").option("shards", shards)
+        .mode("overwrite").save()
+      val gb = spark.read.format("bvgraph").option("basename", bigBase).load()
+      val eb = gb.select(col("id").as("src"),
+        explode(col("successors")).as("dst")).persist()
+      val arcs = eb.count()
+      // pagerank over the >2^33 id space: every node surfaces, damping
+      // floor everywhere (float sums are order-dependent on in-degree>1
+      // graphs, so the exact-equality burden rides on LPA below)
+      val nodesB = gb.select(col("id").cast("long").as("id")).persist()
+      val outdegB = gb.filter(col("outdegree") > 0)
+        .select(col("id").cast("long").as("src"),
+          col("outdegree").cast("long").as("odeg")).persist()
+      val prB = graft.queries.GraphAlgos.pageRankLoop(spark, eb
+          .select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst")),
+        nodesB, outdegB, iters = 3, checkpointEachIter = true)
+      val prR = prB.agg(count(lit(1)), min(col("pr_e9"))).head()
+      val prOk = prR.getLong(0) == n.toLong && prR.getLong(1) >= 150000000L
+      // 2-round min-LPA on both graphs; exact shift invariance
+      def lpa2(edges: org.apache.spark.sql.DataFrame) = {
+        val sym = edges.select(col("src").as("x"), col("dst").as("y"))
+          .unionByName(edges.select(col("dst").as("x"), col("src").as("y")))
+        val l1 = sym.groupBy(col("x"))
+          .agg(least(col("x"), min(col("y"))).as("lbl"))
+        sym.join(l1.withColumnRenamed("x", "y"), "y")
+          .groupBy(col("x")).agg(min(col("lbl")).as("nmin"))
+          .join(l1, "x")
+          .select(col("x"), least(col("lbl"), col("nmin")).as("lbl"))
+      }
+      val narrowE = g.select(col("id").cast("long").as("src"),
+        explode(col("successors")).as("d0"))
+        .select(col("src"), col("d0").cast("long").as("dst"))
+      val mism = lpa2(eb.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")))
+        .select((col("x") - BIG).as("x"), (col("lbl") - BIG).as("bl"))
+        .join(lpa2(narrowE), Seq("x"), "full_outer")
+        .filter(col("bl").isNull || col("lbl").isNull ||
+          col("bl") =!= col("lbl"))
+        .count()
+      eb.unpersist(blocking = false); nodesB.unpersist(blocking = false)
+      outdegB.unpersist(blocking = false)
+      Caches.sweep(spark)
+      (arcs, prOk, mism)
+    }
+
     def f(v: Double): String = f"$v%.2f"
     println(s"""{"nodes":$n,"arcs":$mm,"shards":$shards,""" +
       s""""bits_per_link":${f(bitsPerLink)},"write_sec":${f(tWrite)},""" +
@@ -420,13 +494,16 @@ object ScaleRehearsal {
       s""""msf_chosen":$msfChosen,"msf_components":$msfComps,""" +
       s""""sssp_sec":${f(tSssp)},"sssp_reached":$ssspReached,""" +
       s""""sssp_pregel_mismatches":$ssspMismatch,""" +
+      s""""longid_sec":${f(tBig)},"longid_arcs":$bigArcs,""" +
+      s""""longid_lpa_mismatches":$lpaMismatch,""" +
       s""""checks":${nn == n && m2 == mm && mGol == mm && rtEdges == expRt &&
         sccOnCycle >= 1 && sccOnCycle <= sccN && hbMin >= 1 &&
         hbAvgX100 >= 100L * (1 + avgDeg) &&
         prCount == n && prMin >= 150000000L &&
         modelOk && permArcs == mm &&
         msfNodes - msfChosen == msfComps && msfChosen > 0 &&
-        ssspMismatch == 0L && ssspReached > 1L}}""")
+        ssspMismatch == 0L && ssspReached > 1L &&
+        bigArcs == mm && bigPrOk && lpaMismatch == 0L}}""")
     spark.stop()
   }
 }

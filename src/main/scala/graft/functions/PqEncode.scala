@@ -49,6 +49,14 @@ case class PqEncode(child: Expression,
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val m = cents.length
+    // arity guard: getLong past numElements on UnsafeArrayData is an
+    // UNCHECKED raw memory read — an undersized vector would produce
+    // silently wrong codes, so fail loudly (value-dependent, can't be
+    // checked at analysis time)
+    if (xs.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: input vector has ${xs.numElements()} elements, " +
+          s"need ${m * subDim} (m=$m x subDim=$subDim)")
     val out = new Array[Long](m)
     var j = 0
     while (j < m) {
@@ -81,6 +89,11 @@ case class PqEncode(child: Expression,
       val best = ctx.freshName("best"); val bc = ctx.freshName("bc")
       val s = ctx.freshName("s"); val cv = ctx.freshName("cv")
       s"""
+         |if ($xs.numElements() < $centsRef.length * $subDim) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: input vector has " + $xs.numElements() +
+         |    " elements, need " + ($centsRef.length * $subDim));
+         |}
          |long[] $out = new long[$centsRef.length];
          |for (int $j = 0; $j < $centsRef.length; $j++) {
          |  long $best = Long.MAX_VALUE; long $bc = -1L;

@@ -873,9 +873,14 @@ object CurationQueries {
       grid.withColumn("cum", sum(col("dppm")).over(w))
         .groupBy(col("source"), col("n"), col("nb"))
         .agg(sum(abs(col("cum"))).as("emd_sum"))
+        // greatest(nb-1, 1): a degenerate single-bucket corpus has EMD 0
+        // by definition — without the guard Spark's DIV returns NULL
+        // while DuckDB's // raises division-by-zero, so the engines
+        // would diverge instead of agreeing (oracle mirrors the guard)
         .select(col("source"), col("n"),
-          expr("emd_sum DIV (nb - 1)").as("emd_ppm"),
-          (expr("emd_sum DIV (nb - 1)") <= t).cast("long").as("t_close"))
+          expr("emd_sum DIV greatest(nb - 1, 1)").as("emd_ppm"),
+          (expr("emd_sum DIV greatest(nb - 1, 1)") <= t).cast("long")
+            .as("t_close"))
         .orderBy("source")
     }))
 
@@ -939,9 +944,10 @@ object CurationQueries {
            FROM grid),
          e AS (SELECT source, n, nb, CAST(SUM(ABS(cum)) AS BIGINT) AS emd_sum
            FROM cum GROUP BY 1, 2, 3)
-         SELECT source, n, CAST(emd_sum // (nb - 1) AS BIGINT) AS emd_ppm,
-           CAST(CASE WHEN emd_sum // (nb - 1) <= 60000 THEN 1 ELSE 0 END
-             AS BIGINT) AS t_close
+         SELECT source, n,
+           CAST(emd_sum // GREATEST(nb - 1, 1) AS BIGINT) AS emd_ppm,
+           CAST(CASE WHEN emd_sum // GREATEST(nb - 1, 1) <= 60000
+             THEN 1 ELSE 0 END AS BIGINT) AS t_close
          FROM e ORDER BY source""",
     "anon_ldiversity" ->
       """WITH d AS (SELECT doc_id, lang, source,

@@ -50,6 +50,78 @@ object GraphAlgos {
     ids.foreach(id => s.sparkContext.getPersistentRDDs.get(id)
       .foreach(_.unpersist(blocking = false)))
 
+  /** Fail-fast guard for BIGINT-packed composite keys (msf's pk, mis's
+    * prio, random_walk's argmin key): packing total-orders its fields ONLY
+    * while each stays under its shift width — out-of-range inputs would
+    * silently mis-sort the argmin (wrong result, right cardinality: the
+    * worst failure mode), so every packing call-site pays one node-sized
+    * agg over its (already checkpointed/pinned) frame to check the actual
+    * id space and aborts loudly with the widening instruction. bv_big
+    * makes >2³¹ id spaces reachable, so "the test data fits" is not an
+    * invariant any of these can assume. */
+  private[graft] def requirePackedIds(what: String, df: DataFrame,
+      bounds: (String, Long)*): Unit = {
+    val aggs = bounds.map { case (c, _) => max(col(c).cast("long")) }
+    val mx = df.agg(aggs.head, aggs.tail: _*).head()
+    bounds.zipWithIndex.foreach { case ((c, b), i) =>
+      val v = if (mx.isNullAt(i)) 0L else mx.getLong(i)
+      require(v < b, s"$what packed key out of range: max($c)=$v >= $b — " +
+        "widen the pack shift widths for this id space")
+    }
+  }
+
+  /** Per-edge TRIANGLE SUPPORT over a distinct undirected edge set
+    * `(u, v)` with u < v: for every input edge, the number of triangles
+    * containing it — which is exactly `|N(u) ∩ N(v)|` over the symmetric
+    * adjacency. Shared by graph_truss (the peel predicate) and
+    * graph_jaccard_neighbors (whose numerator IS the support).
+    *
+    * The pass is the compact-forward orientation (graph_triangles' trick):
+    * orient every edge from its (degree, id)-smaller endpoint, build
+    * out-neighbor arrays ONCE (one shuffle, arrays bounded by the ~√m
+    * oriented out-degree cap), find each triangle exactly once at its base
+    * oriented edge as an in-row sorted-array intersection, then explode to
+    * the 3 canonical edges and partial-aggregate a COUNT per edge — rows,
+    * never adjacency arrays, cross the support shuffle. Compare the naive
+    * jaccard formulation that joined FULL neighbor arrays onto every edge:
+    * that ships Σ_v deg² array cells; this ships 3·|triangles| rows plus
+    * the orientation-capped arrays — the plan that survives hubs at 100 TB. */
+  private[graft] def triangleSupport(edges: DataFrame): DataFrame = {
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val dir = edges
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val adj = dir.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    // inner join on t: an oriented edge whose head has no out-edges
+    // bases no triangle, so dropping it here loses nothing — the
+    // final left join below restores support-0 edges.
+    val tri = dir
+      .join(adj.select(col("s"), col("nbrs").as("na")), Seq("s"))
+      .join(adj.select(col("s").as("t"), col("nbrs").as("nb")), Seq("t"))
+      .select(col("s"), col("t"),
+        explode(array_intersect(col("na"), col("nb"))).as("w"))
+    val triEdges = tri.select(explode(array(
+        struct(col("s").as("p"), col("t").as("q")),
+        struct(least(col("s"), col("w")).as("p"),
+          greatest(col("s"), col("w")).as("q")),
+        struct(least(col("t"), col("w")).as("p"),
+          greatest(col("t"), col("w")).as("q")))).as("ed"))
+      .select(least(col("ed.p"), col("ed.q")).as("u"),
+        greatest(col("ed.p"), col("ed.q")).as("v"))
+    edges.join(
+      triEdges.groupBy("u", "v").agg(count(lit(1)).as("sup")),
+      Seq("u", "v"), "left")
+      .na.fill(0L, Seq("sup"))
+  }
+
   /** `rounds` synchronous min-plus relaxation rounds from `srcId` over a
     * weighted edge frame `(a, b, w)` — the shared Bellman–Ford/BFS kernel
     * behind graph_sssp (data-derived weights), graph_diameter_sweep's two
@@ -424,18 +496,11 @@ object GraphAlgos {
           (col("w") * lit(1L << 44) + col("u") * lit(1L << 22) + col("v"))
             .as("pk")))
       // pk packing total-orders (w, u, v) ONLY while u,v < 2^22 and
-      // w < 2^19; out-of-range inputs would silently mis-sort the argmin
-      // (wrong forest, right cardinality — the worst failure mode), so
-      // fail loudly here. One node-sized agg over the already-checkpointed
-      // edge frame; at bigger id spaces widen the shifts like the 10M-node
-      // rehearsal's 2^50/2^25 packing.
-      val mx = we.agg(max(col("u").cast("long")), max(col("v").cast("long")),
-        max(col("w").cast("long"))).head()
-      require(mx.getLong(0) < (1L << 22) && mx.getLong(1) < (1L << 22) &&
-        mx.getLong(2) < (1L << 19),
-        s"graph_msf pk packing out of range: max(u)=${mx.getLong(0)}, " +
-          s"max(v)=${mx.getLong(1)}, max(w)=${mx.getLong(2)} " +
-          "(need u,v < 2^22, w < 2^19) — widen the pk shift widths")
+      // w < 2^19 ([[requirePackedIds]]); at bigger id spaces widen the
+      // shifts like the 50M-node rehearsal's auto-widened
+      // (2·idBits + 10)-bit packing.
+      requirePackedIds("graph_msf pk", we,
+        "u" -> (1L << 22), "v" -> (1L << 22), "w" -> (1L << 19))
       val (chosen, _, loopIds) = boruvkaForest(s, we, rounds = 2,
         doublings = 15)
       graft.Caches.defer(s)(freeRdds(s, weIds ++ loopIds))
@@ -506,16 +571,24 @@ object GraphAlgos {
       val sym = e.select(col("u").as("x"), col("v").as("y"))
         .unionByName(e.select(col("v").as("x"), col("u").as("y")))
       val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      // deg is a pure function of sym — LOOP-INVARIANT, so pre-join it
+      // ONCE into an edge-sized (src, y, dgs) frame and checkpoint that:
+      // the iteration then pays one m-sized join + one partial-aggregated
+      // sum per round instead of two m-sized joins. At 10 iterations and
+      // 100x scale that is 2 vs 3 shuffles per round on the edge set.
+      val (symDeg, sdIds) = checkpointWithIds(sym
+        .join(deg.withColumnRenamed("x", "dsrc")
+          .withColumnRenamed("dg", "dgs"), col("x") === col("dsrc"))
+        .select(col("x").as("src"), col("y"), col("dgs")))
+      graft.Caches.defer(s)(freeRdds(s, sdIds))
       val isSeed = (col("x") % 17 === 0).cast("long")
       val nodes = sym.select(col("x")).distinct()
       var r = nodes.select(col("x"), (isSeed * lit(1000000000L)).as("r"))
       var rIds = Set.empty[Int]
       for (_ <- 1 to 2) {
-        val contrib = sym
+        val contrib = symDeg
           .join(r.withColumnRenamed("x", "src")
-            .withColumnRenamed("r", "rs"), col("x") === col("src"))
-          .join(deg.withColumnRenamed("x", "dsrc")
-            .withColumnRenamed("dg", "dgs"), col("src") === col("dsrc"))
+            .withColumnRenamed("r", "rs"), "src")
           .select(col("y").as("x"),
             expr("(85 * rs) DIV (100 * dgs)").as("c"))
         val (ck, ids) = checkpointWithIds(
@@ -707,51 +780,16 @@ object GraphAlgos {
     //    the oracle use the simpler symmetric wedge join.
     "graph_truss" -> ((s, d) => {
       val km2 = 8L
-      def supportOf(edges: DataFrame): DataFrame = {
-        val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
-          .groupBy("x").agg(count(lit(1)).as("dg"))
-        val dir = edges
-          .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
-          .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
-          .select(
-            when(col("du") < col("dv") ||
-              (col("du") === col("dv") && col("u") < col("v")),
-              struct(col("u").as("s"), col("v").as("t")))
-              .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-          .select(col("e.s").as("s"), col("e.t").as("t"))
-        val adj = dir.groupBy(col("s"))
-          .agg(sort_array(collect_list(col("t"))).as("nbrs"))
-        // inner join on t: an oriented edge whose head has no out-edges
-        // bases no triangle, so dropping it here loses nothing — the
-        // final left join below restores support-0 edges.
-        val tri = dir
-          .join(adj.select(col("s"), col("nbrs").as("na")), Seq("s"))
-          .join(adj.select(col("s").as("t"), col("nbrs").as("nb")), Seq("t"))
-          .select(col("s"), col("t"),
-            explode(array_intersect(col("na"), col("nb"))).as("w"))
-        val triEdges = tri.select(explode(array(
-            struct(col("s").as("p"), col("t").as("q")),
-            struct(least(col("s"), col("w")).as("p"),
-              greatest(col("s"), col("w")).as("q")),
-            struct(least(col("t"), col("w")).as("p"),
-              greatest(col("t"), col("w")).as("q")))).as("ed"))
-          .select(least(col("ed.p"), col("ed.q")).as("u"),
-            greatest(col("ed.p"), col("ed.q")).as("v"))
-        edges.join(
-          triEdges.groupBy("u", "v").agg(count(lit(1)).as("sup")),
-          Seq("u", "v"), "left")
-          .na.fill(0L, Seq("sup"))
-      }
       var (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
       for (_ <- 1 to 2) {
         val (next, nIds) = checkpointWithIds(
-          supportOf(e).filter(col("sup") >= km2).select("u", "v"))
+          triangleSupport(e).filter(col("sup") >= km2).select("u", "v"))
         freeRdds(s, eIds)
         e = next; eIds = nIds
       }
       // the last generation stays pinned until the caller's terminal
       // action; Caches.sweep releases it before the next query builds
-      supportOf(e).groupBy(col("sup"))
+      triangleSupport(e).groupBy(col("sup"))
         .agg(count(lit(1)).as("n_edges"))
         .orderBy("sup")
     }),
@@ -759,25 +797,27 @@ object GraphAlgos {
     // -- neighbor-set Jaccard similarity per co-purchase edge — the graph
     //    twin of the dedup family's set-similarity operators: for each
     //    edge (u,v), |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over the undirected
-    //    adjacency. Same scale shape as triangles: n-sized adjacency
-    //    arrays built with ONE shuffle, the intersection computed inside
-    //    the row (codegen'd array_intersect), never a materialized wedge
-    //    join. Output is the top-100 most-similar edges under a total
-    //    order (jac desc, u, v) — a TakeOrderedAndProject, so only 100
-    //    rows ever reach the driver regardless of graph size.
+    //    adjacency. The numerator |N(u) ∩ N(v)| of an EDGE is exactly its
+    //    triangle support, so the whole query rides [[triangleSupport]]'s
+    //    compact-forward COUNT pass (partial-aggregated rows, arrays
+    //    bounded by the oriented ~√m out-degree cap) instead of shipping
+    //    both full neighbor arrays onto every edge — the naive formulation
+    //    paid Σ_v deg² array traffic, ~4x the oriented pass, and its hub
+    //    rows were the plan that dies first at 100x. Degrees join back
+    //    from the node-sized degree relation (AQE broadcasts it while
+    //    small); the union size is deg_u + deg_v − common by
+    //    inclusion–exclusion. Output is the top-100 most-similar edges
+    //    under a total order (jac desc, u, v) — a TakeOrderedAndProject,
+    //    so only 100 rows ever reach the driver regardless of graph size.
     "graph_jaccard_neighbors" -> ((s, d) => {
       val e = graft.Caches.pin(coPurchaseEdges(s, d))
-      val sym = e.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
-      val adj = graft.Caches.pin(sym.groupBy(col("x"))
-        .agg(sort_array(collect_list(col("y"))).as("nbrs")))
-      e.join(adj.select(col("x").as("u"), col("nbrs").as("nu")), Seq("u"))
-        .join(adj.select(col("x").as("v"), col("nbrs").as("nv")), Seq("v"))
-        .select(col("u"), col("v"),
-          size(col("nu")).cast("long").as("deg_u"),
-          size(col("nv")).cast("long").as("deg_v"),
-          size(array_intersect(col("nu"), col("nv"))).cast("long")
-            .as("n_common"))
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+      triangleSupport(e)
+        .join(deg.select(col("x").as("u"), col("dg").as("deg_u")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("dg").as("deg_v")), Seq("v"))
+        .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
+          col("sup").as("n_common"))
         .withColumn("jac_e6", floor(col("n_common") * lit(1000000.0)
           / (col("deg_u") + col("deg_v") - col("n_common"))).cast("long"))
         .orderBy(col("jac_e6").desc, col("u"), col("v"))
@@ -1163,9 +1203,10 @@ object GraphAlgos {
     "graph_mis" -> ((s, d) => {
       val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
       graft.Caches.defer(s)(freeRdds(s, eIds))
-      // prio packs (hash, id) into one BIGINT; needs id < 2^22 like
-      // graph_msf's pk (checked there against the same id space — at
-      // bigger spaces widen the shift).
+      // prio packs (hash, id) into one BIGINT; needs id < 2^22
+      // ([[requirePackedIds]] — at bigger spaces widen the shift).
+      requirePackedIds("graph_mis prio", e,
+        "u" -> (1L << 22), "v" -> (1L << 22))
       def prio(c: Column): Column =
         ((c * lit(2654435761L)) % lit(1000000007L)) * lit(1L << 22) + c
       val sym = e.select(col("u").as("x"), col("v").as("y"))
@@ -1436,6 +1477,10 @@ object GraphAlgos {
     "graph_random_walk" -> ((s, d) => {
       val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
       graft.Caches.defer(s)(freeRdds(s, eIds))
+      // the argmin key packs h·10⁹ + nbr — a total order ONLY while
+      // nbr < 10⁹ ([[requirePackedIds]]; widen the 10⁹ stride past it)
+      requirePackedIds("graph_random_walk argmin key", e,
+        "u" -> 1000000000L, "v" -> 1000000000L)
       val sym = e.select(col("u").as("x"), col("v").as("y"))
         .unionByName(e.select(col("v").as("x"), col("u").as("y")))
       def step(cur: DataFrame, k: Int): DataFrame = cur

@@ -1916,12 +1916,15 @@ object RelationalQueries {
            CAST(rev_cents - hist_cents // 3 AS BIGINT) AS err_cents
          FROM f WHERE n_hist = 3 ORDER BY day_num""",
     "forecast_holt" ->
-      // the (l, b) state PACKS into one BIGINT ((l+2^19)·2^20 + b+2^19):
+      // the (l, b) state PACKS into one BIGINT ((l+2^30)·2^31 + b+2^30):
       // DuckDB's list_reduce mis-evaluates struct accumulators whose
       // fields reference each other across chained steps (verified:
       // 2-element struct fold returns b=-3 where stepwise evaluation
-      // gives -5), while a scalar accumulator folds correctly. Both l
-      // and b stay far inside ±2^19 for daily event counts.
+      // gives -5), while a scalar accumulator folds correctly. The
+      // 2^30-offset / 2^31-stride packing holds |l|,|b| < 2^30 (~1.07e9
+      // daily events — far past any SF this corpus reaches; max packed
+      // value (2^31)·2^31 + 2^31 < 2^63) where the earlier 2^19 packing
+      // silently wrapped trend into level above ~524k events/day.
       """WITH daily AS (SELECT event_type,
              epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
            FROM events GROUP BY 1, 2),
@@ -1929,22 +1932,27 @@ object RelationalQueries {
            FROM daily GROUP BY 1),
          f AS (SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days,
              list_reduce(
-               list_prepend(CAST((xs[1] + 524288) * 1048576
-                 + (xs[2] - xs[1] + 524288) AS BIGINT),
+               list_prepend(CAST((xs[1] + 1073741824) * 2147483648
+                 + (xs[2] - xs[1] + 1073741824) AS BIGINT),
                  list_transform(xs[2:len(xs)], x -> CAST(x AS BIGINT))),
                (acc, x) ->
-                 ((x + (acc // 1048576 - 524288) + (acc % 1048576 - 524288))
-                     // 2 + 524288) * 1048576
-                 + ((x + (acc // 1048576 - 524288) + (acc % 1048576 - 524288))
+                 ((x + (acc // 2147483648 - 1073741824)
+                     + (acc % 2147483648 - 1073741824))
+                     // 2 + 1073741824) * 2147483648
+                 + ((x + (acc // 2147483648 - 1073741824)
+                     + (acc % 2147483648 - 1073741824))
                      // 2
-                    - (acc // 1048576 - 524288) + (acc % 1048576 - 524288))
-                     // 2 + 524288) AS st
+                    - (acc // 2147483648 - 1073741824)
+                    + (acc % 2147483648 - 1073741824))
+                     // 2 + 1073741824) AS st
            FROM ser WHERE len(xs) >= 2)
          SELECT event_type, n_days,
-           st // 1048576 - 524288 AS level,
-           st % 1048576 - 524288 AS trend,
-           (st // 1048576 - 524288) + (st % 1048576 - 524288) AS fc_1,
-           (st // 1048576 - 524288) + 7 * (st % 1048576 - 524288) AS fc_7
+           st // 2147483648 - 1073741824 AS level,
+           st % 2147483648 - 1073741824 AS trend,
+           (st // 2147483648 - 1073741824)
+             + (st % 2147483648 - 1073741824) AS fc_1,
+           (st // 2147483648 - 1073741824)
+             + 7 * (st % 2147483648 - 1073741824) AS fc_7
          FROM f ORDER BY event_type""",
     "mv_incremental" ->
       """SELECT event_type, COUNT(*) AS n_events,

@@ -660,6 +660,87 @@ object StreamingOps {
         .filter(col("event_type") =!= "~sentinel")
         .orderBy("win_start", "event_type")),
 
+    // -- FILE-SOURCE ingest through the streaming engine: the SAME
+    //    tumbling-window aggregation as stream_time_window, but the
+    //    source is `readStream` over a parquet DIRECTORY the corpus is
+    //    dropped into in two file batches — the scale ingest path (at
+    //    100 TB/day events arrive as files or Kafka; unlike the
+    //    MemoryStream replay harness, NOTHING here collects a corpus row
+    //    to the driver: the batch boundary comes from one 1-row min/max
+    //    aggregate, the batch files are distributed writes, and
+    //    per-trigger arrival is a file rename into the watched
+    //    directory). Same two-batch + sentinel watermark schedule — every
+    //    batch-2 row is strictly later than batch 1's max, so the
+    //    watermark can never drop a row and the streaming result equals
+    //    the batch result by construction — and the same oracle as the
+    //    batch twin gates it.
+    "stream_file_time_window" -> ((s, d) => {
+      import s.implicits._
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100).cast("long").as("v_cents"),
+          col("event_type"))
+      val mm = ev.agg(min(col("us")), max(col("us"))).head() // 1-row scalar
+      val (minUs, maxUs) = (mm.getLong(0), mm.getLong(1))
+      val midUs = minUs + (maxUs - minUs) / 2
+      val sentinelUs = maxUs + 2L * 3600L * 1000000L
+      val root = java.nio.file.Files.createTempDirectory("graft_file_stream_")
+      val inDir = root.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      graft.Caches.defer(s) { // the memory sink holds the result; the
+        import scala.jdk.CollectionConverters._ // files are harness-only
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists)
+      }
+      def sentinelDf(usv: Long) =
+        Seq((-1L, -1L, usv, 0L, "~sentinel"))
+          .toDF("event_id", "user_id", "us", "v_cents", "event_type")
+      // distributed writes into staging; arrival = renaming the part
+      // files into the watched directory (atomic per file)
+      def staged(df: DataFrame, name: String): Seq[java.nio.file.Path] = {
+        val out = root.resolve(name)
+        df.write.parquet(out.toString)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(out).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+      }
+      val b1 = staged(ev.filter(col("us") <= midUs), "b1")
+      val b2 = staged(ev.filter(col("us") > midUs)
+        .unionByName(sentinelDf(sentinelUs)), "b2")
+      val b3 = staged(sentinelDf(sentinelUs + 1000000L), "b3")
+      def arrive(files: Seq[java.nio.file.Path], pfx: String): Unit =
+        files.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f, inDir.resolve(s"${pfx}_$i.parquet")) }
+      val src = s.readStream.schema(ev.schema).parquet(inDir.toString)
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "10 minutes")
+      val sink = "stream_file_time_window_sink"
+      s.catalog.dropTempView(sink)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = src
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("value_cents"))
+        .select(col("win.start").as("win_start"), col("event_type"),
+          col("n"), col("value_cents"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        arrive(b1, "b1"); q.processAllAvailable()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        arrive(b2, "b2"); q.processAllAvailable()
+        arrive(b3, "b3"); q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(sink)
+        .filter(col("event_type") =!= "~sentinel")
+        .orderBy("win_start", "event_type")
+    }),
+
     // -- SLIDING event-time windows through the streaming engine (1 h
     //    width, 30 min slide — each event lands in exactly 2 overlapping
     //    windows): the trend-smoothing shape dashboards run. State is one
@@ -1002,6 +1083,11 @@ object StreamingOps {
            COUNT(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS value_cents
          FROM sx GROUP BY user_id, sess_no ORDER BY user_id, start_us""",
     "stream_time_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "stream_file_time_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
          COUNT(*) AS n,
          CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

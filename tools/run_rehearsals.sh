@@ -6,7 +6,7 @@
 #   tools/run_rehearsals.sh [graphNodes] [textDocs] [relRows] [embVecs]
 set -e
 cd /root/repo
-GN=${1:-10000000}
+GN=${1:-50000000}
 TD=${2:-1000000}
 RR=${3:-50000000}
 EV=${4:-2000000}
@@ -20,9 +20,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 run() {
-  # 16g: the Borůvka rehearsal holds ~4 checkpointed 10M-row generations
-  # alongside the 25M-edge working set — 8g OOMs in its round-1 joins
-  java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false \
+  # 48g: the 50M-node Borůvka rehearsal holds ~4 checkpointed 50M-row
+  # generations alongside the ~125M-edge working set, and the long-id
+  # section carries a second full graph — 16g (the old 10M sizing) OOMs
+  java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@" 2>/dev/null \
     | grep -E '^\{'
