@@ -86,10 +86,18 @@ object GraphAlgos {
     * jaccard formulation that joined FULL neighbor arrays onto every edge:
     * that ships Σ_v deg² array cells; this ships 3·|triangles| rows plus
     * the orientation-capped arrays — the plan that survives hubs at 100 TB. */
-  private[graft] def triangleSupport(edges: DataFrame): DataFrame = {
-    val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
-      .groupBy("x").agg(count(lit(1)).as("dg"))
-    val dir = edges
+  private[graft] def triangleSupport(edges: DataFrame,
+      degOpt: Option[DataFrame] = None): DataFrame = {
+    // deg feeds both orientation joins (and often the caller's output —
+    // jaccard passes its pinned copy in); dir feeds the adjacency build
+    // AND both probe sides of the triangle join; adj is probed twice.
+    // Pin all three or every consumer replays the upstream shuffles —
+    // unpinned, this pass re-ran the degree aggregation 4x and the
+    // orientation joins 3x (measured 7.0 s vs 3.4 s at sf0.1).
+    val deg = degOpt.getOrElse(graft.Caches.pin(
+      edges.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("dg"))))
+    val dir = graft.Caches.pin(edges
       .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
       .select(
@@ -97,9 +105,9 @@ object GraphAlgos {
           (col("du") === col("dv") && col("u") < col("v")),
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
-    val adj = dir.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+      .select(col("e.s").as("s"), col("e.t").as("t")))
+    val adj = graft.Caches.pin(dir.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs")))
     // inner join on t: an oriented edge whose head has no out-edges
     // bases no triangle, so dropping it here loses nothing — the
     // final left join below restores support-0 edges.
@@ -802,18 +810,27 @@ object GraphAlgos {
     //    compact-forward COUNT pass (partial-aggregated rows, arrays
     //    bounded by the oriented ~√m out-degree cap) instead of shipping
     //    both full neighbor arrays onto every edge — the naive formulation
-    //    paid Σ_v deg² array traffic, ~4x the oriented pass, and its hub
-    //    rows were the plan that dies first at 100x. Degrees join back
-    //    from the node-sized degree relation (AQE broadcasts it while
+    //    paid Σ_v deg² array traffic, and its hub rows are the plan that
+    //    dies first at 100x. Measured tradeoff at sf0.1 (quiet box): this
+    //    pass is 4.4 s vs the naive join's 2.9 s — the support count pays
+    //    a 3·|triangles| explode+shuffle the array join avoided, and this
+    //    clique-heavy co-purchase graph (≤7-item orders → dense order
+    //    cliques) is triangle-rich. The constant is paid knowingly: the
+    //    naive plan's cost is degree-SQUARED in the hubs (unbounded at
+    //    crawl scale), the oriented pass is triangle-linear with √m-capped
+    //    fan-out, and pinning the shared pass also took graph_truss's
+    //    three-pass peel from 11.0 to 6.8 s. Degrees join back from the
+    //    node-sized pinned degree relation (AQE broadcasts it while
     //    small); the union size is deg_u + deg_v − common by
     //    inclusion–exclusion. Output is the top-100 most-similar edges
     //    under a total order (jac desc, u, v) — a TakeOrderedAndProject,
     //    so only 100 rows ever reach the driver regardless of graph size.
     "graph_jaccard_neighbors" -> ((s, d) => {
       val e = graft.Caches.pin(coPurchaseEdges(s, d))
-      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
-        .groupBy("x").agg(count(lit(1)).as("dg"))
-      triangleSupport(e)
+      val deg = graft.Caches.pin(
+        e.select(explode(array(col("u"), col("v"))).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("dg")))
+      triangleSupport(e, Some(deg))
         .join(deg.select(col("x").as("u"), col("dg").as("deg_u")), Seq("u"))
         .join(deg.select(col("x").as("v"), col("dg").as("deg_v")), Seq("v"))
         .select(col("u"), col("v"), col("deg_u"), col("deg_v"),

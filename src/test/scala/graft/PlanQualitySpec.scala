@@ -1091,6 +1091,22 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"expected the sorted-array triangle intersection:\n$p")
   }
 
+  test("graph_jaccard_neighbors: numerator is the partial-aggregated triangle support, not arrays shipped per edge") {
+    val p = executed(SparkEntry.queries("graph_jaccard_neighbors")(spark, sf0001))
+    // the compact-forward support pass partial-aggregates a COUNT on the
+    // canonical edge key — the naive formulation (full neighbor arrays
+    // joined onto every edge, intersected in-row) had no (u,v)-keyed
+    // aggregate at all and shipped sum(deg^2) array cells instead
+    assert("""HashAggregate\(keys=\[u#\d+L?(, |, knownfloatingpointnormalized.*)?v#\d+L?\], functions=\[partial_count""".r
+      .findFirstIn(p).isDefined ||
+      """HashAggregate\(keys=\[u#\d+L?, v#\d+L?\]""".r.findFirstIn(p).isDefined,
+      s"(u,v)-keyed support aggregate missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in the jaccard plan:\n$p")
+  }
+
   test("graph_betweenness2: sigma comes from one pair-key window, not a join-back") {
     val p = executed(SparkEntry.queries("graph_betweenness2")(spark, sf0001))
     assert("(?s)Window".r.findAllIn(p.split("== Initial Plan ==")(0)).size >= 1,
