@@ -34,18 +34,25 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Exception => -1.0 }
 
-  /** (steal+iowait, total) jiffies from /proc/stat's aggregate cpu line.
-    * Loadavg is 1-min smoothed and misses short bursts of hypervisor
+  /** (steal, steal+iowait, total) jiffies from /proc/stat's aggregate cpu
+    * line. Loadavg is 1-min smoothed and misses short bursts of hypervisor
     * steal or disk stalls entirely — a 15 s stall at "load 1.7" reads as
-    * a code regression without this. The per-run delta of stolen+iowait
-    * over total jiffies is the direct contention measurement. */
-  private def cpuStat(): (Long, Long) =
+    * a code regression without this. The REPORTED share keeps iowait (a
+    * disk stall is visible either way), but the clean/contended CRITERION
+    * uses pure hypervisor steal: a shuffle-heavy query generates its OWN
+    * iowait spilling to /tmp, and a criterion that includes it flags the
+    * query's honest cost as contention (the first full run under the
+    * combined criterion flagged 10 shuffle-heavy graph queries on an
+    * otherwise idle box). Foreign CPU hogs still trip the load test. */
+  private def cpuStat(): (Long, Long, Long) =
     try {
       val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
         .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
       // user nice system idle iowait irq softirq steal [guest guest_nice]
-      ((if (f.length > 7) f(7) else 0L) + (if (f.length > 4) f(4) else 0L), f.sum)
-    } catch { case _: Exception => (0L, 0L) }
+      val steal = if (f.length > 7) f(7) else 0L
+      val iowait = if (f.length > 4) f(4) else 0L
+      (steal, steal + iowait, f.sum)
+    } catch { case _: Exception => (0L, 0L, 0L) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,7 +108,8 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val nRuns = if (isNoisy(name)) runsNoisy else runs
-      def sampleOnce(): Option[(Double, Double, Double)] = {
+      // sample = (seconds, entry load1, pure-steal %, steal+iowait %)
+      def sampleOnce(): Option[(Double, Double, Double, Double)] = {
         Caches.hardSweep(spark) // order-independent: no inherited caches
         val ld = load1()
         val c0 = cpuStat()
@@ -110,15 +118,17 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           val c1 = cpuStat()
-          val steal = 100.0 * (c1._1 - c0._1) / math.max(1L, c1._2 - c0._2)
-          Some((dt, ld, steal))
+          val tot = math.max(1L, c1._3 - c0._3)
+          val steal = 100.0 * (c1._1 - c0._1) / tot
+          val stealIo = 100.0 * (c1._2 - c0._2) / tot
+          Some((dt, ld, steal, stealIo))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None
         }
       }
-      def clean(sm: (Double, Double, Double)): Boolean =
+      def clean(sm: (Double, Double, Double, Double)): Boolean =
         sm._3 <= stealMax && (sm._2 < 0 || sm._2 <= loadMax)
       var samples = (1 to nRuns).flatMap(_ => sampleOnce())
       // bounded resample: keep sampling while the clean count is short of
@@ -133,7 +143,7 @@ object Bench {
       val contended = samples.nonEmpty && preferred.exists(!clean(_))
       val times = samples.map(_._1)
       val loads = samples.map(_._2)
-      val steals = samples.map(_._3)
+      val steals = samples.map(_._4) // reported share keeps iowait
       if (times.isEmpty) (name, -1.0, -1.0, times, loads, steals, false)
       else {
         val med = { val st = preferred.map(_._1).sorted; st(st.length / 2) }
@@ -186,9 +196,12 @@ object Bench {
         "`queries_steal_pct` = hypervisor-steal + iowait share of total " +
         "CPU jiffies during each run — loadavg is 1-min smoothed and " +
         "misses short stalls entirely, steal share is the direct contention " +
-        f"reading. Runs with steal > $stealMax%.1f%% or entry load > " +
-        f"$loadMax%.1f are RESAMPLED (bounded) and medians prefer clean " +
-        "samples; `queries_contended` lists queries whose reported median " +
+        f"reading. Runs with PURE hypervisor steal > $stealMax%.1f%% or " +
+        f"entry load > $loadMax%.1f are RESAMPLED (bounded) and medians " +
+        "prefer clean samples — the criterion excludes iowait because " +
+        "shuffle-heavy queries generate their own spill iowait, but the " +
+        "reported `queries_steal_pct` keeps it so disk stalls stay " +
+        "visible; `queries_contended` lists queries whose reported median " +
         "still rests on contended runs — those numbers are lower bounds on " +
         "the box, not the code).\n\n" +
         s"```json\n$fullLine\n```\n"

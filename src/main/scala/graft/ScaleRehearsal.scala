@@ -23,9 +23,17 @@ object ScaleRehearsal {
     val avgDeg = args.lift(1).map(_.toInt).getOrElse(5)
     val shards = args.lift(2).map(_.toInt).getOrElse(32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // more shuffle partitions than cores at big n: 50M-node frames at 32
+    // partitions put ~1.5M sketch/edge rows in ONE task's hash tables —
+    // the per-task footprint, not the total, is what OOMs. 4x cores keeps
+    // tasks bounded while staying far from small-file/scheduling overhead
+    // (this is exactly the shuffle.partitions sizing lever the brief
+    // names for the 100 TB tier).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      (cpus.toInt * 4).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -20,10 +20,12 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 run() {
-  # 48g: the 50M-node Borůvka rehearsal holds ~4 checkpointed 50M-row
-  # generations alongside the ~125M-edge working set, and the long-id
-  # section carries a second full graph — 16g (the old 10M sizing) OOMs
-  java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false \
+  # 96g: the 50M-node rehearsal holds multiple checkpointed 50M-row
+  # generations (hyperball sketches = 16 longs/node) alongside the
+  # ~250M-arc working set, and the long-id section carries a second full
+  # graph — 48g OOM'd mid-run; ScaleRehearsal also defaults
+  # shuffle.partitions to 4x cores so per-task hash tables stay bounded
+  java $ADD_OPENS -Xmx96g -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@" 2>/dev/null \
     | grep -E '^\{'
