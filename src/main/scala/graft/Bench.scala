@@ -71,6 +71,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle spill on scratch (tmpfs when available): production boxes
+      // provision NVMe local dirs; this VM's /tmp shares the OS virtio
+      // disk and the graph family's own spills show up as iowait ([[Scratch]])
+      .config("spark.local.dir", Scratch.dir("spark_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet reader init so the first

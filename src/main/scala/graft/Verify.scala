@@ -20,6 +20,8 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle spill on scratch (tmpfs when available) — see [[Scratch]]
+      .config("spark.local.dir", Scratch.dir("spark_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

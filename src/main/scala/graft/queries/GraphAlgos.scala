@@ -1586,6 +1586,102 @@ object GraphAlgos {
             .cast("long").as("reach2_x1e6"))
     }),
 
+    // -- CORENESS DECOMPOSITION by h-index iteration (Lü et al. 2016:
+    //    h⁰ = degree, hⁱ⁺¹(u) = H-index of {hⁱ(v) : v ∈ N(u)}; the
+    //    sequence is monotone non-increasing and converges to the core
+    //    number of EVERY node simultaneously — the all-k companion of
+    //    graph_kcore's single-k peel, and the decomposition a curation
+    //    pipeline ranks link-graph nodes by without running one peel per
+    //    k). Two fixed rounds keep the oracle a chained-CTE replay (like
+    //    kcore/msf; production runs the same round to fixpoint,
+    //    ≤ O(max-core) rounds in theory, a handful in practice). Per
+    //    round: ONE edge-sized equi-join publishing each node's current h
+    //    to its neighbors, then the H-index as a per-node ordered count —
+    //    max(least(rank, value)) over the neighbor values sorted
+    //    descending, which is tie-order-invariant (equal values get
+    //    contiguous ranks; the multiset of least(rank, value) terms is
+    //    unchanged under any tie order). All iteration state is one long
+    //    per node. The row_number sort is bounded by each node's OWN
+    //    degree; at crawl scale the same H-index is computable without a
+    //    per-node sort by bucketing neighbor h-values into a bounded
+    //    histogram (h ≤ √(2m) always) and scanning the cumulative counts
+    //    for max t with count(hv ≥ t) ≥ t — swap in when hub degrees make
+    //    per-key sorts the skew term.
+    "graph_coreness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
+      graft.Caches.defer(s)(freeRdds(s, eIds))
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      var h = sym.groupBy(col("x")).agg(count(lit(1)).as("h"))
+      var hIds = Set.empty[Int] // generation 0 rides on e's checkpoint
+      for (_ <- 1 to 2) {
+        val nb = sym.join(h.select(col("x").as("y"), col("h").as("hv")), "y")
+          .select(col("x"), col("hv"))
+        val w = Window.partitionBy(col("x")).orderBy(col("hv").desc)
+        val (nh, nhIds) = checkpointWithIds(
+          nb.withColumn("rn", row_number().over(w).cast("long"))
+            .groupBy(col("x"))
+            .agg(max(least(col("rn"), col("hv"))).as("h")))
+        freeRdds(s, hIds)
+        h = nh
+        hIds = nhIds
+      }
+      graft.Caches.defer(s)(freeRdds(s, hIds))
+      h.select(col("x").cast("long").as("node"), col("h").as("core_h2"))
+        .orderBy("node")
+    }),
+
+    // -- LOUVAIN community detection, one synchronous sweep from
+    //    singleton communities over the WEIGHTED co-purchase graph (the
+    //    msf family's input): node u joins neighbor v's community iff the
+    //    modularity gain is positive, argmax with ties to the smaller
+    //    neighbor id. With singletons, ΔQ(u→{v}) ∝ w(u,v)/m −
+    //    deg_w(u)·deg_w(v)/(2m²); scaled by the positive constant 2m²
+    //    the decision variable is the EXACT INTEGER
+    //    2m·w(u,v) − deg_w(u)·deg_w(v) — no float ever enters the argmax,
+    //    so the sweep is hash-gated end to end (the same
+    //    cross-multiplication trick as embed_outliers_centroid). Output
+    //    is the community summary (size + internal weight + the scaled
+    //    modularity numerator per community). Scale shape: degrees are
+    //    one partial-aggregated pass; 2m is a 1-row driver scalar
+    //    (bounded, like cluster_kmeans' centroids); the argmax is one
+    //    edge-sized join + per-node max_by partial aggregate; internal
+    //    weight re-joins the new labels onto the edge list — two
+    //    node-sized equi-joins. Nothing materializes neighbor sets, so
+    //    hubs cost their degree, not degree². Production Louvain iterates
+    //    this sweep + graph coarsening; each later sweep has the same
+    //    plan over a strictly smaller graph.
+    "graph_louvain" -> ((s, d) => {
+      val (we, weIds) = checkpointWithIds(weightedCoPurchase(s, d))
+      graft.Caches.defer(s)(freeRdds(s, weIds))
+      val sym = we.select(col("u").as("x"), col("v").as("y"), col("w"))
+        .unionByName(we.select(col("v").as("x"), col("u").as("y"), col("w")))
+      val deg = sym.groupBy(col("x")).agg(sum(col("w")).as("dw"))
+      // 2m: one bounded 1-row scalar (total edge weight, doubled)
+      val m2 = we.agg(sum(col("w")).cast("long")).head().getLong(0) * 2L
+      val sc = sym
+        .join(deg.select(col("x"), col("dw").as("du")), "x")
+        .join(deg.select(col("x").as("y"), col("dw").as("dv")), "y")
+        .withColumn("score", lit(m2) * col("w") - col("du") * col("dv"))
+      val lbl = sc.groupBy(col("x")).agg(
+        max_by(col("y"), struct(col("score"), -col("y"))).as("best"),
+        max(col("score")).as("bs"))
+      val (moved, mIds) = checkpointWithIds(lbl.select(col("x"),
+        when(col("bs") > 0, col("best")).otherwise(col("x")).as("comm")))
+      graft.Caches.defer(s)(freeRdds(s, mIds))
+      val internal = we
+        .join(moved.select(col("x").as("u"), col("comm").as("cu")), "u")
+        .join(moved.select(col("x").as("v"), col("comm").as("cv")), "v")
+        .filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("comm")).agg(sum(col("w")).as("w_in"))
+      moved.groupBy(col("comm")).agg(count(lit(1)).as("n_nodes"))
+        .join(internal, Seq("comm"), "left")
+        .select(col("comm"), col("n_nodes"),
+          coalesce(col("w_in"), lit(0L)).as("w_internal"))
+        .orderBy("comm")
+    }),
+
     "graph_kcore" -> ((s, d) => {
       val rounds = 6
       val dbg = sys.props.get("graft.debug").contains("1")
@@ -1801,6 +1897,50 @@ object GraphAlgos {
          SELECT ch.round, we.u, we.v, CAST(we.w AS BIGINT) AS w
          FROM ch JOIN we ON we.pk = ch.mk
          ORDER BY round, u, v""",
+    "graph_coreness" ->
+      s"""WITH ${edgesCte.replace("e AS (", "e AS MATERIALIZED (")},
+         sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+         h0 AS MATERIALIZED (SELECT x, CAST(COUNT(*) AS BIGINT) AS h
+           FROM sym GROUP BY x),
+         n1 AS (SELECT s.x, h0.h AS hv FROM sym s JOIN h0 ON h0.x = s.y),
+         r1 AS (SELECT x, hv, CAST(ROW_NUMBER() OVER (PARTITION BY x
+             ORDER BY hv DESC) AS BIGINT) AS rn FROM n1),
+         h1 AS MATERIALIZED (SELECT x, MAX(LEAST(rn, hv)) AS h
+           FROM r1 GROUP BY x),
+         n2 AS (SELECT s.x, h1.h AS hv FROM sym s JOIN h1 ON h1.x = s.y),
+         r2 AS (SELECT x, hv, CAST(ROW_NUMBER() OVER (PARTITION BY x
+             ORDER BY hv DESC) AS BIGINT) AS rn FROM n2),
+         h2 AS (SELECT x, MAX(LEAST(rn, hv)) AS h FROM r2 GROUP BY x)
+         SELECT x AS node, h AS core_h2 FROM h2 ORDER BY node""",
+    "graph_louvain" ->
+      """WITH we AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS w
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         sym AS (SELECT u AS x, v AS y, w FROM we
+           UNION ALL SELECT v, u, w FROM we),
+         deg AS MATERIALIZED (SELECT x, CAST(SUM(w) AS BIGINT) AS dw
+           FROM sym GROUP BY x),
+         mm AS (SELECT 2 * CAST(SUM(w) AS BIGINT) AS m2 FROM we),
+         sc AS (SELECT s.x, s.y, mm.m2 * s.w - a.dw * b.dw AS score
+           FROM sym s JOIN deg a ON a.x = s.x JOIN deg b ON b.x = s.y, mm),
+         arg AS (SELECT x, y AS best, score AS bs,
+             ROW_NUMBER() OVER (PARTITION BY x
+               ORDER BY score DESC, y) AS rk FROM sc),
+         moved AS MATERIALIZED (SELECT x,
+             CASE WHEN bs > 0 THEN best ELSE x END AS comm
+           FROM arg WHERE rk = 1),
+         internal AS (SELECT a.comm, CAST(SUM(we.w) AS BIGINT) AS w_in
+           FROM we JOIN moved a ON a.x = we.u JOIN moved b ON b.x = we.v
+           WHERE a.comm = b.comm GROUP BY a.comm),
+         sizes AS (SELECT comm, CAST(COUNT(*) AS BIGINT) AS n_nodes
+           FROM moved GROUP BY comm)
+         SELECT s.comm, s.n_nodes,
+           COALESCE(i.w_in, CAST(0 AS BIGINT)) AS w_internal
+         FROM sizes s LEFT JOIN internal i ON i.comm = s.comm
+         ORDER BY s.comm""",
     "graph_scc" ->
       s"""WITH nodes AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS pk
            FROM lineitem),

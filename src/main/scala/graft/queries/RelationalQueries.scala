@@ -559,6 +559,42 @@ object RelationalQueries {
           .over(Window.partitionBy(col("user_id")).orderBy(col("ver"))))
     }),
 
+    // -- INTERVAL COALESCE (union of overlapping intervals — the
+    //    "effective coverage" shape: maintenance windows, license
+    //    validity, crawl-session spans): each event opens an interval
+    //    [ts, ts + value minutes] in exact epoch-µs; per user,
+    //    overlapping-or-touching intervals merge into islands via the
+    //    cumulative-max sweep (an interval starts a NEW island iff its
+    //    start exceeds the running max end of every earlier interval
+    //    under the (start, end, event_id) total order). Differs from
+    //    scd2_intervals/sessionize: inputs here are genuine RANGES that
+    //    overlap, not points with gaps. Scale shape: one hash shuffle on
+    //    user_id, then a single in-partition sorted sweep whose state is
+    //    two longs (running max end, island counter) — never an
+    //    interval-x-interval join, which is the naive O(n²) formulation.
+    //    Skewed users sort within one task bounded by that user's own
+    //    history (the same bound scd2_intervals carries).
+    "interval_coalesce" -> ((s, d) => {
+      val iv = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          floor(col("value") * 60).cast("long") * lit(1000000L)).as("e_us"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("s_us"), col("e_us"), col("event_id"))
+      val isl = iv
+        .withColumn("pmax", max(col("e_us"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_isl",
+          when(col("pmax").isNull || col("s_us") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("new_isl"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("user_id"), col("isl"))
+        .agg(min(col("s_us")).as("start_us"), max(col("e_us")).as("end_us"),
+          count(lit(1)).as("n_merged"))
+        .orderBy("user_id", "isl")
+    }),
+
     // -- CDC upsert / incremental state maintenance — the MERGE shape every
     //    incremental pipeline runs daily: `state` is the latest-event-per-
     //    user snapshot over the first half of the month, `delta` is the
@@ -1731,6 +1767,23 @@ object RelationalQueries {
            LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
              AS valid_to_us
          FROM g ORDER BY user_id, ver""",
+    "interval_coalesce" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(FLOOR(value * 60) AS BIGINT) * 1000000
+               AS e_us
+           FROM events),
+         m AS (SELECT *, MAX(e_us) OVER (PARTITION BY user_id
+             ORDER BY s_us, e_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM iv),
+         f AS (SELECT *, CASE WHEN pmax IS NULL OR s_us > pmax
+             THEN 1 ELSE 0 END AS new_isl FROM m),
+         g AS (SELECT *, SUM(new_isl) OVER (PARTITION BY user_id
+             ORDER BY s_us, e_us, event_id ROWS UNBOUNDED PRECEDING) AS isl
+           FROM f)
+         SELECT user_id, CAST(isl AS BIGINT) AS isl, MIN(s_us) AS start_us,
+           MAX(e_us) AS end_us, CAST(COUNT(*) AS BIGINT) AS n_merged
+         FROM g GROUP BY user_id, isl ORDER BY user_id, isl""",
     "cdc_upsert" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,

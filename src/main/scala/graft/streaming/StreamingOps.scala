@@ -410,7 +410,14 @@ object StreamingOps {
     s.catalog.dropTempView(sink) // re-runs in one session replace the sink
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // explicit checkpoint on scratch (tmpfs when available): the default
+    // temp checkpoint lands in /tmp on the OS disk, and the state store's
+    // per-batch delta/commit files + offset log are the bulk of a short
+    // replay's wall-clock there ([[graft.Scratch]]); deleted in finally —
+    // a leaked tmpfs checkpoint is leaked RAM
+    val ckpt = graft.Scratch.dir(s"ckpt_$sink")
     val q = out.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
       .outputMode(outputMode).start()
     try {
       // batch 0 pins shuffle.partitions into the query's offset metadata;
@@ -424,6 +431,7 @@ object StreamingOps {
     } finally {
       q.stop()
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.Scratch.delete(ckpt)
     }
     s.table(sink)
   }
@@ -686,7 +694,8 @@ object StreamingOps {
       val (minUs, maxUs) = (mm.getLong(0), mm.getLong(1))
       val midUs = minUs + (maxUs - minUs) / 2
       val sentinelUs = maxUs + 2L * 3600L * 1000000L
-      val root = java.nio.file.Files.createTempDirectory("graft_file_stream_")
+      val root = java.nio.file.Paths.get(graft.Scratch.dir("file_stream"))
+      java.nio.file.Files.createDirectories(root)
       val inDir = root.resolve("in")
       java.nio.file.Files.createDirectories(inDir)
       graft.Caches.defer(s) { // the memory sink holds the result; the
@@ -726,6 +735,7 @@ object StreamingOps {
         .select(col("win.start").as("win_start"), col("event_type"),
           col("n"), col("value_cents"))
         .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
         .outputMode("append").start()
       try {
         arrive(b1, "b1"); q.processAllAvailable()
