@@ -882,9 +882,86 @@ object CurationQueries {
           (expr("emd_sum DIV greatest(nb - 1, 1)") <= t).cast("long")
             .as("t_close"))
         .orderBy("source")
+    }),
+
+    // -- DIFFERENTIALLY-PRIVATE count release (the top anonymity rung
+    //    after k-anon / l-div / t-closeness: publish per-(event_type, day)
+    //    activity counts with ε-DP noise instead of suppressing them).
+    //    Mechanism: truncated DISCRETE LAPLACE (two-sided geometric,
+    //    α = 1/2 ⇒ ε = ln 2 for sensitivity-1 counts; truncation at ±10
+    //    renormalizes tail mass < 1e-3 of the distribution — the standard
+    //    bounded-noise variant). The noise draw is EXACT INTEGER
+    //    inverse-CDF: slot widths 2^B (z=0) and 2^(B−k) (z=±k) over
+    //    W = 3·2^B − 2 equally-likely values, u = (48-bit md5 prefix of
+    //    the group key) mod W, and a shared fence table drives both the
+    //    Spark when-chain and the oracle's CASE chain — no float, no RNG,
+    //    so the release is hash-gated end to end. (Production swaps the
+    //    key-derived hash for a secret-seeded PRF — the MECHANISM is
+    //    identical; key-derived here is what makes the oracle replayable.)
+    //    max(0, ·) clipping is DP post-processing. Scale shape: one
+    //    stateless scan + partial-aggregated count to a metadata-sized
+    //    (types × days) relation; the noise is a per-GROUP projection, so
+    //    the release costs the same as the count it protects.
+    "anon_dp_geometric" -> ((s, d) => {
+      val ec = events(s, d).select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("eday"))
+      val counts = ec.groupBy("event_type", "eday").agg(count(lit(1)).as("n"))
+      val u = pmod(
+        conv(substring(md5(concat(col("event_type"), lit("|"),
+          col("eday").cast("string"))), 1, 12), 16, 10).cast("long"),
+        lit(dpW))
+      val noise = dpFences.foldRight(lit(dpFences.last._2): org.apache.spark.sql.Column) {
+        case ((ub, zv), rest) => when(col("u") < ub, lit(zv)).otherwise(rest)
+      }
+      counts.withColumn("u", u)
+        .select(col("event_type"), col("eday"),
+          greatest(lit(0L), col("n") + noise).as("n_noisy"))
+        .orderBy("event_type", "eday")
     }))
 
+  /** Inverse-CDF fence posts of the truncated discrete Laplace (α = 1/2,
+    * |z| ≤ B = 10) over W = [[dpW]] equally-likely integers: ordered
+    * (upperBound, z) pairs — z = 0 owns the first 2^B slots, then ±k own
+    * 2^(B−k) each. Shared verbatim by anon_dp_geometric's when-chain and
+    * its oracle's CASE chain so both engines replay the same mechanism. */
+  private val dpB = 10
+  private[graft] val dpW: Long = 3L * (1L << dpB) - 2
+  private[graft] val dpFences: Seq[(Long, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var cum = 1L << dpB
+    buf += ((cum, 0L))
+    for (k <- 1 to dpB; sgn <- Seq(1L, -1L)) {
+      cum += 1L << (dpB - k)
+      buf += ((cum, sgn * k))
+    }
+    buf.toSeq
+  }
+
+  /** The oracle-side twins: 48-bit hex-prefix parse (DuckDB has no conv)
+    * and the fence CASE chain. */
+  private def dpHexSql(mdExpr: String): String =
+    (1 to 12).map(i =>
+      s"(strpos('0123456789abcdef', substr($mdExpr, $i, 1)) - 1) * ${1L << (4 * (12 - i))}")
+      .mkString("(", "\n             + ", ")")
+  private def dpNoiseSql: String =
+    "CASE " + dpFences.dropRight(1).map { case (ub, zv) =>
+      s"WHEN u < $ub THEN $zv" }.mkString(" ") +
+      s" ELSE ${dpFences.last._2} END"
+
   val oracleSql: Map[String, String] = Map(
+    "anon_dp_geometric" ->
+      s"""WITH c AS (SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         h AS (SELECT event_type, CAST(eday AS BIGINT) AS eday, n,
+             ${dpHexSql("md5(event_type || '|' || CAST(eday AS VARCHAR))")}
+               % $dpW AS u
+           FROM c)
+         SELECT event_type, eday,
+           GREATEST(CAST(0 AS BIGINT), n + ($dpNoiseSql)) AS n_noisy
+         FROM h ORDER BY event_type, eday""",
     "quality_lm_bigram" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),

@@ -384,7 +384,8 @@ object StreamingOps {
       build: DataFrame => DataFrame,
       sentinelGapUs: Long = 2L * 3600L * 1000000L,
       sentinelTypes: Seq[String] = Seq("~sentinel"),
-      outputMode: String = "append"): DataFrame = {
+      outputMode: String = "append",
+      flushBatches: Int = 1): DataFrame = {
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val rows = replayRows(s, d)
@@ -426,8 +427,15 @@ object StreamingOps {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       stream.addData(expand(b2.toSeq) ++ sentinels(sentinelUs))
       q.processAllAvailable()
-      stream.addData(sentinels(sentinelUs + 1000000L))
-      q.processAllAvailable()
+      // trailing sentinel batches under the advanced watermark flush all
+      // real state through the append sink; CHAINED stateful operators
+      // need one flush batch per extra stateful stage (operator k's final
+      // rows are produced in the batch where operator k-1 emitted them,
+      // so an n-deep chain drains over n batches)
+      for (i <- 1 to math.max(1, flushBatches)) {
+        stream.addData(sentinels(sentinelUs + i * 1000000L))
+        q.processAllAvailable()
+      }
     } finally {
       q.stop()
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -771,6 +779,37 @@ object StreamingOps {
         .filter(col("event_type") =!= "~sentinel")
         .orderBy("win_start", "event_type")),
 
+    // -- CHAINED STATEFUL AGGREGATION (two stateful operators in one
+    //    streaming query — supported since Spark 3.4's per-operator
+    //    watermark work): 15-minute quarter-hour counts, re-aggregated by
+    //    `window_time` into hourly peak-quarter stats ("peak sub-window
+    //    rate per hour" — the burst-detection shape a rate-limit monitor
+    //    runs). BOTH levels hold watermark-bounded state and finalize in
+    //    append mode: a quarter emits once the watermark passes its end,
+    //    and the hour that contains it emits one batch later (the
+    //    harness's flushBatches=2 drains the 2-deep chain — one flush
+    //    batch per stateful stage). State: level 1 is (quarters × types)
+    //    within the watermark horizon, level 2 is (hours × types) —
+    //    both corpus-size-independent. The oracle recomputes both levels
+    //    from the batch table; quarters nest exactly in hours, so
+    //    Spark's epoch-aligned windows equal DuckDB's time_bucket grid.
+    "stream_chained_agg" -> ((s, d) =>
+      replayThroughStream(s, d, "stream_chained_agg_sink",
+        expand = identity,
+        build = src => src
+          .groupBy(window(col("ts"), "15 minutes").as("w1"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("vc"))
+          .groupBy(window(window_time(col("w1")), "1 hour").as("w2"),
+            col("event_type"))
+          .agg(max(col("n")).as("max_q"), sum(col("n")).as("n_events"),
+            sum(col("vc")).as("value_cents"))
+          .select(col("w2.start").as("win_start"), col("event_type"),
+            col("max_q"), col("n_events"), col("value_cents")),
+        flushBatches = 2)
+        .filter(col("event_type") =!= "~sentinel")
+        .orderBy("win_start", "event_type")),
+
     // -- streaming windowed TOP-K (the trending-now shape): the STREAMING
     //    stage is the watermarked per-(window × type) count — bounded
     //    state, finalized exactly once by append mode — and the rank runs
@@ -1102,6 +1141,16 @@ object StreamingOps {
          COUNT(*) AS n,
          CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "stream_chained_agg" ->
+      """WITH q AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS q_start,
+             time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS vc
+           FROM events GROUP BY 1, 2, 3)
+         SELECT win_start, event_type, CAST(MAX(n) AS BIGINT) AS max_q,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(vc) AS BIGINT) AS value_cents
+         FROM q GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "stream_sliding_window" ->
       """WITH e AS (SELECT ts, event_type,
              CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events),
