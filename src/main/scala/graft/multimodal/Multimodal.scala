@@ -174,4 +174,58 @@ object Multimodal {
       .mapPartitions(_.grouped(DECODE_BATCH).flatMap(phashBatch))
       .toDF()
   }
+
+  case class MmAudio(doc_id: Long, n_samples: Long, n_windows: Long,
+      energy_total: Long, energy_max: Long, n_zero_cross: Long)
+
+  /** Audio feature extraction over the stub "PCM": payload bytes as
+    * centered 8-bit samples (byte − 64 — the ASCII corpus's midpoint, so
+    * the fake signal actually crosses zero), short-time ENERGY over
+    * 64-sample windows at hop 32 (the 50%-overlap window/hop walk every
+    * STFT front-end runs — the overlapping-window shape image frames and
+    * video strides don't exercise) plus a whole-signal zero-crossing
+    * count. Window/hop index math and the feature sums are real and
+    * oracle-replayable; only the samples are payload-derived fakes (a
+    * real pipeline swaps in PCM from a decoder and adds an FFT per
+    * window — same batch plumbing, same shuffle profile: payloads stay
+    * in the scan stage, 5 longs per doc flow downstream). */
+  def audioBatch(batch: Seq[MmRecord]): Iterator[MmAudio] = {
+    val win = 64
+    val hop = 32
+    batch.iterator.map { r =>
+      val n = r.payload.length
+      def sample(i: Int): Long = (r.payload(i) & 0xff).toLong - 64L
+      val nWin = if (n >= win) (n - win) / hop + 1 else 0
+      var total = 0L
+      var emax = 0L
+      var w = 0
+      while (w < nWin) {
+        var e = 0L
+        var i = 0
+        while (i < win) {
+          val sv = sample(w * hop + i)
+          e += sv * sv
+          i += 1
+        }
+        total += e
+        if (e > emax) emax = e
+        w += 1
+      }
+      var zc = 0L
+      var i = 1
+      while (i < n) {
+        if ((sample(i - 1) < 0) != (sample(i) < 0)) zc += 1
+        i += 1
+      }
+      MmAudio(r.doc_id, n.toLong, nWin.toLong, total, emax, zc)
+    }
+  }
+
+  /** The batched audio-feature pass. */
+  def audio(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    attachPayload(docs).as[MmRecord]
+      .mapPartitions(_.grouped(DECODE_BATCH).flatMap(audioBatch))
+      .toDF()
+  }
 }

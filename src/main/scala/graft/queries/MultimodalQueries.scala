@@ -42,6 +42,17 @@ object MultimodalQueries {
     //    cheap exact verify: total Hamming distance over the four bands
     //    <= 12 of 64 bits. Identical payloads land at hamming 0; the
     //    corpus's planted near-dup texts perturb only a few sampled bytes.
+    // -- AUDIO features (the modality shape images/video don't cover:
+    //    OVERLAPPING windows): stub PCM = payload bytes centered at the
+    //    ASCII midpoint, short-time energy over 64-sample windows at hop
+    //    32 plus a zero-crossing count — see [[Multimodal.audioBatch]].
+    //    Payloads never cross a shuffle; 5 longs/doc flow downstream.
+    "multimodal_audio" -> ((s, d) =>
+      Multimodal.audio(s, documents(s, d))
+        .select(col("doc_id"), col("n_samples"), col("n_windows"),
+          col("energy_total"), col("energy_max"), col("n_zero_cross"))
+        .orderBy("doc_id")),
+
     "multimodal_dedup" -> ((s, d) => {
       val h = graft.Caches.pin(Multimodal.phash(s, documents(s, d)))
       val bands = (0 to 3).map { j =>
@@ -88,6 +99,30 @@ object MultimodalQueries {
            THEN list_sum(list_transform(range(1, 33), i -> unicode(text[i])))
            ELSE 0 END AS BIGINT) AS first_frame_sum
          FROM documents ORDER BY doc_id""",
+    // window/hop math replayed exactly: window wi covers samples
+    // [wi*32, wi*32+64), sample i = unicode(char i) - 64 (ASCII corpus)
+    "multimodal_audio" ->
+      """WITH s AS (SELECT doc_id, len(text) AS n,
+             list_transform(range(1, len(text) + 1),
+               i -> unicode(text[i]) - 64) AS sv
+           FROM documents),
+         w AS (SELECT doc_id, n, sv,
+             CASE WHEN n >= 64 THEN (n - 64) // 32 + 1 ELSE 0 END
+               AS n_windows
+           FROM s),
+         e AS (SELECT doc_id, n, sv, n_windows,
+             list_transform(range(0, n_windows), wi ->
+               list_sum(list_transform(range(0, 64), i ->
+                 sv[wi * 32 + i + 1] * sv[wi * 32 + i + 1]))) AS energies
+           FROM w)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(COALESCE(list_sum(energies), 0) AS BIGINT) AS energy_total,
+           CAST(COALESCE(list_max(energies), 0) AS BIGINT) AS energy_max,
+           CAST(COALESCE(list_sum(list_transform(range(2, n + 1), i ->
+             CASE WHEN (sv[i - 1] < 0) <> (sv[i] < 0) THEN 1 ELSE 0 END)),
+             0) AS BIGINT) AS n_zero_cross
+         FROM e ORDER BY doc_id""",
     // phash replayed exactly from the bytes: rs[p] = payload[(2*(p//8)*16
     // + 2*(p%8)) mod len], bit p iff 64*rs[p] > sum; four 16-bit bands;
     // naive OR-join stands in for the banded equi-join (same pair set)

@@ -1114,4 +1114,41 @@ class PlanQualitySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("SortMergeJoin"),
       s"wedge relation should not re-shuffle into a sigma join:\n$p")
   }
+
+  test("interval_coalesce: one hash shuffle on user_id, single-sweep islands (no interval-x-interval join)") {
+    val p = executed(SparkEntry.queries("interval_coalesce")(spark, sf0001))
+    assert(!p.contains("Join"),
+      s"the cumulative-max sweep must not join intervals against intervals:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(
+      p.split("== Initial Plan ==")(0)).size
+    assert(hashExchanges == 1,
+      s"expected exactly one user_id hash exchange, got $hashExchanges:\n$p")
+  }
+
+  test("graph_louvain: edge-sized equi-joins only; argmax partial-aggregates on the node key") {
+    val p = executed(SparkEntry.queries("graph_louvain")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in the louvain sweep:\n$p")
+    // the argmax partial-agg sits behind the moved-labels localCheckpoint
+    // (invisible in the final plan string); gate the visible summary:
+    // community sizes must map-side combine before their exchange
+    assert(p.contains("partial_count"),
+      s"community sizes must map-side combine:\n$p")
+    Caches.hardSweep(spark)
+  }
+
+  test("multimodal_audio: payloads stay in the scan stage (no hash exchange anywhere)") {
+    val p = executed(SparkEntry.queries("multimodal_audio")(spark, sf0001))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"audio features must extract before any shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the feature pass:\n$p")
+  }
+
+  test("anon_dp_geometric: one partial-aggregated count; the noise is a post-agg projection") {
+    val p = executed(SparkEntry.queries("anon_dp_geometric")(spark, sf0001))
+    assert(p.contains("partial_count"),
+      s"the protected count must map-side combine:\n$p")
+    assert(!p.contains("Join"),
+      s"the DP release is a projection over the count, never a join:\n$p")
+  }
 }
