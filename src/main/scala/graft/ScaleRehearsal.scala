@@ -129,6 +129,39 @@ object ScaleRehearsal {
       rounds
     }
 
+    // h-index coreness rehearsal (graph_coreness's round at full scale):
+    // ONE h-index iteration over the symmetrized edge frame — the
+    // edge-sized publish join plus the per-node ordered-rank H-index
+    // (row_number bounded by each node's own degree; the query's scaladoc
+    // documents the bounded-histogram swap-in for crawl-scale hubs). The
+    // check is the invariant that makes the iteration converge: h¹ ≤ h⁰
+    // = deg for EVERY node (monotone non-increasing toward coreness) and
+    // the node set is preserved — a single violated node fails the run.
+    val ((corenessNodes, corenessViol), tCoreness) = timed {
+      import org.apache.spark.sql.expressions.Window
+      val e = g.select(col("id").cast("long").as("u"),
+        explode(col("successors")).as("v0"))
+        .select(col("u"), col("v0").cast("long").as("v"))
+      val symP = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+        .persist()
+      val (h0, h0Ids) = checkpoint(
+        symP.groupBy(col("x")).agg(count(lit(1)).as("h")))
+      val nb = symP
+        .join(h0.select(col("x").as("y"), col("h").as("hv")), "y")
+        .select(col("x"), col("hv"))
+      val w = Window.partitionBy(col("x")).orderBy(col("hv").desc)
+      val (h1, h1Ids) = checkpoint(
+        nb.withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy(col("x")).agg(max(least(col("rn"), col("hv"))).as("h1")))
+      val r = h0.join(h1, "x")
+        .agg(count(lit(1)),
+          sum(when(col("h1") > col("h"), 1L).otherwise(0L))).head()
+      free(h0Ids); free(h1Ids)
+      symP.unpersist(blocking = false)
+      (r.getLong(0), r.getLong(1))
+    }
+
     // runtime filtering (SupportsRuntimeFiltering): a selective join whose
     // dim values land in a narrow id band must tighten the scan's id
     // bounds BEFORE task launch — the 100 TB "join a graph against a small
@@ -482,6 +515,8 @@ object ScaleRehearsal {
       s""""decode_mlinks_per_sec":${f(m2 / tFull / 1e6)},""" +
       s""""degree_scan_sec":${f(tDeg)},"id_slice_sec":${f(tSlice)},""" +
       s""""kcore_rounds":$kcoreRounds,"kcore_sec":${f(tKcore)},""" +
+      s""""coreness_sec":${f(tCoreness)},"coreness_nodes":$corenessNodes,""" +
+      s""""coreness_monotone_violations":$corenessViol,""" +
       s""""runtime_join_sec":${f(tRt)},"runtime_join_edges":$rtEdges,""" +
       s""""golomb_write_sec":${f(tWriteGol)},""" +
       s""""golomb_full_decode_sec":${f(tFullGol)},""" +
@@ -504,7 +539,8 @@ object ScaleRehearsal {
       s""""sssp_pregel_mismatches":$ssspMismatch,""" +
       s""""longid_sec":${f(tBig)},"longid_arcs":$bigArcs,""" +
       s""""longid_lpa_mismatches":$lpaMismatch,""" +
-      s""""checks":${nn == n && m2 == mm && mGol == mm && rtEdges == expRt &&
+      s""""checks":${corenessNodes == n.toLong && corenessViol == 0L &&
+        nn == n && m2 == mm && mGol == mm && rtEdges == expRt &&
         sccOnCycle >= 1 && sccOnCycle <= sccN && hbMin >= 1 &&
         hbAvgX100 >= 100L * (1 + avgDeg) &&
         prCount == n && prMin >= 150000000L &&

@@ -547,6 +547,58 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // -- EXACT SUBSTRING dedup spans (the Lee et al. 2022 "Deduplicating
+    //    Training Data" operation, at character granularity): every
+    //    40-char window of every doc is hashed at STRIDE 1 (stride 1 on
+    //    the window walk is what makes the detection exact — any
+    //    cross-doc verbatim substring of ≥ 40 chars contains an aligned
+    //    window on both sides regardless of its offsets); windows whose
+    //    hash appears in ≥ 2 DISTINCT docs are duplicated; per doc, the
+    //    overlapping hits coalesce into MAXIMAL duplicated spans via the
+    //    same cumulative-max island sweep as interval_coalesce — the
+    //    spans a cleaning pass would cut out. Scale shape: the window
+    //    explode is one narrow per-row pass (≈ |text| hashes per doc,
+    //    never text × text), the duplicate test is one partial-aggregated
+    //    groupBy on the 64-bit window hash, the hit join is hash-
+    //    partitioned on the same key, and the island sweep is one
+    //    doc_id-partitioned sorted pass. Production prefixes a Bloom/
+    //    suffix-array candidate filter in front of the window hash —
+    //    same downstream spans.
+    "dedup_substring_spans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 40
+      val occ = documents(s, d)
+        .filter(length(col("text")) >= W)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), length(col("text")) - (W - 1)),
+            i => struct(i.as("start"),
+              xxhash64(col("text").substr(i, lit(W))).as("h")))).as("x"))
+        .select(col("doc_id"), col("x.start").as("start"), col("x.h").as("h"))
+      graft.Caches.pin(occ)
+      val dupHashes = occ.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"))
+      val hit = occ.join(dupHashes, "h").select(col("doc_id"), col("start"))
+      val ord = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      val isl = hit
+        .withColumn("pmax", max(col("start") + lit(W - 1))
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_isl",
+          when(col("pmax").isNull || col("start") > col("pmax") + 1, 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("new_isl"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("start")).as("s0"), max(col("start")).as("s1"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("s0").cast("long").as("span_start"),
+          (col("s1") + lit(W - 1)).cast("long").as("span_end"),
+          (col("s1") + lit(W - 1) - col("s0") + 1).cast("long").as("span_len"),
+          col("n_windows"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // -- CONTENT-DEFINED chunking (the rsync/LBFS/FastCDC family, the
     //    byte-level sibling of dedup_passages' fixed word chunks): a chunk
     //    boundary falls wherever the 8-char rolling polynomial hash
@@ -926,6 +978,29 @@ object DedupQueries {
                       / COUNT(*)) AS BIGINT) AS dup_pct
          FROM ch c JOIN df f USING (chunk)
          GROUP BY c.doc_id ORDER BY c.doc_id""",
+    // windows grouped as raw 40-char STRINGS — same equivalence classes
+    // as the engine's xxhash64 window keys (the dedup_passages pattern),
+    // no engine hash to reproduce; spans re-merged by the same island sweep
+    "dedup_substring_spans" ->
+      """WITH w AS (SELECT doc_id, i AS start, substr(text, i, 40) AS h
+           FROM documents, unnest(range(1, len(text) - 38)) AS t(i)
+           WHERE len(text) >= 40),
+         dh AS (SELECT h FROM w GROUP BY h
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         hit AS (SELECT doc_id, start FROM w JOIN dh USING (h)),
+         m AS (SELECT *, MAX(start + 39) OVER (PARTITION BY doc_id
+             ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM hit),
+         f AS (SELECT *, CASE WHEN pmax IS NULL OR start > pmax + 1
+             THEN 1 ELSE 0 END AS new_isl FROM m),
+         g AS (SELECT *, SUM(new_isl) OVER (PARTITION BY doc_id
+             ORDER BY start ROWS UNBOUNDED PRECEDING) AS isl FROM f)
+         SELECT doc_id, CAST(MIN(start) AS BIGINT) AS span_start,
+           CAST(MAX(start) + 39 AS BIGINT) AS span_end,
+           CAST(MAX(start) + 39 - MIN(start) + 1 AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+         FROM g GROUP BY doc_id, isl ORDER BY doc_id, span_start""",
     // CDC boundaries replayed exactly (8-char Horner-31 window % 64);
     // chunks grouped as raw STRINGS — same equivalence classes as the
     // engine's xxhash64 chunk keys, no engine hash to reproduce

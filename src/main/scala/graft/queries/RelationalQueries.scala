@@ -595,6 +595,33 @@ object RelationalQueries {
         .orderBy("user_id", "isl")
     }),
 
+    // -- EWMA smoothing (α = ½) over each user's event stream, EXACT: the
+    //    geometric weights 2^(15−i) are the α=½ EWMA numerator scaled by
+    //    2^16 and truncated at 16 lags (the dropped tail carries < 2^-16
+    //    of the weight — below the published scale's resolution for
+    //    bounded signals). Published as the integer weighted sum plus the
+    //    term count; no float division ever crosses the gate (the
+    //    consumer divides by Σ 2^(15-i) over n_terms when it wants the
+    //    float). The 16 lag() terms share ONE window frame — a single
+    //    user_id shuffle and one in-partition sort, the same profile as
+    //    win_lag_lead however long the truncation horizon.
+    "events_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("vc"))
+      val terms = (col("vc") * lit(1L << 15)) +: (1 until 16).map(i =>
+        coalesce(lag(col("vc"), i).over(w) * lit(1L << (15 - i)), lit(0L)))
+      val nterms = lit(1L) +: (1 until 16).map(i =>
+        when(lag(col("vc"), i).over(w).isNotNull, 1L).otherwise(0L))
+      ev.withColumn("ewma_num", terms.reduce(_ + _))
+        .withColumn("n_terms", nterms.reduce(_ + _))
+        .select(col("user_id"), col("event_id"), col("ewma_num"),
+          col("n_terms"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // -- CDC upsert / incremental state maintenance — the MERGE shape every
     //    incremental pipeline runs daily: `state` is the latest-event-per-
     //    user snapshot over the first half of the month, `delta` is the
@@ -1784,6 +1811,21 @@ object RelationalQueries {
          SELECT user_id, CAST(isl AS BIGINT) AS isl, MIN(s_us) AS start_us,
            MAX(e_us) AS end_us, CAST(COUNT(*) AS BIGINT) AS n_merged
          FROM g GROUP BY user_id, isl ORDER BY user_id, isl""",
+    "events_ewma" -> {
+      val terms = s"vc * ${1L << 15} + " + (1 until 16).map(i =>
+        s"COALESCE(LAG(vc, $i) OVER w * ${1L << (15 - i)}, 0)")
+        .mkString("\n             + ")
+      val nterms = "1 + " + (1 until 16).map(i =>
+        s"CASE WHEN LAG(vc, $i) OVER w IS NOT NULL THEN 1 ELSE 0 END")
+        .mkString("\n             + ")
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events)
+         SELECT user_id, event_id,
+           CAST($terms AS BIGINT) AS ewma_num,
+           CAST($nterms AS BIGINT) AS n_terms
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ORDER BY user_id, event_id"""
+    },
     "cdc_upsert" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
