@@ -538,4 +538,96 @@ class QuerySurfaceSpec extends AnyFunSuite {
         assert(back == r.getLong(3), s"SDC asymmetric: $r vs $back"))
     }
   }
+
+  test("interval_coalesce: islands partition the events and never overlap") {
+    val rows = SparkEntry.queries("interval_coalesce")(spark, sf0001).collect()
+    // every event lands in exactly one island
+    val nEvents = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_merged")).sum == nEvents)
+    // within a user, consecutive islands are separated (start > prev end)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("isl"))
+      sorted.foreach(r => assert(
+        r.getAs[Long]("end_us") >= r.getAs[Long]("start_us"), s"user $u"))
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1).getAs[Long]("start_us") > p(0).getAs[Long]("end_us"),
+          s"islands overlap for user $u")
+      }
+    }
+  }
+
+  test("graph_coreness: 1 <= h <= degree for every node (h-index monotone bound)") {
+    val h = SparkEntry.queries("graph_coreness")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("core_h2")).toMap
+    val deg = graft.queries.GraphAlgos.coPurchaseEdges(spark, sf0001)
+      .select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == deg.keySet, "node set not preserved")
+    h.foreach { case (n, hv) =>
+      assert(hv >= 1 && hv <= deg(n), s"h($n)=$hv outside [1, deg=${deg(n)}]")
+    }
+  }
+
+  test("graph_louvain: communities partition the nodes; internal weight bounded") {
+    val rows = SparkEntry.queries("graph_louvain")(spark, sf0001).collect()
+    val wTotal = graft.queries.GraphAlgos.weightedCoPurchase(spark, sf0001)
+      .agg(sum(col("w"))).head().getLong(0)
+    val nNodes = graft.queries.GraphAlgos.coPurchaseEdges(spark, sf0001)
+      .select(explode(array(col("u"), col("v"))).as("x")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == nNodes,
+      "community sizes must partition the node set")
+    assert(rows.map(_.getAs[Long]("w_internal")).sum <= wTotal)
+    assert(rows.forall(_.getAs[Long]("n_nodes") >= 1))
+  }
+
+  test("anon_dp_geometric: release within the +-10 truncation of the true counts") {
+    val noisy = SparkEntry.queries("anon_dp_geometric")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val truth = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("eday"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(noisy.keySet == truth.keySet)
+    noisy.foreach { case (k, v) =>
+      assert(math.abs(v - truth(k)) <= 10, s"$k: noisy $v true ${truth(k)}")
+      assert(v >= 0)
+    }
+  }
+
+  test("dedup_substring_spans: spans disjoint, >= window width, inside the doc") {
+    val rows = SparkEntry.queries("dedup_substring_spans")(spark, sf0001).collect()
+    assert(rows.nonEmpty, "planted dups must surface spans")
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (s0, s1, sl) = (r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len"))
+      assert(sl == s1 - s0 + 1 && sl >= 40, s"bad span $r")
+      assert(s0 >= 1 && s1 <= lens(r.getAs[Long]("doc_id")), s"span outside doc: $r")
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rs) =>
+      rs.sortBy(_.getAs[Long]("span_start")).sliding(2)
+        .filter(_.length == 2).foreach { p =>
+          assert(p(1).getAs[Long]("span_start") > p(0).getAs[Long]("span_end") + 1,
+            s"spans not maximal/disjoint in doc $d")
+        }
+    }
+  }
+
+  test("events_ewma: term count is min(rank, 16); singleton prefix equals vc<<15") {
+    val rows = SparkEntry.queries("events_ewma")(spark, sf0001)
+      .orderBy("user_id", "event_id").collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      // rows are (us, event_id)-ordered within user by construction at
+      // sf0.001 (event_id follows time); check n_terms saturates at 16
+      val ns = rs.map(_.getAs[Long]("n_terms"))
+      assert(ns.forall(n => n >= 1 && n <= 16), s"user $u")
+      assert(ns.max == math.min(rs.length, 16).toLong, s"user $u saturation")
+    }
+  }
 }
