@@ -191,7 +191,12 @@ object Bench {
         f""""load_start":$benchLoadStart%.2f,"load_end":${load1()}%.2f,""" +
         s""""errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(shortLine)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.md")
+    // a SPARK_GRAFT_ONLY iteration run must never clobber the committed
+    // HEADLINE record (this session's A/B experiments overwrote BENCH.md
+    // with a 6-query record and a commit carried it) — partial records go
+    // to a sidecar unless SPARK_GRAFT_BENCH_OUT says otherwise
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_partial.md" else "BENCH.md")
     try {
       val md = s"# BENCH\n\nFull bench record (medians of $runs runs — " +
         s"$runsNoisy for the noisy graph family — with hard cache sweeps; " +
