@@ -563,7 +563,13 @@ object DedupQueries {
     //    partitioned on the same key, and the island sweep is one
     //    doc_id-partitioned sorted pass. Production prefixes a Bloom/
     //    suffix-array candidate filter in front of the window hash —
-    //    same downstream spans.
+    //    same downstream spans. PER-DOC BOUND: the transform materializes
+    //    one (start, hash) struct per character BEFORE the explode —
+    //    ~16 B/char transiently, fine for web-doc sizes (a 10 MB outlier
+    //    costs a 160 MB row); a corpus with unbounded documents splits
+    //    them into (W−1)-overlapped segments first (span starts stay
+    //    exact under that split because any 40-char window lives wholly
+    //    inside one segment).
     "dedup_substring_spans" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val W = 40

@@ -1658,8 +1658,22 @@ object GraphAlgos {
       val sym = we.select(col("u").as("x"), col("v").as("y"), col("w"))
         .unionByName(we.select(col("v").as("x"), col("u").as("y"), col("w")))
       val deg = sym.groupBy(col("x")).agg(sum(col("w")).as("dw"))
-      // 2m: one bounded 1-row scalar (total edge weight, doubled)
-      val m2 = we.agg(sum(col("w")).cast("long")).head().getLong(0) * 2L
+      // 2m + max w: one bounded 1-row scalar (total edge weight, doubled)
+      val gs = we.agg(sum(col("w")).cast("long"), max(col("w"))).head()
+      val m2 = gs.getLong(0) * 2L
+      // loud-failure overflow guards (the requirePackedIds discipline for
+      // the cross-multiplied gain): 2m·w and d_u·d_v must stay inside
+      // BIGINT at ANY scale — a silent wrap would flip argmaxes quietly
+      // (wrong communities, right cardinality). At crawl scale rescale
+      // weights (divide by a common factor) before the sweep.
+      val maxW = gs.getLong(1)
+      require(maxW == 0 || m2 <= Long.MaxValue / maxW,
+        s"graph_louvain: 2m*w overflows BIGINT (2m=$m2, max w=$maxW) — " +
+          "rescale edge weights before the sweep")
+      val maxDeg = deg.agg(max(col("dw"))).head().getLong(0)
+      require(maxDeg <= 3037000499L, // floor(sqrt(2^63 - 1))
+        s"graph_louvain: deg*deg overflows BIGINT (max weighted degree " +
+          s"$maxDeg) — rescale edge weights before the sweep")
       val sc = sym
         .join(deg.select(col("x"), col("dw").as("du")), "x")
         .join(deg.select(col("x").as("y"), col("dw").as("dv")), "y")
