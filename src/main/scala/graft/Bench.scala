@@ -54,6 +54,31 @@ object Bench {
       (steal, steal + iowait, f.sum)
     } catch { case _: Exception => (0L, 0L, 0L) }
 
+  /** Deterministic CPU probe — an ABSOLUTE box-speed yardstick embedded
+    * in the record: 400M single-thread mix64 steps (or the same work
+    * split across `threads`). Two records' medians are comparable only
+    * when their probes agree: this round the same code on the same box
+    * measured 261 s one session and 315 s the next with hypervisor steal
+    * at ~0.1% and clean loads — invisible to BOTH contention criteria.
+    * A frequency/neighbor drift that slows the box slows this loop by
+    * the same factor, so the record now self-documents it. */
+  private def cpuProbe(threads: Int): Double = {
+    val iters = 400000000L
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var h = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        val n = iters / threads
+        while (i < n) { h ^= h >>> 27; h *= 0x94D049BB133111EBL; h ^= h >>> 31; i += 1 }
+        sink.addAndGet(h): Unit // defeat dead-code elimination
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -83,6 +108,12 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     def fmt(v: Double): String = f"$v%.3f"
     val benchLoadStart = load1()
+    // absolute box-speed yardstick (see [[cpuProbe]]): one JIT-warm pass,
+    // then single-thread and all-core readings; single-thread again at
+    // the end so in-bench drift is visible too
+    cpuProbe(1): Unit
+    val probe1Start = cpuProbe(1)
+    val probeAll = cpuProbe(cpus.toInt)
     // contention thresholds (the round-7 lesson: the driver's record read
     // 1.92 s/query where a quiet box reproduces 1.24 — its own load/steal
     // columns showed load to 19.7 and steal to 25.6% on exactly the slow
@@ -177,12 +208,15 @@ object Bench {
     // truncated the long line mid-JSON and recovered nothing. The full
     // record (incl. per-query maxes) goes to a repo file so the numbers
     // stay auditable regardless of the driver's capture window.
+    val probe1End = cpuProbe(1)
+    val probeJson = f""""cpu_probe_1t":$probe1Start%.2f,""" +
+      f""""cpu_probe_1t_end":$probe1End%.2f,"cpu_probe_all":$probeAll%.2f"""
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""queries_contended":$qsContended,"only":$onlyJson,""" +
+        s""""queries_contended":$qsContended,"only":$onlyJson,$probeJson,""" +
         s""""runs":$runs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$probeJson,""" +
         s""""queries_max":$qsMax,"queries_runs":$qsRuns,"queries_load":$qsLoad,""" +
         s""""queries_steal_pct":$qsSteal,"queries_contended":$qsContended,""" +
         s""""only":$onlyJson,""" +
@@ -212,7 +246,12 @@ object Bench {
         "reported `queries_steal_pct` keeps it so disk stalls stay " +
         "visible; `queries_contended` lists queries whose reported median " +
         "still rests on contended runs — those numbers are lower bounds on " +
-        "the box, not the code).\n\n" +
+        "the box, not the code). `cpu_probe_*` is the absolute box-speed " +
+        "yardstick — 400M deterministic mix64 steps, single-thread at " +
+        "start/end and split across all cores — because round 8 measured " +
+        "the SAME code at 261 s and 315 s across sessions with steal at " +
+        "0.1% and clean loads: two records' medians are comparable only " +
+        "when their probes agree.\n\n" +
         s"```json\n$fullLine\n```\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
