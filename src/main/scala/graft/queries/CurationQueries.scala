@@ -539,6 +539,26 @@ object CurationQueries {
         .select(col("grp").as("source"), col("rk"), col("id").as("doc_id"))
         .orderBy("source", "rk")),
 
+    // -- CLASS-BALANCED downsampling (the third sampling mode next to
+    //    rate-based sample_stratified and fixed-k sample_reservoir):
+    //    every language class is cut to the SMALLEST class's size — the
+    //    classifier-training balance step. The target m is one 1-row
+    //    scalar (min over class counts — bounded driver state, like
+    //    cluster_kmeans' centroids); the draw is the content-addressed
+    //    smallest-md5 prefix per class via the same two-phase bucketed
+    //    rank as sample_reservoir (every corpus-sized window stays
+    //    bucket-partitioned), so the balanced set is stable under
+    //    re-partitioning, re-ingest order and cluster resize.
+    "sample_balanced" -> ((s, d) => {
+      val docs = documents(s, d).select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      val m = docs.groupBy("lang").count().agg(min("count"))
+        .head().getLong(0).toInt // bounded 1-row scalar: the balance target
+      reservoirTopK(docs, m)
+        .select(col("grp").as("lang"), col("rk"), col("id").as("doc_id"))
+        .orderBy("lang", "rk")
+    }),
+
     "sample_stratified" -> ((s, d) => {
       documents(s, d)
         .groupBy(col("lang"), col("source"))
@@ -1329,6 +1349,15 @@ object CurationQueries {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
            FROM documents)
          WHERE rk <= 64 ORDER BY source, rk""",
+    "sample_balanced" ->
+      """WITH m AS (SELECT MIN(c) AS m FROM (
+             SELECT COUNT(*) AS c FROM documents GROUP BY lang)),
+         r AS (SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+           FROM documents)
+         SELECT lang, rk, doc_id FROM r, m
+         WHERE rk <= m.m ORDER BY lang, rk""",
     "sample_stratified" ->
       """SELECT lang, source, COUNT(*) AS n_total,
          CAST(SUM(CASE WHEN substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 1)
