@@ -437,9 +437,12 @@ object StreamingOps {
         q.processAllAvailable()
       }
     } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      graft.Scratch.delete(ckpt)
+      // a throwing stop() must not leak the conf override or the tmpfs
+      // checkpoint (leaked tmpfs = leaked RAM)
+      try q.stop() finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        graft.Scratch.delete(ckpt)
+      }
     }
     s.table(sink)
   }
@@ -751,8 +754,8 @@ object StreamingOps {
         arrive(b2, "b2"); q.processAllAvailable()
         arrive(b3, "b3"); q.processAllAvailable()
       } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        try q.stop()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       s.table(sink)
         .filter(col("event_type") =!= "~sentinel")
