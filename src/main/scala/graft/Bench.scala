@@ -70,7 +70,9 @@ object Bench {
       new Thread(() => {
         var h = 0x9E3779B97F4A7C15L + t
         var i = 0L
-        val n = iters / threads
+        // distribute the remainder so total work is EXACTLY iters for
+        // any thread count — the probe is an absolute yardstick
+        val n = iters / threads + (if (t < iters % threads) 1L else 0L)
         while (i < n) { h ^= h >>> 27; h *= 0x94D049BB133111EBL; h ^= h >>> 31; i += 1 }
         sink.addAndGet(h): Unit // defeat dead-code elimination
       })
@@ -232,7 +234,11 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "BENCH_partial.md" else "BENCH.md")
     try {
-      val md = s"# BENCH\n\nFull bench record (medians of $runs runs — " +
+      val partialBanner = only.map(names =>
+        s"**PARTIAL record — SPARK_GRAFT_ONLY=${names.toSeq.sorted.mkString(",")} " +
+          "(local iteration, NOT the headline record).**\n\n").getOrElse("")
+      val md = s"# BENCH\n\n$partialBanner" +
+        s"Full bench record (medians of $runs runs — " +
         s"$runsNoisy for the noisy graph family — with hard cache sweeps; " +
         "`queries_max` = worst run, `queries_runs` = every per-run time, " +
         "`queries_load` = 1-min /proc/loadavg at each run's start, " +

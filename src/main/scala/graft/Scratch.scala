@@ -24,7 +24,11 @@ package graft
   * there.
   */
 object Scratch {
-  /** Resolved scratch base directory (created on first use). */
+  /** Resolved scratch base directory (created on first use). Entries are
+    * named `<prefix>_<pid>_<uuid>`; init reaps any entry whose creating
+    * PID is dead — a crashed/OOM-killed run's shuffle dirs would
+    * otherwise stay pinned in tmpfs RAM until reboot (Spark's own
+    * cleanup is a JVM shutdown hook, which a SIGKILL never runs). */
   lazy val base: String = {
     val pick = sys.env.get("SPARK_GRAFT_SCRATCH").orElse {
       val shm = new java.io.File("/dev/shm")
@@ -33,24 +37,37 @@ object Scratch {
     }.getOrElse(sys.props("java.io.tmpdir"))
     val f = new java.io.File(pick)
     f.mkdirs()
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach { k =>
+      k.getName.split("_").dropRight(1).lastOption
+        .filter(_.forall(_.isDigit)).foreach { pid =>
+          if (!java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(s"/proc/$pid"))) rmTree(k)
+        }
+    }
     f.getAbsolutePath
   }
 
   /** A fresh subdirectory under [[base]] for one consumer (not created —
-    * Spark/streaming creates it). Caller owns deletion. */
+    * Spark/streaming creates it). Caller owns deletion; the embedded PID
+    * lets the next session's init reap it if this JVM dies uncleanly. */
   def dir(prefix: String): String =
-    s"$base/${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+    s"$base/${prefix}_${ProcessHandle.current().pid()}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(): Unit
+  }
 
   /** Recursively delete a scratch path (best-effort; tmpfs leak = RAM
-    * leak, so streaming callers run this in `finally`). */
+    * leak, so streaming callers run this in `finally`). Refuses anything
+    * that is not STRICTLY inside the scratch base (`startsWith` alone
+    * would match sibling dirs like `<base>2/` and the base itself). */
   def delete(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rm)
-      f.delete(): Unit
-    }
     val f = new java.io.File(path)
-    // refuse to delete anything outside the scratch base
-    if (f.getAbsolutePath.startsWith(base)) rm(f)
+    val p = f.getAbsolutePath
+    if (p != base && p.startsWith(base + java.io.File.separator)) rmTree(f)
   }
 }

@@ -552,9 +552,17 @@ object CurationQueries {
     "sample_balanced" -> ((s, d) => {
       val docs = documents(s, d).select(col("lang"), col("doc_id"),
         md5(col("doc_id").cast("string")).as("h"))
-      val m = docs.groupBy("lang").count().agg(min("count"))
-        .head().getLong(0).toInt // bounded 1-row scalar: the balance target
-      reservoirTopK(docs, m)
+      // bounded 1-row scalar: the balance target. Empty corpus → m = 0 →
+      // empty result (matches the oracle); a >2³¹ smallest class would
+      // WRAP .toInt negative and silently return an empty sample (wrong
+      // result, loud-failure discipline applies — rank with a Long k
+      // past that scale)
+      val mRow = docs.groupBy("lang").count().agg(min("count")).head()
+      val mLong = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
+      require(mLong <= Int.MaxValue,
+        s"sample_balanced: smallest class has $mLong rows — .toInt would " +
+          "wrap; switch reservoirTopK to a Long k for this scale")
+      reservoirTopK(docs, mLong.toInt)
         .select(col("grp").as("lang"), col("rk"), col("id").as("doc_id"))
         .orderBy("lang", "rk")
     }),

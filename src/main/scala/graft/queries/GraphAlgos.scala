@@ -1657,7 +1657,12 @@ object GraphAlgos {
       graft.Caches.defer(s)(freeRdds(s, weIds))
       val sym = we.select(col("u").as("x"), col("v").as("y"), col("w"))
         .unionByName(we.select(col("v").as("x"), col("u").as("y"), col("w")))
-      val deg = sym.groupBy(col("x")).agg(sum(col("w")).as("dw"))
+      // deg is consumed three times (overflow guard + both argmax join
+      // sides) — checkpoint the node-sized frame once instead of paying
+      // the edge-sized aggregation per consumer
+      val (deg, degIds) = checkpointWithIds(
+        sym.groupBy(col("x")).agg(sum(col("w")).as("dw")))
+      graft.Caches.defer(s)(freeRdds(s, degIds))
       // 2m + max w: one bounded 1-row scalar (total edge weight, doubled)
       val gs = we.agg(sum(col("w")).cast("long"), max(col("w"))).head()
       val m2 = gs.getLong(0) * 2L
