@@ -81,6 +81,48 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Memory-BANDWIDTH probe — the register probe's blind spot, measured:
+    * round 8's records read cpu_probe 0.91 vs 0.89 (2%) while the totals
+    * read 345 vs 299 s (15%) with hypervisor steal ≈ 0.1%; the missing
+    * 13% was bandwidth/LLC pressure from neighbors, which is the FIRST
+    * resource a shuffle-heavy Spark job feels and the one no /proc
+    * counter exposes. 64 streaming passes over a 256 MB long array
+    * (16 GB of DRAM traffic — 8× any current LLC, so caches can't serve
+    * it), total work fixed for any thread count; threads start at
+    * staggered offsets 8 MB apart so concurrent streams hit DISTINCT
+    * cache lines and genuinely contend on the memory controller. Fill
+    * pass is untimed. Two records' medians are comparable only when BOTH
+    * probes agree. */
+  private def memProbe(threads: Int): Double = {
+    val words = 32 * 1024 * 1024 // 256 MB
+    val arr = new Array[Long](words)
+    var i = 0
+    while (i < words) { arr(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    val passes = 64
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var s = 0L
+        // distribute the remainder so total traffic is EXACTLY
+        // passes*words reads for any thread count (absolute yardstick)
+        val nPass = passes / threads + (if (t < passes % threads) 1 else 0)
+        var p = 0
+        while (p < nPass) {
+          var j = (t.toLong * words / math.max(1, threads)).toInt
+          var c = 0
+          while (c < words) {
+            s += arr(j); j += 1; if (j == words) j = 0; c += 1
+          }
+          p += 1
+        }
+        sink.addAndGet(s): Unit
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -102,6 +144,15 @@ object Bench {
       // provision NVMe local dirs; this VM's /tmp shares the OS virtio
       // disk and the graph family's own spills show up as iowait ([[Scratch]])
       .config("spark.local.dir", Scratch.dir("spark_local"))
+      // streaming determinism: the state store's background maintenance
+      // (snapshot compaction) fires on a wall-clock timer and lands
+      // inside whichever query is unlucky — push it past any single
+      // query's runtime so per-batch commit cost is the ONLY state-store
+      // cost a stream_* row pays; 2 retained batches (the minimum that
+      // keeps recovery sound) cuts the per-commit file churn that
+      // dominated the stream family's 2x swings on unchanged code
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet reader init so the first
@@ -116,6 +167,8 @@ object Bench {
     cpuProbe(1): Unit
     val probe1Start = cpuProbe(1)
     val probeAll = cpuProbe(cpus.toInt)
+    val memProbe1Start = memProbe(1)
+    val memProbeAll = memProbe(cpus.toInt)
     // contention thresholds (the round-7 lesson: the driver's record read
     // 1.92 s/query where a quiet box reproduces 1.24 — its own load/steal
     // columns showed load to 19.7 and steal to 25.6% on exactly the slow
@@ -128,6 +181,7 @@ object Bench {
     val stealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "2.0").toDouble
     val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX",
       (cpus.toInt / 4.0).toString).toDouble
+    val spreadMax = sys.env.getOrElse("SPARK_GRAFT_SPREAD_MAX", "2.0").toDouble
     // a failed query reports -1 (never its partial elapsed time, which
     // would read as a speedup) and is excluded from the total
     // SPARK_GRAFT_ONLY: comma-separated name filter for LOCAL iteration
@@ -167,62 +221,111 @@ object Bench {
       }
       def clean(sm: (Double, Double, Double, Double)): Boolean =
         sm._3 <= stealMax && (sm._2 < 0 || sm._2 <= loadMax)
+      // SPREAD criterion (the round-8 lesson: graph_assortativity ran
+      // 2.3–17.1 s inside ONE record with steal 0 and load 5 — the
+      // steal/load tests are blind to memory-bandwidth/LLC contention,
+      // so a query's own run-to-run spread is the adjudicator of last
+      // resort). Two uses: (a) a query whose runs span > spreadMax
+      // triggers bounded resampling REGARDLESS of steal/load and is
+      // flagged in `queries_spread`; (b) the median is taken over the
+      // TIGHT set — samples within spreadMax× of the fastest — whenever
+      // a quorum of them exists. Min-anchoring is sound here and only
+      // here: every run starts from a hard cache sweep, so a sample can
+      // be falsely SLOW (neighbor stole bandwidth) but never falsely
+      // fast — slow outliers are box noise by construction.
+      def tight(xs: Seq[(Double, Double, Double, Double)]) = {
+        if (xs.isEmpty) xs
+        else { val mn = xs.map(_._1).min; xs.filter(_._1 <= mn * spreadMax) }
+      }
       var samples = (1 to nRuns).flatMap(_ => sampleOnce())
-      // bounded resample: keep sampling while the clean count is short of
-      // nRuns, up to nRuns extra attempts total
+      // bounded resample: keep sampling while the clean-AND-tight count
+      // is short of nRuns, up to 2*nRuns extra attempts total
       var extra = 0
-      while (samples.count(clean) < nRuns && extra < nRuns) {
+      while ((samples.count(clean) < nRuns ||
+          tight(samples.filter(clean)).size < nRuns) && extra < 2 * nRuns) {
         extra += 1
         samples = samples ++ sampleOnce()
       }
       val preferred = { val c = samples.filter(clean)
         if (c.size >= (nRuns + 1) / 2) c else samples }
       val contended = samples.nonEmpty && preferred.exists(!clean(_))
+      val tightSet = { val t = tight(preferred)
+        if (t.size >= (nRuns + 1) / 2) t else preferred }
+      val spreadFlagged = samples.nonEmpty && {
+        val ts = samples.map(_._1); ts.max > ts.min * spreadMax
+      }
       val times = samples.map(_._1)
       val loads = samples.map(_._2)
       val steals = samples.map(_._4) // reported share keeps iowait
-      if (times.isEmpty) (name, -1.0, -1.0, times, loads, steals, false)
+      if (times.isEmpty) (name, -1.0, -1.0, times, loads, steals, false, false)
       else {
-        val med = { val st = preferred.map(_._1).sorted; st(st.length / 2) }
-        (name, med, times.max, times, loads, steals, contended)
+        val med = { val st = tightSet.map(_._1).sorted; st(st.length / 2) }
+        (name, med, times.max, times, loads, steals, contended, spreadFlagged)
       }
     }
-    val qs = results.map { case (k, med, _, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map { case (k, med, _, _, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, _, mx, _, _, _, _) => "\"" + k + "\":" + fmt(mx) }
+    val qsMax = results.map { case (k, _, mx, _, _, _, _, _) => "\"" + k + "\":" + fmt(mx) }
       .mkString("{", ",", "}")
-    val qsRuns = results.map { case (k, _, _, ts, _, _, _) =>
+    val qsRuns = results.map { case (k, _, _, ts, _, _, _, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsLoad = results.map { case (k, _, _, _, lds, _, _) =>
+    val qsLoad = results.map { case (k, _, _, _, lds, _, _, _) =>
       "\"" + k + "\":" + lds.map(l => f"$l%.2f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsSteal = results.map { case (k, _, _, _, _, sts, _) =>
+    val qsSteal = results.map { case (k, _, _, _, _, sts, _, _) =>
       "\"" + k + "\":" + sts.map(s => f"$s%.1f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsContended = results.collect { case (k, _, _, _, _, _, true) =>
+    val qsContended = results.collect { case (k, _, _, _, _, _, true, _) =>
+      "\"" + k + "\"" }.mkString("[", ",", "]")
+    val qsSpread = results.collect { case (k, _, _, _, _, _, _, true) =>
       "\"" + k + "\"" }.mkString("[", ",", "]")
     val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")).getOrElse("null")
-    val failed = results.collect { case (k, med, _, _, _, _, _) if med < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, med, _, _, _, _, _, _) if med < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // streaming HARNESS FLOOR: the replay machinery's own cost (source
+    // collect, checkpoint init, 4 micro-batch commits, memory sink) with
+    // ZERO real rows — only the sentinel schedule runs. Recorded as its
+    // own column so a stream_* row's query cost and harness cost are
+    // separable: the 18 stream rows are ~25% of every record and their
+    // round-8 swings (5.7/9.3/11.0 s on unchanged code) were harness
+    // scheduling, not operator cost. Median of `runs` samples, same
+    // cache discipline as the queries.
+    val benchesStreams = only.forall(_.exists(_.startsWith("stream_")))
+    val harnessFloor = if (!benchesStreams) -1.0 else {
+      val ts = (1 to runs).map { _ =>
+        Caches.hardSweep(spark)
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingOps.harnessFloor(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
     // stdout gets the SHORT line (medians only): the round-4 harness
     // truncated the long line mid-JSON and recovered nothing. The full
     // record (incl. per-query maxes) goes to a repo file so the numbers
     // stay auditable regardless of the driver's capture window.
     val probe1End = cpuProbe(1)
+    val memProbe1End = memProbe(1)
     val probeJson = f""""cpu_probe_1t":$probe1Start%.2f,""" +
-      f""""cpu_probe_1t_end":$probe1End%.2f,"cpu_probe_all":$probeAll%.2f"""
+      f""""cpu_probe_1t_end":$probe1End%.2f,"cpu_probe_all":$probeAll%.2f,""" +
+      f""""mem_probe_1t":$memProbe1Start%.2f,""" +
+      f""""mem_probe_1t_end":$memProbe1End%.2f,"mem_probe_all":$memProbeAll%.2f,""" +
+      f""""stream_harness_floor":$harnessFloor%.2f"""
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""queries_contended":$qsContended,"only":$onlyJson,$probeJson,""" +
+        s""""queries_contended":$qsContended,"queries_spread":$qsSpread,""" +
+        s""""only":$onlyJson,$probeJson,""" +
         s""""runs":$runs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$probeJson,""" +
         s""""queries_max":$qsMax,"queries_runs":$qsRuns,"queries_load":$qsLoad,""" +
         s""""queries_steal_pct":$qsSteal,"queries_contended":$qsContended,""" +
+        s""""queries_spread":$qsSpread,""" +
         s""""only":$onlyJson,""" +
-        f""""steal_max":$stealMax%.1f,"load_max":$loadMax%.1f,""" +
+        f""""steal_max":$stealMax%.1f,"load_max":$loadMax%.1f,"spread_max":$spreadMax%.1f,""" +
         s""""runs":$runs,"runs_noisy":$runsNoisy,""" +
         f""""load_start":$benchLoadStart%.2f,"load_end":${load1()}%.2f,""" +
         s""""errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
@@ -252,12 +355,24 @@ object Bench {
         "reported `queries_steal_pct` keeps it so disk stalls stay " +
         "visible; `queries_contended` lists queries whose reported median " +
         "still rests on contended runs — those numbers are lower bounds on " +
-        "the box, not the code). `cpu_probe_*` is the absolute box-speed " +
-        "yardstick — 400M deterministic mix64 steps, single-thread at " +
-        "start/end and split across all cores — because round 8 measured " +
-        "the SAME code at 261 s and 315 s across sessions with steal at " +
-        "0.1% and clean loads: two records' medians are comparable only " +
-        "when their probes agree.\n\n" +
+        "the box, not the code). SPREAD criterion: a query whose own runs " +
+        f"span > $spreadMax%.1fx triggers bounded resampling REGARDLESS of " +
+        "steal/load and lands in `queries_spread`; each median is taken " +
+        "over the samples within that factor of the query's fastest run " +
+        "when a quorum exists — sound because every run starts from a hard " +
+        "cache sweep, so a sample can be falsely slow (neighbor stole " +
+        "bandwidth) but never falsely fast. `cpu_probe_*` is the absolute " +
+        "box-speed yardstick — 400M deterministic mix64 steps, " +
+        "single-thread at start/end and split across all cores; " +
+        "`mem_probe_*` is its memory-BANDWIDTH companion — 16 GB streamed " +
+        "over a 256 MB array — because round 8 measured the SAME code at " +
+        "261 s and 315 s across sessions with steal at 0.1%, clean loads " +
+        "AND matching cpu probes: the drift was bandwidth/LLC, the " +
+        "resource a shuffle feels first. Two records' medians are " +
+        "comparable only when BOTH probes agree. " +
+        "`stream_harness_floor` is the streaming replay machinery's own " +
+        "cost (sentinel-only schedule, zero real rows) so the 18 " +
+        "stream_* rows separate into operator cost vs harness cost.\n\n" +
         s"```json\n$fullLine\n```\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         md.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -69,6 +69,24 @@ object ScaleRehearsal {
     }
     val g = spark.read.format("bvgraph").option("basename", base).load()
 
+    // COLD pruned range scan, run FIRST (the JVM's BvGraphCache has never
+    // seen this basename): the pushed id band must open ONLY the covering
+    // shards — planning prunes from the manifest without touching shard
+    // files, so the coldOpens delta IS the opened-shard count (the same
+    // gate BvShardOpenSpec pins at 8 shards, asserted here at `shards`
+    // shards / n nodes; at a 10k-shard crawl snapshot, opening all shards
+    // for a 2-shard slice is 10k wasted opens+offsets decodes per
+    // executor). Collected via explode, never an agg — metadata
+    // aggregates answer from the manifest without opening anything.
+    val cLo = n / 2L; val cHi = cLo + n / 100L
+    val coveringShards = sources.BvShards.readManifest(base).get
+      .shards.count(sh => sh.from < cHi && sh.until > cLo)
+    val opensBefore = sources.BvGraphCache.coldOpens.get()
+    val (coldSliceEdges, tColdSlice) = timed(
+      g.filter(col("id") >= cLo && col("id") < cHi)
+        .select(explode(col("successors"))).count())
+    val coldOpened = sources.BvGraphCache.coldOpens.get() - opensBefore
+
     // metadata aggregate: must be O(1), no decode
     val ((nn, mm), tMeta) = timed {
       val r = g.agg(count(lit(1)), sum(col("outdegree"))).head()
@@ -129,37 +147,91 @@ object ScaleRehearsal {
       rounds
     }
 
-    // h-index coreness rehearsal (graph_coreness's round at full scale):
-    // ONE h-index iteration over the symmetrized edge frame — the
-    // edge-sized publish join plus the per-node ordered-rank H-index
-    // (row_number bounded by each node's own degree; the query's scaladoc
-    // documents the bounded-histogram swap-in for crawl-scale hubs). The
-    // check is the invariant that makes the iteration converge: h¹ ≤ h⁰
-    // = deg for EVERY node (monotone non-increasing toward coreness) and
-    // the node set is preserved — a single violated node fails the run.
-    val ((corenessNodes, corenessViol), tCoreness) = timed {
-      import org.apache.spark.sql.expressions.Window
+    // h-index coreness rehearsal, PRODUCTION MODE (r9 — closing the r8
+    // verdict's items 4+5; graph_coreness itself stays the 2-round
+    // oracle-expressible form): (a) ONE round computed in BOTH physical
+    // forms — the per-node ordered-rank sort and the bounded ≤√(2m)
+    // HISTOGRAM (the crawl-hub plan hIndexRound auto-selects past
+    // maxDeg > 2·√(2m)) — compared NODE FOR NODE (coreness_hist_diff
+    // must be 0: the forms are result-identical by the capping argument
+    // in GraphAlgos.hIndexRoundHist's scaladoc, and this is the at-scale
+    // equality gate for it); (b) the full TO-FIXPOINT iteration via
+    // GraphAlgos.corenessFixpoint with kcore's early-exit pattern and
+    // per-round monotonicity ASSERTED (h^{i+1} ≤ h^i for every node — a
+    // violation aborts the run), landing on the exact core number of
+    // every node (gated against a driver-side peel at sf0.001 in
+    // CorenessLouvainSpec; here the invariants + convergence are the
+    // checkable facts).
+    val ((corenessNodes, corenessViol, corenessHistDiff, corenessFxRounds,
+        corenessConverged, maxCore), tCoreness) = timed {
       val e = g.select(col("id").cast("long").as("u"),
         explode(col("successors")).as("v0"))
         .select(col("u"), col("v0").cast("long").as("v"))
       val symP = e.select(col("u").as("x"), col("v").as("y"))
         .unionByName(e.select(col("v").as("x"), col("u").as("y")))
         .persist()
+      val dst = symP.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+        .agg(count(lit(1)), sum(col("deg")), max(col("deg"))).head()
+      val nNodes = dst.getLong(0)
+      val hmax = math.sqrt(dst.getLong(1).toDouble).toLong
+      val maxDeg = dst.getLong(2)
       val (h0, h0Ids) = checkpoint(
         symP.groupBy(col("x")).agg(count(lit(1)).as("h")))
-      val nb = symP
-        .join(h0.select(col("x").as("y"), col("h").as("hv")), "y")
-        .select(col("x"), col("hv"))
-      val w = Window.partitionBy(col("x")).orderBy(col("hv").desc)
-      val (h1, h1Ids) = checkpoint(
-        nb.withColumn("rn", row_number().over(w).cast("long"))
-          .groupBy(col("x")).agg(max(least(col("rn"), col("hv"))).as("h1")))
-      val r = h0.join(h1, "x")
-        .agg(count(lit(1)),
-          sum(when(col("h1") > col("h"), 1L).otherwise(0L))).head()
-      free(h0Ids); free(h1Ids)
+      val hs = queries.GraphAlgos.hIndexRoundSort(symP, h0)
+      val hh = queries.GraphAlgos.hIndexRoundHist(symP, h0, hmax)
+      val histDiff = hs.withColumnRenamed("h", "a")
+        .join(hh.withColumnRenamed("h", "b"), Seq("x"), "full")
+        .filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+        .count()
+      val viol = hs.withColumnRenamed("h", "h1").join(h0, "x")
+        .agg(sum(when(col("h1") > col("h"), 1L).otherwise(0L)))
+        .head().getLong(0)
+      free(h0Ids)
+      val (hf, hfIds, fxRounds, fxConverged) =
+        queries.GraphAlgos.corenessFixpoint(spark, symP, hmax, maxDeg,
+          maxRounds = 100, checkMonotone = true)
+      val mc = hf.agg(max(col("h"))).head().getLong(0)
+      free(hfIds)
       symP.unpersist(blocking = false)
-      (r.getLong(0), r.getLong(1))
+      (nNodes, viol, histDiff, fxRounds, fxConverged, mc)
+    }
+
+    // LOUVAIN production ladder (r9 — the graph_louvain scaladoc's
+    // "each later sweep has the same plan over a strictly smaller graph",
+    // proved at full scale): sweep from singletons over the undirected
+    // w=1 graph, COARSEN communities to super-nodes (internal weight
+    // becomes self-loops), sweep AGAIN over the strictly smaller graph.
+    // Checks are exact-integer equalities on the scaled modularity
+    // Q·(2m)² (GraphAlgos.modularityScaled): Q(sweep1) ≥ Q(singletons);
+    // coarsening leaves Q INVARIANT (singleton labels on the coarse
+    // graph == sweep-1 labels on the original — same integer); and
+    // Q(sweep2) ≥ Q(sweep1). Float never enters any comparison.
+    val ((louvainOk, coarseEdges, q0s, q1s, q2s), tLouvain) = timed {
+      val e = g.select(col("id").cast("long").as("u"),
+        explode(col("successors")).as("v0"))
+        .select(col("u"), col("v0").cast("long").as("v"))
+      val we = e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct().select(col("u"), col("v"), lit(1L).as("w"))
+        .localCheckpoint(true)
+      val singles = we.select(col("u").as("x"))
+        .unionByName(we.select(col("v").as("x"))).distinct()
+        .select(col("x"), col("x").as("comm"))
+      val (q0, m2a) = queries.GraphAlgos.modularityScaled(we, singles)
+      val (lbl1, ids1) = queries.GraphAlgos.louvainSweep(spark, we)
+      val (q1, m2b) = queries.GraphAlgos.modularityScaled(we, lbl1)
+      val coarse = queries.GraphAlgos.coarsen(we, lbl1).localCheckpoint(true)
+      val cSingles = coarse.select(col("u").as("x"))
+        .unionByName(coarse.select(col("v").as("x"))).distinct()
+        .select(col("x"), col("x").as("comm"))
+      val (qc, m2c) = queries.GraphAlgos.modularityScaled(coarse, cSingles)
+      val cEdges = coarse.count()
+      val (lbl2, ids2) = queries.GraphAlgos.louvainSweep(spark, coarse)
+      val (q2, _) = queries.GraphAlgos.modularityScaled(coarse, lbl2)
+      free(ids1); free(ids2)
+      val ok = m2a == m2b && m2b == m2c && q1 >= q0 && qc == q1 && q2 >= q1
+      (ok, cEdges, q0, q1, q2)
     }
 
     // runtime filtering (SupportsRuntimeFiltering): a selective join whose
@@ -514,9 +586,17 @@ object ScaleRehearsal {
       s""""meta_agg_sec":${f(tMeta)},"full_decode_sec":${f(tFull)},""" +
       s""""decode_mlinks_per_sec":${f(m2 / tFull / 1e6)},""" +
       s""""degree_scan_sec":${f(tDeg)},"id_slice_sec":${f(tSlice)},""" +
+      s""""cold_slice_sec":${f(tColdSlice)},""" +
+      s""""cold_slice_shards_opened":$coldOpened,""" +
+      s""""cold_slice_shards_covering":$coveringShards,""" +
       s""""kcore_rounds":$kcoreRounds,"kcore_sec":${f(tKcore)},""" +
       s""""coreness_sec":${f(tCoreness)},"coreness_nodes":$corenessNodes,""" +
       s""""coreness_monotone_violations":$corenessViol,""" +
+      s""""coreness_hist_diff":$corenessHistDiff,""" +
+      s""""coreness_fixpoint_rounds":$corenessFxRounds,""" +
+      s""""coreness_converged":$corenessConverged,"max_core":$maxCore,""" +
+      s""""louvain_sec":${f(tLouvain)},"louvain_coarse_edges":$coarseEdges,""" +
+      s""""louvain_q_scaled":[$q0s,$q1s,$q2s],"louvain_ok":$louvainOk,""" +
       s""""runtime_join_sec":${f(tRt)},"runtime_join_edges":$rtEdges,""" +
       s""""golomb_write_sec":${f(tWriteGol)},""" +
       s""""golomb_full_decode_sec":${f(tFullGol)},""" +
@@ -540,6 +620,9 @@ object ScaleRehearsal {
       s""""longid_sec":${f(tBig)},"longid_arcs":$bigArcs,""" +
       s""""longid_lpa_mismatches":$lpaMismatch,""" +
       s""""checks":${corenessNodes == n.toLong && corenessViol == 0L &&
+        corenessHistDiff == 0L && corenessConverged && maxCore >= 1L &&
+        louvainOk && coarseEdges > 0L &&
+        coldOpened == coveringShards.toLong && coldSliceEdges > 0L &&
         nn == n && m2 == mm && mGol == mm && rtEdges == expRt &&
         sccOnCycle >= 1 && sccOnCycle <= sccN && hbMin >= 1 &&
         hbAvgX100 >= 100L * (1 + avgDeg) &&

@@ -125,12 +125,28 @@ object Multimodal {
 
   /** documents -> (doc_id, modality, payload BINARY, width, height):
     * the text bytes stand in for media payloads; metadata is derived
-    * deterministically. */
-  def attachPayload(docs: DataFrame): DataFrame =
+    * deterministically.
+    *
+    * ASCII invariant, asserted in-line (ADVICE r8): the engine side of
+    * the multimodal queries samples payload BYTES while their DuckDB
+    * oracles sample CODEPOINTS over len(text) characters — equal only
+    * while the corpus is pure ASCII (byte count == char count and byte
+    * values == codepoints). A corpus change that introduces non-ASCII
+    * must fail HERE loudly, not as a silent oracle hash mismatch.
+    * Sampled (1 doc in 101) so the guard costs nothing at scale; the
+    * raise_error lives INSIDE the payload expression so column pruning
+    * can never drop it while payload is consumed. */
+  def attachPayload(docs: DataFrame): DataFrame = {
+    val asciiOk = col("doc_id") % 101 =!= 0 ||
+      length(col("text")) === expr("octet_length(text)")
     docs.select(col("doc_id"), lit("image").as("modality"),
-      col("text").cast("binary").as("payload"),
+      when(asciiOk, col("text").cast("binary"))
+        .otherwise(raise_error(concat(
+          lit("multimodal ASCII invariant violated (bytes != chars) at doc_id="),
+          col("doc_id").cast("string")))).as("payload"),
       (col("doc_id") % 64 + 1).cast("int").as("width"),
       (col("doc_id") % 48 + 1).cast("int").as("height"))
+  }
 
   /** The batched feature-extraction pass. */
   def features(s: SparkSession, docs: DataFrame): DataFrame = {

@@ -603,6 +603,28 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // -- deterministic k-fold split (the train/val/test assignment step
+    //    of an eval pipeline, as a PURE function of content): fold =
+    //    3-hex-digit md5 prefix of the NORMALIZED TEXT mod k —
+    //    content-addressed like every sample_* decision (stable under
+    //    re-partitioning, re-ingest, cluster resize), and keyed on the
+    //    text rather than the id, so EXACT duplicates land in the SAME
+    //    fold by construction: the classic split-leakage bug (one string
+    //    in train and test under two ids) is impossible before any dedup
+    //    pass even runs. Scale shape: one stateless scan-stage projection
+    //    (hash + mod, codegen'd), no join, no shuffle before the final
+    //    ordering. (Near-dup leakage needs the dedup_* cluster ops —
+    //    at 100 TB assign folds to cluster REPRESENTATIVES' md5 instead;
+    //    same expression, one extra join.)
+    "sample_kfold" -> ((s, d) => {
+      val k = 5L
+      documents(s, d).select(col("doc_id"),
+          size(DedupQueries.tokens(col("text"))).cast("long").as("n_tok"),
+          pmod(conv(substring(md5(DedupQueries.norm(col("text"))), 1, 3), 16, 10)
+            .cast("long"), lit(k)).as("fold"))
+        .orderBy("doc_id")
+    }),
+
     // -- domain-mix rebalancing (the data-mixing step of a pre-training
     //    pipeline): given a target mix — uniform across sources here —
     //    compute each source's deterministic acceptance threshold
@@ -923,9 +945,17 @@ object CurationQueries {
     //    W = 3·2^B − 2 equally-likely values, u = (48-bit md5 prefix of
     //    the group key) mod W, and a shared fence table drives both the
     //    Spark when-chain and the oracle's CASE chain — no float, no RNG,
-    //    so the release is hash-gated end to end. (Production swaps the
-    //    key-derived hash for a secret-seeded PRF — the MECHANISM is
-    //    identical; key-derived here is what makes the oracle replayable.)
+    //    so the release is hash-gated end to end.
+    //    ***NOT A PRIVACY GUARANTEE AS SHIPPED*** (ADVICE r8): the draw
+    //    is a DETERMINISTIC function of the PUBLISHED group key, so
+    //    anyone can recompute the noise and subtract it exactly — this
+    //    query is a MECHANISM-SHAPE REPLAY (fence geometry, exact
+    //    inverse-CDF, clipping-as-post-processing, all oracle-gated),
+    //    not a usable ε-DP release. Production MUST swap the key-derived
+    //    hash for a secret-seeded PRF (one-line change at the `u`
+    //    expression: hmac(secret, key) mod W) — the mechanism and every
+    //    plan property are identical; key-derived is solely what makes
+    //    the DuckDB oracle replayable.
     //    max(0, ·) clipping is DP post-processing. Scale shape: one
     //    stateless scan + partial-aggregated count to a metadata-sized
     //    (types × days) relation; the noise is a per-GROUP projection, so
@@ -1366,6 +1396,17 @@ object CurationQueries {
            FROM documents)
          SELECT lang, rk, doc_id FROM r, m
          WHERE rk <= m.m ORDER BY lang, rk""",
+    "sample_kfold" ->
+      """SELECT doc_id,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok,
+         CAST(((strpos('0123456789abcdef', substr(md5(regexp_replace(
+                 lower(trim(text)), '\s+', ' ', 'g')), 1, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(regexp_replace(
+                 lower(trim(text)), '\s+', ' ', 'g')), 2, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(regexp_replace(
+                 lower(trim(text)), '\s+', ' ', 'g')), 3, 1)) - 1)) % 5
+           AS BIGINT) AS fold
+         FROM documents ORDER BY doc_id""",
     "sample_stratified" ->
       """SELECT lang, source, COUNT(*) AS n_total,
          CAST(SUM(CASE WHEN substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 1)

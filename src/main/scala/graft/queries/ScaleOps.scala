@@ -42,18 +42,22 @@ object ScaleOps {
 
   /** Membership test as pure codegen'd built-ins over the literal bitset:
     * bit i of word w via element_at + precomputed single-bit masks (no
-    * dynamic shift needed — shiftleft/shiftright take static amounts). */
+    * dynamic shift needed — shiftleft/shiftright take static amounts).
+    * The modulus is DERIVED from the bitset (bits.length * 64), so probe
+    * and build agree for any geometry — dedup_substring_spans sizes its
+    * bitset to the measured dup-hash count rather than BLOOM_BITS. */
   private[queries] def bloomContains(key: Column, bits: Array[Long]): Column = {
+    val mBits = bits.length * 64L
     val bitsLit = typedlit(bits)
     val masks = typedlit((0 until 64).map(i => 1L << i).toArray)
     val (h1r, h2r) = h12(key)
     // reduce mod m BEFORE combining: i * (h2 mod m) stays tiny, so the sum
     // can't overflow (ANSI mode makes wrapping arithmetic an error); since
     // m is a power of two this equals floorMod(h1 + i*h2, m) exactly
-    val h1 = pmod(h1r, lit(BLOOM_BITS.toLong))
-    val h2 = pmod(h2r, lit(BLOOM_BITS.toLong))
+    val h1 = pmod(h1r, lit(mBits))
+    val h2 = pmod(h2r, lit(mBits))
     (0 until BLOOM_K).map { i =>
-      val idx = pmod(h1 + lit(i.toLong) * h2, lit(BLOOM_BITS.toLong))
+      val idx = pmod(h1 + lit(i.toLong) * h2, lit(mBits))
       element_at(bitsLit, shiftright(idx, 6).cast("int") + 1)
         .bitwiseAND(element_at(masks, pmod(idx, lit(64L)).cast("int") + 1)) =!= 0
     }.reduce(_ && _)

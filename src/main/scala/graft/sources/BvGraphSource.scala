@@ -717,6 +717,15 @@ class HadoopBytes(path: Path, conf: Configuration) extends SeekableBytes {
   * any eviction), so eviction under shard churn merely drops the cache's
   * reference — file handles close only when the last reader releases. */
 object BvGraphCache {
+  /** Cold constructions (shard opens) in this JVM — instrumentation for
+    * the "a pruned id-range scan opens ONLY the covering shards" gate
+    * (SURVEY §4.3 item 4): planning prunes shards from the manifest
+    * without touching them, so the count of fresh BvGraph constructions
+    * IS the count of shards whose .graph/.offsets handles were opened.
+    * Read as a before/after delta (local mode shares one JVM; on a
+    * cluster each executor counts its own). */
+  val coldOpens = new java.util.concurrent.atomic.AtomicLong()
+
   private val MAX_ENTRIES = 64
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, (Long, BvGraph)](32, 0.75f, true) {
@@ -748,6 +757,7 @@ object BvGraphCache {
             finally in.close()
           }
           val props = BvProperties.parse(propsText)
+          coldOpens.incrementAndGet(): Unit
           (mtime, new BvGraph(props,
             new HadoopBytes(new Path(b + ".graph"), conf),
             new HadoopBytes(new Path(b + ".offsets"), conf)))

@@ -447,6 +447,26 @@ object StreamingOps {
     s.table(sink)
   }
 
+  /** The replay harness's OWN cost, isolated: the identical batch +
+    * sentinel schedule every stream_* query runs — source collect,
+    * checkpoint init, four micro-batch commits, state-store plumbing,
+    * memory sink — driving a minimal windowed count with ZERO real rows
+    * (every data batch is empty; only sentinels flow). [[graft.Bench]]
+    * records its median as `stream_harness_floor` so each stream row's
+    * operator cost and harness cost are separable — round 8's
+    * stream_chained_agg measured 5.7/9.3/11.0 s across records on
+    * unchanged code, and the moving part was this floor, not the
+    * operator. Not an oracle query: the output is empty by construction
+    * (the sentinel window is filtered exactly as every stream query
+    * filters its sentinels). */
+  def harnessFloor(s: SparkSession, d: String): DataFrame =
+    replayThroughStream(s, d, "stream_harness_floor_sink",
+      expand = _ => Seq.empty,
+      build = src => src
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < 0))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- session windows through the streaming engine; hash-compared
     //    against the same gaps-and-islands SQL that gates the batch twin

@@ -3,13 +3,14 @@
 # which CHECKS its planted or closed-form expectations and exits non-zero
 # on any mismatch. Sizes are the SCALE.md-documented defaults; pass
 # smaller ones for a smoke run:
-#   tools/run_rehearsals.sh [graphNodes] [textDocs] [relRows] [embVecs]
+#   tools/run_rehearsals.sh [graphNodes] [textDocs] [relRows] [embVecs] [streamEvents]
 set -e
 cd /root/repo
 GN=${1:-50000000}
 TD=${2:-1000000}
 RR=${3:-50000000}
 EV=${4:-2000000}
+SE=${5:-10000000}
 # copyResources too: a bare `compile` leaves META-INF/services out of the
 # classes dir and the bvgraph short name would fail to resolve
 sbt -batch compile Compile/copyResources 2>&1 | grep -E 'error|success'
@@ -38,3 +39,5 @@ echo "== relational (RelationalScaleRehearsal $RR rows) =="
 run graft.RelationalScaleRehearsal "$RR"
 echo "== embeddings (EmbedScaleRehearsal $EV vectors) =="
 run graft.EmbedScaleRehearsal "$EV"
+echo "== streaming (StreamScaleRehearsal $SE events) =="
+run graft.StreamScaleRehearsal "$SE"
