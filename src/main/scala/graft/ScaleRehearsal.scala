@@ -110,11 +110,11 @@ object ScaleRehearsal {
     // O(1) per round at ANY data size — this is the measured evidence
     // that the fix scales, not just that it passed at sf0.1
     val sc = spark.sparkContext
-    def checkpoint(df: org.apache.spark.sql.DataFrame) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(eager = true)
-      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-    }
+    // the shared clamped checkpoint (GraphAlgos.checkpointWithIds):
+    // inherited stats are capped so iterative loops can't compound them
+    // into driver-melting BigInt products (see Checkpoints.clampStats)
+    def checkpoint(df: org.apache.spark.sql.DataFrame) =
+      queries.GraphAlgos.checkpointWithIds(df)
     def free(ids: Set[Int]): Unit = ids.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 

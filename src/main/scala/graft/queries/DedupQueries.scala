@@ -587,14 +587,18 @@ object DedupQueries {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val W = 40
-      def occ = documents(s, d)
-        .filter(length(col("text")) >= W)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), length(col("text")) - (W - 1)),
-            i => struct(i.as("start"),
-              xxhash64(col("text").substr(i, lit(W))).as("h")))).as("x"))
+      val base = documents(s, d).filter(length(col("text")) >= W)
+      // pass 1 (dup test) needs only the hash stream — no start offsets,
+      // so its transform materializes 8 B/char, half of pass 2's struct
+      val occH = base.select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - (W - 1)),
+          i => xxhash64(col("text").substr(i, lit(W))))).as("h"))
+      def occ = base.select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - (W - 1)),
+          i => struct(i.as("start"),
+            xxhash64(col("text").substr(i, lit(W))).as("h")))).as("x"))
         .select(col("doc_id"), col("x.start").as("start"), col("x.h").as("h"))
-      val dupHashes = graft.Caches.pin(occ.groupBy("h")
+      val dupHashes = graft.Caches.pin(occH.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
         .select(col("h")))

@@ -38,11 +38,23 @@ object GraphAlgos {
     * sound lineage cut for iterative DataFrame loops: persist()+count()
     * cuts execution lineage but leaves the full LOGICAL plan for the
     * analyzer to re-canonicalize every round (the round-3/4 kcore trap:
-    * 121 s of driver-side planning at sf0.1). */
+    * 121 s of driver-side planning at sf0.1).
+    *
+    * The inherited Statistics are CLAMPED
+    * ([[org.apache.spark.sql.graftbridge.Checkpoints.clampStats]]):
+    * localCheckpoint copies the child plan's estimated sizeInBytes into
+    * the LogicalRDD, and in a loop that joins the previous generation
+    * the estimate multiplies round over round — digit counts double per
+    * round until the driver melts in BigInteger multiplication inside
+    * stats estimation (hit live by the 50M coreness fixpoint at ~round
+    * 20+). Capping at 10^18 changes no real plan decision (real sizes
+    * are far below; the cap is ~defaultSizeInBytes) and bounds every
+    * future round's stats math. */
   private[graft] def checkpointWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint(eager = true)
+    val out = org.apache.spark.sql.graftbridge.Checkpoints.clampStats(
+      df.localCheckpoint(eager = true))
     (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
   }
 

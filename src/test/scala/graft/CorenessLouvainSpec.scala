@@ -94,6 +94,40 @@ class CorenessLouvainSpec extends AnyFunSuite {
       s"${bad.size} nodes disagree with the exact peel, e.g. ${bad.take(3)}")
   }
 
+  test("checkpoint stats stay clamped across many self-joining rounds (driver-melt regression)") {
+    // localCheckpoint inherits the child plan's estimated sizeInBytes;
+    // a loop that joins its own previous generation MULTIPLIES the
+    // estimate per round — digits double until the driver wedges in
+    // BigInteger math inside stats estimation (hit live at 50M, round
+    // ~20+). The clamp in checkpointWithIds bounds every generation.
+    import spark.implicits._
+    val cap = BigInt(10).pow(18)
+    var (df, ids0) = GraphAlgos.checkpointWithIds(
+      Seq(1L, 2L, 3L).toDF("x"))
+    // generations are freed at the END here: this test's subject is the
+    // STATS clamp (the per-round-free discipline over real data is what
+    // the fixpoint test above exercises), and 60 trivial generations are
+    // a few KB of blocks
+    val all = scala.collection.mutable.Set.empty[Int] ++= ids0
+    val t0 = System.nanoTime()
+    for (_ <- 1 to 60) {
+      val (nd, nids) = GraphAlgos.checkpointWithIds(
+        df.join(df.withColumnRenamed("x", "y"), expr("x = y"))
+          .join(df.withColumnRenamed("x", "z"), expr("x = z"))
+          .select(col("x")))
+      df = nd; all ++= nids
+      assert(df.queryExecution.analyzed.stats.sizeInBytes <= cap,
+        "checkpointed stats exceed the clamp")
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(df.count() == 3)
+    GraphAlgos.freeRdds(spark, all.toSet)
+    // unclamped, round ~25+ alone takes minutes of driver-side BigInt
+    // math; the whole loop must stay planning-cheap (generous bound for
+    // a loaded CI box)
+    assert(sec < 120, f"60 self-joining rounds took $sec%.0f s — stats blowup?")
+  }
+
   test("louvain ladder: modularity non-decreasing and coarsening-invariant (exact integers)") {
     val we = GraphAlgos.weightedCoPurchase(spark, sf0001)
       .localCheckpoint(true)
