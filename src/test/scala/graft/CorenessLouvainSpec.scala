@@ -129,16 +129,20 @@ class CorenessLouvainSpec extends AnyFunSuite {
   }
 
   test("louvain ladder: modularity non-decreasing and coarsening-invariant (exact integers)") {
+    // The ladder runs the GUARDED sweep (louvainSweepMonotone): the raw
+    // synchronous sweep's q1 >= q0 is NOT a theorem (see the path
+    // counterexample test below), but max(q0, q1) selection makes it one.
     val we = GraphAlgos.weightedCoPurchase(spark, sf0001)
       .localCheckpoint(true)
-    val singletons = we.select(col("u").as("x")).unionByName(
-      we.select(col("v").as("x"))).distinct().select(col("x"), col("x").as("comm"))
-    val (qSingle, m2a) = GraphAlgos.modularityScaled(we, singletons)
-    val (lbl1, ids1) = GraphAlgos.louvainSweep(spark, we)
-    val (qSweep1, m2b) = GraphAlgos.modularityScaled(we, lbl1)
-    assert(m2a == m2b, "total strength must be label-independent")
+    val (lbl1, ids1, qSingle, qSweep1, m2a) =
+      GraphAlgos.louvainSweepMonotone(spark, we)
     assert(qSweep1 >= qSingle,
-      s"sweep 1 decreased modularity: $qSweep1 < $qSingle")
+      s"guarded sweep 1 decreased modularity: $qSweep1 < $qSingle")
+    // on this community-structured fixture the guard must be a no-op:
+    // the sweep genuinely improves Q (a strict > would make the whole
+    // ladder trivially singleton-only and the test vacuous)
+    assert(qSweep1 > qSingle,
+      s"sweep made no move on the co-purchase fixture ($qSweep1 == $qSingle)")
     val coarse = GraphAlgos.coarsen(we, lbl1).localCheckpoint(true)
     // coarsening preserves total strength exactly
     val (qCoarseSingle, m2c) = GraphAlgos.modularityScaled(coarse,
@@ -149,8 +153,10 @@ class CorenessLouvainSpec extends AnyFunSuite {
     // original (each super-node IS a community): Q must carry over exactly
     assert(qCoarseSingle == qSweep1,
       s"coarsening is not modularity-invariant: $qCoarseSingle != $qSweep1")
-    val (lbl2, ids2) = GraphAlgos.louvainSweep(spark, coarse)
-    val (qSweep2, _) = GraphAlgos.modularityScaled(coarse, lbl2)
+    val (lbl2, ids2, qc2, qSweep2, _) =
+      GraphAlgos.louvainSweepMonotone(spark, coarse)
+    assert(qc2 == qCoarseSingle,
+      s"monotone sweep's own singleton pricing disagrees: $qc2 != $qCoarseSingle")
     assert(qSweep2 >= qSweep1,
       s"sweep 2 decreased modularity: $qSweep2 < $qSweep1")
     // composed labels on the ORIGINAL graph reproduce the coarse Q exactly
@@ -161,5 +167,46 @@ class CorenessLouvainSpec extends AnyFunSuite {
     assert(qComposed == qSweep2,
       s"composed labels lose modularity invariance: $qComposed != $qSweep2")
     GraphAlgos.freeRdds(spark, ids1 ++ ids2)
+  }
+
+  test("louvain synchronous-move counterexample: raw sweep regresses, guarded sweep does not") {
+    // The w=1 path 1–2–3: every candidate score is 2m·w − du·dv = 2 > 0,
+    // node 2 tie-breaks to the smaller neighbor — the SIMULTANEOUS moves
+    // yield partition {2},{1,3} with Q·(2m)² = −8, strictly below the
+    // singletons' −6. This pins the raw sweep's known non-monotonicity
+    // (its scaladoc caveat) and proves the guard restores the theorem.
+    import spark.implicits._
+    val we = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("u", "v", "w")
+      .localCheckpoint(true)
+    val singles = we.select(col("u").as("x")).unionByName(
+      we.select(col("v").as("x"))).distinct()
+      .select(col("x"), col("x").as("comm"))
+    val (q0, m2) = GraphAlgos.modularityScaled(we, singles)
+    assert(m2 == 4L && q0 == -6L, s"fixture arithmetic drifted: m2=$m2 q0=$q0")
+    val (rawLbl, rawIds) = GraphAlgos.louvainSweep(spark, we)
+    val (qRaw, _) = GraphAlgos.modularityScaled(we, rawLbl)
+    assert(qRaw == -8L,
+      s"raw synchronous sweep no longer regresses on the path ($qRaw) — " +
+        "update the counterexample if the tie-break rule changed")
+    GraphAlgos.freeRdds(spark, rawIds)
+    val (gLbl, gIds, gq0, gq1, _) = GraphAlgos.louvainSweepMonotone(spark, we)
+    assert(gq0 == -6L && gq1 == -6L,
+      s"guarded sweep must fall back to singletons here: q0=$gq0 q1=$gq1")
+    val kept = gLbl.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept == Map(1L -> 1L, 2L -> 2L, 3L -> 3L),
+      s"guarded sweep returned non-singleton labels: $kept")
+    GraphAlgos.freeRdds(spark, gIds)
+  }
+
+  test("modularityScaled fails loudly past the 2m BIGINT bound") {
+    // the sweep guards bound 2m·maxW and maxDeg² but not 2m itself; the
+    // pricing function must not silently wrap m2*aIn (ADVICE r9)
+    import spark.implicits._
+    val we = Seq((1L, 2L, 2000000000L)).toDF("u", "v", "w")
+    val singles = Seq((1L, 1L), (2L, 2L)).toDF("x", "comm")
+    val e = intercept[IllegalArgumentException] {
+      GraphAlgos.modularityScaled(we, singles)
+    }
+    assert(e.getMessage.contains("overflows BIGINT"), e.getMessage)
   }
 }
