@@ -257,32 +257,56 @@ object Bench {
       val times = samples.map(_._1)
       val loads = samples.map(_._2)
       val steals = samples.map(_._4) // reported share keeps iowait
-      if (times.isEmpty) (name, -1.0, -1.0, times, loads, steals, false, false)
+      if (times.isEmpty)
+        (name, -1.0, -1.0, times, loads, steals, false, false, -1.0, 0)
       else {
         val med = { val st = tightSet.map(_._1).sorted; st(st.length / 2) }
-        (name, med, times.max, times, loads, steals, contended, spreadFlagged)
+        // the tight-set median can under-report genuinely BIMODAL query
+        // cost (sporadic spill/GC inherent to the query, not the box) by
+        // dropping every clean-but-slow sample — so the record also
+        // carries the median over ALL clean samples and the per-query
+        // count of clean samples the tight filter discarded; a query
+        // where the two medians disagree is bimodal-or-contended and the
+        // reader adjudicates with queries_runs (ADVICE r9)
+        val medAll = { val st = preferred.map(_._1).sorted; st(st.length / 2) }
+        val dropped = preferred.size - tightSet.size
+        (name, med, times.max, times, loads, steals, contended,
+          spreadFlagged, medAll, dropped)
       }
     }
-    val qs = results.map { case (k, med, _, _, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map { case (k, med, _, _, _, _, _, _, _, _) =>
+      "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, _, mx, _, _, _, _, _) => "\"" + k + "\":" + fmt(mx) }
+    val qsMax = results.map { case (k, _, mx, _, _, _, _, _, _, _) =>
+      "\"" + k + "\":" + fmt(mx) }
       .mkString("{", ",", "}")
-    val qsRuns = results.map { case (k, _, _, ts, _, _, _, _) =>
+    val qsRuns = results.map { case (k, _, _, ts, _, _, _, _, _, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsLoad = results.map { case (k, _, _, _, lds, _, _, _) =>
+    val qsLoad = results.map { case (k, _, _, _, lds, _, _, _, _, _) =>
       "\"" + k + "\":" + lds.map(l => f"$l%.2f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsSteal = results.map { case (k, _, _, _, _, sts, _, _) =>
+    val qsSteal = results.map { case (k, _, _, _, _, sts, _, _, _, _) =>
       "\"" + k + "\":" + sts.map(s => f"$s%.1f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsContended = results.collect { case (k, _, _, _, _, _, true, _) =>
+    val qsContended = results.collect { case (k, _, _, _, _, _, true, _, _, _) =>
       "\"" + k + "\"" }.mkString("[", ",", "]")
-    val qsSpread = results.collect { case (k, _, _, _, _, _, _, true) =>
+    val qsSpread = results.collect { case (k, _, _, _, _, _, _, true, _, _) =>
       "\"" + k + "\"" }.mkString("[", ",", "]")
+    // medians over ALL clean samples (no tight filter) — only for queries
+    // where it differs from the tight median; plus the per-query count of
+    // clean samples the tight filter dropped (bimodality stays visible)
+    val qsMedAll = results.collect {
+      case (k, med, _, _, _, _, _, _, medAll, _)
+        if medAll >= 0 && math.abs(medAll - med) > 0.0005 =>
+        "\"" + k + "\":" + fmt(medAll) }.mkString("{", ",", "}")
+    val qsDropped = results.collect {
+      case (k, _, _, _, _, _, _, _, _, dropped) if dropped > 0 =>
+        "\"" + k + "\":" + dropped }.mkString("{", ",", "}")
     val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")).getOrElse("null")
-    val failed = results.collect { case (k, med, _, _, _, _, _, _) if med < 0 => "\"" + k + "\"" }
+    val failed = results.collect {
+      case (k, med, _, _, _, _, _, _, _, _) if med < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     // streaming HARNESS FLOOR: the replay machinery's own cost (source
     // collect, checkpoint init, 4 micro-batch commits, memory sink) with
@@ -324,6 +348,7 @@ object Bench {
         s""""queries_max":$qsMax,"queries_runs":$qsRuns,"queries_load":$qsLoad,""" +
         s""""queries_steal_pct":$qsSteal,"queries_contended":$qsContended,""" +
         s""""queries_spread":$qsSpread,""" +
+        s""""queries_median_all_clean":$qsMedAll,"queries_tight_dropped":$qsDropped,""" +
         s""""only":$onlyJson,""" +
         f""""steal_max":$stealMax%.1f,"load_max":$loadMax%.1f,"spread_max":$spreadMax%.1f,""" +
         s""""runs":$runs,"runs_noisy":$runsNoisy,""" +
@@ -361,7 +386,15 @@ object Bench {
         "over the samples within that factor of the query's fastest run " +
         "when a quorum exists — sound because every run starts from a hard " +
         "cache sweep, so a sample can be falsely slow (neighbor stole " +
-        "bandwidth) but never falsely fast. `cpu_probe_*` is the absolute " +
+        "bandwidth) but never falsely fast. The min-anchored tight set " +
+        "cannot distinguish box noise from genuinely BIMODAL query cost " +
+        "(sporadic spill/GC inherent to the query), so " +
+        "`queries_median_all_clean` carries the median over ALL clean " +
+        "samples wherever it differs from the tight median, and " +
+        "`queries_tight_dropped` counts the clean samples the tight " +
+        "filter discarded per query — a persistent gap between the two " +
+        "medians across records is the query's own bimodality, not the " +
+        "box. `cpu_probe_*` is the absolute " +
         "box-speed yardstick — 400M deterministic mix64 steps, " +
         "single-thread at start/end and split across all cores; " +
         "`mem_probe_*` is its memory-BANDWIDTH companion — 16 GB streamed " +
