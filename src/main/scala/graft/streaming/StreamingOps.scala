@@ -447,6 +447,89 @@ object StreamingOps {
     s.table(sink)
   }
 
+  /** FILE-SOURCE replay harness — the scale ingest path (at 100 TB/day
+    * events arrive as files or Kafka): the same two-batch + sentinel
+    * watermark schedule as [[replayThroughStream]], but the source is
+    * `readStream` over a parquet DIRECTORY the corpus is dropped into in
+    * file batches, and NOTHING here collects a corpus row to the driver —
+    * the batch boundary comes from one 1-row min/max aggregate, the batch
+    * files are distributed writes, and per-trigger arrival is a file
+    * rename into the watched directory (atomic per file). Every batch-2
+    * row is strictly later than batch 1's max, so the watermark can never
+    * drop a row and the streaming result equals the batch result by
+    * construction; `flushBatches` trailing sentinel files drain chained
+    * stateful stages exactly like the MemoryStream harness (one flush
+    * batch per extra stateful operator). Callers share the batch twins'
+    * oracles — the gate is identical to the MemoryStream path's. */
+  private def replayThroughFiles(s: SparkSession, d: String, sink: String,
+      build: DataFrame => DataFrame,
+      flushBatches: Int = 1): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("v_cents"),
+        col("event_type"))
+    val mm = ev.agg(min(col("us")), max(col("us"))).head() // 1-row scalar
+    val (minUs, maxUs) = (mm.getLong(0), mm.getLong(1))
+    val midUs = minUs + (maxUs - minUs) / 2
+    val sentinelUs = maxUs + 2L * 3600L * 1000000L
+    val root = java.nio.file.Paths.get(graft.Scratch.dir(s"file_$sink"))
+    java.nio.file.Files.createDirectories(root)
+    val inDir = root.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    graft.Caches.defer(s) { // the memory sink holds the result; the
+      import scala.jdk.CollectionConverters._ // files are harness-only
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists)
+    }
+    def sentinelDf(usv: Long) =
+      Seq((-1L, -1L, usv, 0L, "~sentinel"))
+        .toDF("event_id", "user_id", "us", "v_cents", "event_type")
+    // distributed writes into staging; arrival = renaming the part
+    // files into the watched directory (atomic per file)
+    def staged(df: DataFrame, name: String): Seq[java.nio.file.Path] = {
+      val out = root.resolve(name)
+      df.write.parquet(out.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(out).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val b1 = staged(ev.filter(col("us") <= midUs), "b1")
+    val b2 = staged(ev.filter(col("us") > midUs)
+      .unionByName(sentinelDf(sentinelUs)), "b2")
+    val flushes = (1 to math.max(1, flushBatches)).map(i =>
+      staged(sentinelDf(sentinelUs + i * 1000000L), s"b${2 + i}"))
+    def arrive(files: Seq[java.nio.file.Path], pfx: String): Unit =
+      files.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f, inDir.resolve(s"${pfx}_$i.parquet")) }
+    val src = s.readStream.schema(ev.schema).parquet(inDir.toString)
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+    s.catalog.dropTempView(sink)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = build(src)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      // batch 0 pins shuffle.partitions into the query's offset metadata;
+      // only after it has run is the session conf safe to restore
+      arrive(b1, "b1"); q.processAllAvailable()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      arrive(b2, "b2"); q.processAllAvailable()
+      flushes.zipWithIndex.foreach { case (fs, i) =>
+        arrive(fs, s"b${3 + i}"); q.processAllAvailable()
+      }
+    } finally {
+      try q.stop()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    s.table(sink)
+  }
+
   /** The replay harness's OWN cost, isolated: the identical batch +
     * sentinel schedule every stream_* query runs — source collect,
     * checkpoint init, four micro-batch commits, state-store plumbing,
@@ -713,74 +796,44 @@ object StreamingOps {
     //    watermark can never drop a row and the streaming result equals
     //    the batch result by construction — and the same oracle as the
     //    batch twin gates it.
-    "stream_file_time_window" -> ((s, d) => {
-      import s.implicits._
-      val ev = graft.Tables.events(s, d)
-        .select(col("event_id").cast("long").as("event_id"),
-          col("user_id").cast("long").as("user_id"),
-          unix_micros(col("ts")).as("us"),
-          floor(col("value") * 100).cast("long").as("v_cents"),
-          col("event_type"))
-      val mm = ev.agg(min(col("us")), max(col("us"))).head() // 1-row scalar
-      val (minUs, maxUs) = (mm.getLong(0), mm.getLong(1))
-      val midUs = minUs + (maxUs - minUs) / 2
-      val sentinelUs = maxUs + 2L * 3600L * 1000000L
-      val root = java.nio.file.Paths.get(graft.Scratch.dir("file_stream"))
-      java.nio.file.Files.createDirectories(root)
-      val inDir = root.resolve("in")
-      java.nio.file.Files.createDirectories(inDir)
-      graft.Caches.defer(s) { // the memory sink holds the result; the
-        import scala.jdk.CollectionConverters._ // files are harness-only
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.deleteIfExists)
-      }
-      def sentinelDf(usv: Long) =
-        Seq((-1L, -1L, usv, 0L, "~sentinel"))
-          .toDF("event_id", "user_id", "us", "v_cents", "event_type")
-      // distributed writes into staging; arrival = renaming the part
-      // files into the watched directory (atomic per file)
-      def staged(df: DataFrame, name: String): Seq[java.nio.file.Path] = {
-        val out = root.resolve(name)
-        df.write.parquet(out.toString)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(out).iterator().asScala.toSeq
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-      }
-      val b1 = staged(ev.filter(col("us") <= midUs), "b1")
-      val b2 = staged(ev.filter(col("us") > midUs)
-        .unionByName(sentinelDf(sentinelUs)), "b2")
-      val b3 = staged(sentinelDf(sentinelUs + 1000000L), "b3")
-      def arrive(files: Seq[java.nio.file.Path], pfx: String): Unit =
-        files.zipWithIndex.foreach { case (f, i) =>
-          java.nio.file.Files.move(f, inDir.resolve(s"${pfx}_$i.parquet")) }
-      val src = s.readStream.schema(ev.schema).parquet(inDir.toString)
-        .withColumn("ts", timestamp_micros(col("us")))
-        .withWatermark("ts", "10 minutes")
-      val sink = "stream_file_time_window_sink"
-      s.catalog.dropTempView(sink)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = src
-        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("value_cents"))
-        .select(col("win.start").as("win_start"), col("event_type"),
-          col("n"), col("value_cents"))
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .outputMode("append").start()
-      try {
-        arrive(b1, "b1"); q.processAllAvailable()
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        arrive(b2, "b2"); q.processAllAvailable()
-        arrive(b3, "b3"); q.processAllAvailable()
-      } finally {
-        try q.stop()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      }
-      s.table(sink)
+    "stream_file_time_window" -> ((s, d) =>
+      replayThroughFiles(s, d, "stream_file_time_window_sink",
+        build = src => src
+          .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("value_cents"))
+          .select(col("win.start").as("win_start"), col("event_type"),
+            col("n"), col("value_cents")))
         .filter(col("event_type") =!= "~sentinel")
-        .orderBy("win_start", "event_type")
-    }),
+        .orderBy("win_start", "event_type")),
+
+    // -- CHAINED STATEFUL AGGREGATION over FILE-SOURCE ingest: the
+    //    heaviest stateful shape in the surface (two watermark-bounded
+    //    stateful operators — 15-minute quarter counts re-aggregated by
+    //    `window_time` into hourly peak-quarter stats) run end-to-end on
+    //    the production ingest path instead of the MemoryStream replay:
+    //    `readStream` over a watched parquet directory, zero driver
+    //    collects anywhere (the MemoryStream twin's collect is harness
+    //    scaffolding; this one's batch boundary is a 1-row min/max
+    //    aggregate and its batches are distributed file writes). The
+    //    2-deep chain drains over flushBatches=2 trailing sentinel files
+    //    — one per stateful stage — and the SAME oracle as
+    //    stream_chained_agg gates it: file-vs-memory ingest must be
+    //    result-invisible.
+    "stream_file_chained_agg" -> ((s, d) =>
+      replayThroughFiles(s, d, "stream_file_chained_agg_sink",
+        build = src => src
+          .groupBy(window(col("ts"), "15 minutes").as("w1"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("vc"))
+          .groupBy(window(window_time(col("w1")), "1 hour").as("w2"),
+            col("event_type"))
+          .agg(max(col("n")).as("max_q"), sum(col("n")).as("n_events"),
+            sum(col("vc")).as("value_cents"))
+          .select(col("w2.start").as("win_start"), col("event_type"),
+            col("max_q"), col("n_events"), col("value_cents")),
+        flushBatches = 2)
+        .filter(col("event_type") =!= "~sentinel")
+        .orderBy("win_start", "event_type")),
 
     // -- SLIDING event-time windows through the streaming engine (1 h
     //    width, 30 min slide — each event lands in exactly 2 overlapping
@@ -1165,6 +1218,18 @@ object StreamingOps {
          CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "stream_chained_agg" ->
+      """WITH q AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS q_start,
+             time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS vc
+           FROM events GROUP BY 1, 2, 3)
+         SELECT win_start, event_type, CAST(MAX(n) AS BIGINT) AS max_q,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(vc) AS BIGINT) AS value_cents
+         FROM q GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    // same oracle as stream_chained_agg: file-source ingest must be
+    // result-invisible vs the MemoryStream replay of the same query
+    "stream_file_chained_agg" ->
       """WITH q AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS q_start,
              time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
