@@ -40,6 +40,12 @@ import graft.sources.BvGraphCache
   * should use `spark.read.format("bvgraph")` (pruning, pushdown,
   * byte-balanced splits, sharded + long-id graphs). Sharded manifests
   * are NOT supported here — the reference API predates them.
+  *
+  * Opt-in escape from the reference's skew: `setSplitLaw(conf, "bytes")`
+  * switches split planning to equal COMPRESSED-BYTE ranges (the DSv2
+  * source's law) so verbatim-ported jobs on power-law graphs don't
+  * inherit the node-uniform law's hub-dense straggler split. Default
+  * behavior is unchanged ("node" — the reference's exact law).
   */
 class WebGraphInputFormat extends InputFormat[IntWritable, IntArrayWritable] {
   import WebGraphInputFormat._
@@ -53,16 +59,12 @@ class WebGraphInputFormat extends InputFormat[IntWritable, IntArrayWritable] {
     if (n == 0 && numSplits == 0) return splits
     if (numSplits < 1) throw new IllegalArgumentException("numberOfSplits < 0")
 
-    // same node-uniform split law as the reference: ceil(n/splits) nodes
-    // per range, last range short; byte spans from the offsets index
-    val splitSize = math.ceil(n.toDouble / numSplits.toDouble).toInt
     val conf = context.getConfiguration
     val graphPath = new Path(basename + ".graph")
     val fs = graphPath.getFileSystem(conf)
     val status = fs.getFileStatus(graphPath)
-    var from = 0
-    while (from < n || (from == 0 && n == 0)) {
-      val until = math.min(from + splitSize, n)
+    val byteLaw = getSplitLaw(context) == SPLIT_LAW_BYTES && n > 0
+    def addSplit(from: Int, until: Int): Unit = {
       val startByte = graph.offsets(from) >>> 3
       val endByte =
         if (until == n) status.getLen else graph.offsets(until) >>> 3
@@ -71,7 +73,51 @@ class WebGraphInputFormat extends InputFormat[IntWritable, IntArrayWritable] {
             math.max(1L, endByte - startByte))
           .flatMap(_.getHosts).distinct
         catch { case _: Exception => Array.empty[String] }
-      splits.add(new NodeIteratorInputSplit(from, endByte - startByte, hosts))
+      splits.add(new NodeIteratorInputSplit(from, endByte - startByte, hosts,
+        if (byteLaw) until else -1))
+    }
+    if (byteLaw) {
+      // BYTE-BALANCED split law (opt-in, graft.webgraph.splitlaw=bytes):
+      // boundaries land where the COMPRESSED BYTE prefix crosses the
+      // equal-byte targets k·len/numSplits (binary search on the offsets
+      // index, O(splits·log n)), so a power-law graph's hub-dense prefix
+      // no longer lands in one task while the tail splits sit idle — the
+      // skew the reference's node-uniform law inherits on real crawls.
+      // Ranges that would be empty (one giant node spanning several
+      // targets) are skipped, so fewer-than-numSplits splits can result;
+      // coverage of [0, n) stays exact. Splits carry their `until`
+      // explicitly — the node-uniform reader derivation can't reproduce
+      // uneven boundaries.
+      def lowerBound(targetByte: Long): Int = {
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if ((graph.offsets(mid) >>> 3) < targetByte) lo = mid + 1
+          else hi = mid
+        }
+        lo
+      }
+      val totalLen = status.getLen
+      var from = 0
+      var si = 1
+      while (si <= numSplits) {
+        val until =
+          if (si == numSplits) n
+          else math.min(n, math.max(from + 1,
+            lowerBound(si * totalLen / numSplits)))
+        if (until > from) { addSplit(from, until); from = until }
+        si += 1
+      }
+      return splits
+    }
+
+    // same node-uniform split law as the reference: ceil(n/splits) nodes
+    // per range, last range short; byte spans from the offsets index
+    val splitSize = math.ceil(n.toDouble / numSplits.toDouble).toInt
+    var from = 0
+    while (from < n || (from == 0 && n == 0)) {
+      val until = math.min(from + splitSize, n)
+      addSplit(from, until)
       if (n == 0) return splits
       from = until
     }
@@ -101,6 +147,25 @@ object WebGraphInputFormat {
     setNumberOfSplits(job.getConfiguration, splits)
   def getNumberOfSplits(context: JobContext): Int =
     context.getConfiguration.getInt(SPLITS_PROPERTY, DEFAULT_SPLITS)
+
+  /** Split law: `node` (default — the reference's ceil(n/splits) node
+    * ranges, verbatim-port fidelity) or `bytes` (equal COMPRESSED-BYTE
+    * ranges from the offsets index — what the DSv2 source does; opt in
+    * for power-law graphs where the node-uniform law concentrates the
+    * hub-dense prefix into one straggler task). */
+  val SPLIT_LAW_PROPERTY = "graft.webgraph.splitlaw"
+  val SPLIT_LAW_NODE = "node"
+  val SPLIT_LAW_BYTES = "bytes"
+
+  def setSplitLaw(conf: Configuration, law: String): Unit = {
+    require(law == SPLIT_LAW_NODE || law == SPLIT_LAW_BYTES,
+      s"unknown split law '$law' (expected $SPLIT_LAW_NODE|$SPLIT_LAW_BYTES)")
+    conf.set(SPLIT_LAW_PROPERTY, law)
+  }
+  def setSplitLaw(job: Job, law: String): Unit =
+    setSplitLaw(job.getConfiguration, law)
+  def getSplitLaw(context: JobContext): String =
+    context.getConfiguration.get(SPLIT_LAW_PROPERTY, SPLIT_LAW_NODE)
 }
 
 /** Record reader: one sequential decode pass over the split's node range,
@@ -120,11 +185,14 @@ class WebGraphRecordReader extends RecordReader[IntWritable, IntArrayWritable] {
     val basename = WebGraphInputFormat.getBasename(context)
     val numSplits = WebGraphInputFormat.getNumberOfSplits(context)
     graph = BvGraphCache.acquire(basename)
-    // the reader re-derives its range length from conf, like the
-    // reference (WebGraphInputFormat.java:42-44): from + ceil(n/splits)
+    // node-uniform law: re-derive the range length from conf, like the
+    // reference (WebGraphInputFormat.java:42-44): from + ceil(n/splits).
+    // Byte-balanced law: the split carries its own `until`.
     val splitSize = math.ceil(graph.n.toDouble / numSplits.toDouble).toInt
     val from = split.getFrom
-    val until = math.min(from + splitSize, graph.n)
+    val until =
+      if (split.getUntil >= 0) split.getUntil
+      else math.min(from + splitSize, graph.n)
     total = math.max(1, until - from)
     iter = graph.nodeIterator(from, until)
   }
@@ -172,16 +240,23 @@ class IntArrayWritable() extends ArrayWritable(classOf[IntWritable]) {
 
 /** Split descriptor: node-range start + byte length + block hosts,
   * Writable-serialized driver→task (io/NodeIteratorInputSplit.java:11-50).
-  * Carries only `from` — the reader recomputes the range end from conf,
-  * preserving the reference's exact split law. */
+  * Under the default node-uniform law it carries only `from` (`until` is
+  * -1) — the reader recomputes the range end from conf, preserving the
+  * reference's exact split law. Under the opt-in byte-balanced law
+  * `until` rides explicitly, because uneven boundaries cannot be
+  * re-derived from ceil(n/splits). */
 class NodeIteratorInputSplit(private var from: Int, private var length: Long,
-    private var hosts: Array[String]) extends InputSplit with Writable {
+    private var hosts: Array[String], private var until: Int = -1)
+    extends InputSplit with Writable {
   def this() = this(0, 0L, Array.empty)
 
   def getFrom: Int = from
+  /** Explicit range end (byte-balanced law), or -1 = derive from conf. */
+  def getUntil: Int = until
 
   override def write(out: DataOutput): Unit = {
     out.writeInt(from)
+    out.writeInt(until)
     out.writeLong(length)
     out.writeInt(hosts.length)
     hosts.foreach(h => Text.writeString(out, h))
@@ -189,6 +264,7 @@ class NodeIteratorInputSplit(private var from: Int, private var length: Long,
 
   override def readFields(in: DataInput): Unit = {
     from = in.readInt()
+    until = in.readInt()
     length = in.readLong()
     hosts = Array.fill(in.readInt())(Text.readString(in))
   }
