@@ -377,6 +377,13 @@ object StreamingOps {
     * run — at 100 TB/day the source is Kafka or files and no collect
     * exists anywhere.
     *
+    * Since round 10 the declared stream surface runs [[replayThroughFiles]]
+    * (the production file-ingest path, zero collects); this MemoryStream
+    * path is kept for exactly TWO declared twins (`stream_time_window`,
+    * `stream_chained_agg`) whose file variants share their oracles — the
+    * pair pins, round after round, that memory-vs-file ingest is
+    * result-invisible for both the 1-deep and 2-deep stateful shapes.
+    *
     * `expand` perturbs each batch before it is fed (e.g. duplicating rows
     * to simulate at-least-once redelivery for the dedup query). */
   private def replayThroughStream(s: SparkSession, d: String, sink: String,
@@ -460,9 +467,22 @@ object StreamingOps {
     * construction; `flushBatches` trailing sentinel files drain chained
     * stateful stages exactly like the MemoryStream harness (one flush
     * batch per extra stateful operator). Callers share the batch twins'
-    * oracles — the gate is identical to the MemoryStream path's. */
+    * oracles — the gate is identical to the MemoryStream path's.
+    *
+    * Parameter-for-parameter twin of [[replayThroughStream]] so every
+    * declared stream query can run the production ingest path: `expand`
+    * perturbs each DATA batch before it is staged (a DataFrame transform —
+    * e.g. self-union to simulate at-least-once redelivery — never a
+    * driver-side Seq), `sentinelTypes`/`sentinelGapUs` shape the
+    * watermark-advancing flush rows, and `outputMode` passes through to
+    * the sink (complete-mode queries need no flush choreography but run
+    * the identical schedule for comparability). */
   private def replayThroughFiles(s: SparkSession, d: String, sink: String,
       build: DataFrame => DataFrame,
+      expand: DataFrame => DataFrame = identity,
+      sentinelGapUs: Long = 2L * 3600L * 1000000L,
+      sentinelTypes: Seq[String] = Seq("~sentinel"),
+      outputMode: String = "append",
       flushBatches: Int = 1): DataFrame = {
     import s.implicits._
     val ev = graft.Tables.events(s, d)
@@ -474,7 +494,7 @@ object StreamingOps {
     val mm = ev.agg(min(col("us")), max(col("us"))).head() // 1-row scalar
     val (minUs, maxUs) = (mm.getLong(0), mm.getLong(1))
     val midUs = minUs + (maxUs - minUs) / 2
-    val sentinelUs = maxUs + 2L * 3600L * 1000000L
+    val sentinelUs = maxUs + sentinelGapUs
     val root = java.nio.file.Paths.get(graft.Scratch.dir(s"file_$sink"))
     java.nio.file.Files.createDirectories(root)
     val inDir = root.resolve("in")
@@ -485,7 +505,7 @@ object StreamingOps {
         .reverse.foreach(java.nio.file.Files.deleteIfExists)
     }
     def sentinelDf(usv: Long) =
-      Seq((-1L, -1L, usv, 0L, "~sentinel"))
+      sentinelTypes.map(t => (-1L, -1L, usv, 0L, t))
         .toDF("event_id", "user_id", "us", "v_cents", "event_type")
     // distributed writes into staging; arrival = renaming the part
     // files into the watched directory (atomic per file)
@@ -496,8 +516,8 @@ object StreamingOps {
       java.nio.file.Files.list(out).iterator().asScala.toSeq
         .filter(_.getFileName.toString.endsWith(".parquet"))
     }
-    val b1 = staged(ev.filter(col("us") <= midUs), "b1")
-    val b2 = staged(ev.filter(col("us") > midUs)
+    val b1 = staged(expand(ev.filter(col("us") <= midUs)), "b1")
+    val b2 = staged(expand(ev.filter(col("us") > midUs))
       .unionByName(sentinelDf(sentinelUs)), "b2")
     val flushes = (1 to math.max(1, flushBatches)).map(i =>
       staged(sentinelDf(sentinelUs + i * 1000000L), s"b${2 + i}"))
@@ -513,12 +533,14 @@ object StreamingOps {
     val q = build(src)
       .writeStream.format("memory").queryName(sink)
       .option("checkpointLocation", root.resolve("ckpt").toString)
-      .outputMode("append").start()
+      .outputMode(outputMode).start()
     try {
-      // batch 0 pins shuffle.partitions into the query's offset metadata;
-      // only after it has run is the session conf safe to restore
+      // the FIRST batch that runs pins shuffle.partitions=8 into the
+      // query's offset metadata; an `expand` may leave batch 1 with zero
+      // files (the harness floor feeds empty data batches), so the
+      // restore happens in `finally` — nothing else in this function
+      // reads the session conf while the query drains
       arrive(b1, "b1"); q.processAllAvailable()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       arrive(b2, "b2"); q.processAllAvailable()
       flushes.zipWithIndex.foreach { case (fs, i) =>
         arrive(fs, s"b${3 + i}"); q.processAllAvailable()
@@ -531,20 +553,24 @@ object StreamingOps {
   }
 
   /** The replay harness's OWN cost, isolated: the identical batch +
-    * sentinel schedule every stream_* query runs — source collect,
-    * checkpoint init, four micro-batch commits, state-store plumbing,
-    * memory sink — driving a minimal windowed count with ZERO real rows
-    * (every data batch is empty; only sentinels flow). [[graft.Bench]]
-    * records its median as `stream_harness_floor` so each stream row's
-    * operator cost and harness cost are separable — round 8's
-    * stream_chained_agg measured 5.7/9.3/11.0 s across records on
-    * unchanged code, and the moving part was this floor, not the
+    * sentinel schedule every stream_* query runs — batch-boundary
+    * aggregate, staged parquet writes, file renames, checkpoint init,
+    * micro-batch commits, state-store plumbing, memory sink — driving a
+    * minimal windowed count with ZERO real rows (every data batch is
+    * emptied by `expand`; only sentinels flow). Runs the FILE-SOURCE
+    * path because that is what the declared stream surface runs (the two
+    * MemoryStream twins kept for ingest-invariance carry a slightly
+    * different floor — no staging writes, one driver collect instead).
+    * [[graft.Bench]] records its median as `stream_harness_floor` so
+    * each stream row's operator cost and harness cost are separable —
+    * round 8's stream_chained_agg measured 5.7/9.3/11.0 s across records
+    * on unchanged code, and the moving part was this floor, not the
     * operator. Not an oracle query: the output is empty by construction
     * (the sentinel window is filtered exactly as every stream query
     * filters its sentinels). */
   def harnessFloor(s: SparkSession, d: String): DataFrame =
-    replayThroughStream(s, d, "stream_harness_floor_sink",
-      expand = _ => Seq.empty,
+    replayThroughFiles(s, d, "stream_harness_floor_sink",
+      expand = _.limit(0),
       build = src => src
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))
@@ -556,8 +582,7 @@ object StreamingOps {
     //    (`session_window_agg`). Sessions merge across batches in the
     //    state store; the sentinel flush emits them all.
     "stream_session_window" -> ((s, d) =>
-      replayThroughStream(s, d, "stream_session_window_sink",
-        expand = identity,
+      replayThroughFiles(s, d, "stream_session_window_sink",
         build = src => src
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
           .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("value_cents"))
@@ -583,8 +608,7 @@ object StreamingOps {
     "stream_custom_sessionize" -> ((s, d) => {
       implicit val ss: SparkSession = s
       import s.implicits._
-      replayThroughStream(s, d, "stream_custom_sessionize_sink",
-        expand = identity,
+      replayThroughFiles(s, d, "stream_custom_sessionize_sink",
         build = src => sessionize(
           src.select(col("ts"), col("user_id"), col("event_type"),
             col("v_cents").cast("double").as("value")).as[Event],
@@ -614,8 +638,7 @@ object StreamingOps {
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        replayThroughStream(s, d, "stream_tws_running_sink",
-          expand = identity,
+        replayThroughFiles(s, d, "stream_tws_running_sink",
           build = src => src
             .select(col("event_id"), col("user_id"), col("us"),
               col("v_cents"), col("event_type"))
@@ -645,8 +668,7 @@ object StreamingOps {
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        replayThroughStream(s, d, "stream_tws_liststate_sink",
-          expand = identity,
+        replayThroughFiles(s, d, "stream_tws_liststate_sink",
           build = src => src
             .select(col("event_id"), col("user_id"), col("us"),
               col("v_cents"), col("event_type"))
@@ -678,8 +700,7 @@ object StreamingOps {
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        replayThroughStream(s, d, "stream_tws_mapstate_sink",
-          expand = identity,
+        replayThroughFiles(s, d, "stream_tws_mapstate_sink",
           build = src => src
             .select(col("event_id"), col("user_id"), col("us"),
               col("v_cents"), col("event_type"))
@@ -713,8 +734,7 @@ object StreamingOps {
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        replayThroughStream(s, d, "stream_tws_timers_sink",
-          expand = identity,
+        replayThroughFiles(s, d, "stream_tws_timers_sink",
           build = src => src
             .select(col("event_id"), col("user_id"), col("us"),
               col("v_cents"), col("event_type"))
@@ -747,8 +767,7 @@ object StreamingOps {
       val prev = s.conf.getOption(key)
       s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        replayThroughStream(s, d, "stream_scd2_sink",
-          expand = identity,
+        replayThroughFiles(s, d, "stream_scd2_sink",
           build = src => src
             .select(col("event_id"), col("user_id"), col("us"),
               col("v_cents"), col("event_type"))
@@ -770,7 +789,10 @@ object StreamingOps {
     // -- tumbling event-time windows through the streaming engine — the
     //    streaming twin of `time_window_agg`, same oracle SQL. Window
     //    state lives per (window x event_type) and is emitted once the
-    //    watermark passes the window end.
+    //    watermark passes the window end. DELIBERATELY stays on the
+    //    MemoryStream path: with the rest of the surface on file ingest,
+    //    this query and stream_file_time_window share one oracle, so the
+    //    pair pins memory-vs-file ingest invariance every round.
     "stream_time_window" -> ((s, d) =>
       replayThroughStream(s, d, "stream_time_window_sink",
         expand = identity,
@@ -844,8 +866,7 @@ object StreamingOps {
     //    30-min-grid window starts and re-aggregates — Spark's epoch-
     //    aligned window grid equals DuckDB's time_bucket grid.
     "stream_sliding_window" -> ((s, d) =>
-      replayThroughStream(s, d, "stream_sliding_window_sink",
-        expand = identity,
+      replayThroughFiles(s, d, "stream_sliding_window_sink",
         build = src => src
           .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"),
             col("event_type"))
@@ -869,6 +890,10 @@ object StreamingOps {
     //    both corpus-size-independent. The oracle recomputes both levels
     //    from the batch table; quarters nest exactly in hours, so
     //    Spark's epoch-aligned windows equal DuckDB's time_bucket grid.
+    //    DELIBERATELY stays on the MemoryStream path (see
+    //    stream_time_window): its shared oracle with
+    //    stream_file_chained_agg pins ingest invariance for the 2-deep
+    //    stateful chain.
     "stream_chained_agg" -> ((s, d) =>
       replayThroughStream(s, d, "stream_chained_agg_sink",
         expand = identity,
@@ -897,8 +922,7 @@ object StreamingOps {
     //    parallel in win_start and never sees corpus-sized data.
     "stream_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val agg = replayThroughStream(s, d, "stream_topk_sink",
-        expand = identity,
+      val agg = replayThroughFiles(s, d, "stream_topk_sink",
         build = src => src
           .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -918,8 +942,8 @@ object StreamingOps {
     //    payloads, so the kept row is deterministic and the output is
     //    exactly the distinct event set the oracle reads off the table.
     "stream_dedup" -> ((s, d) =>
-      replayThroughStream(s, d, "stream_dedup_sink",
-        expand = b => b ++ b,
+      replayThroughFiles(s, d, "stream_dedup_sink",
+        expand = b => b.unionByName(b), // exact at-least-once redelivery
         build = src => src
           .dropDuplicatesWithinWatermark("event_id")
           .select(col("event_id"), col("user_id"), col("us"),
@@ -940,8 +964,7 @@ object StreamingOps {
     //    state at all — the unbounded variant would buffer both streams
     //    forever at 100 TB/day.
     "stream_interval_join" -> ((s, d) =>
-      replayThroughStream(s, d, "stream_interval_join_sink",
-        expand = identity,
+      replayThroughFiles(s, d, "stream_interval_join_sink",
         build = src => {
           val c = src.filter(col("event_type") === "click").alias("c")
           val v = src.filter(col("event_type") === "view").alias("v")
@@ -976,8 +999,7 @@ object StreamingOps {
     //    sums are exact integer cents so incremental accumulation across
     //    batches is order-free and hash-comparable.
     "stream_agg_complete" -> ((s, d) =>
-      replayThroughStream(s, d, "stream_agg_complete_sink",
-        expand = identity,
+      replayThroughFiles(s, d, "stream_agg_complete_sink",
         build = src => src
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("value_cents")),
@@ -986,8 +1008,7 @@ object StreamingOps {
         .orderBy("event_type")),
 
     "stream_interval_join_outer" -> ((s, d) =>
-      replayThroughStream(s, d, "stream_interval_join_outer_sink",
-        expand = identity,
+      replayThroughFiles(s, d, "stream_interval_join_outer_sink",
         build = src => {
           val c = src.filter(col("event_type") === "click").alias("c")
           val v = src.filter(col("event_type") === "view").alias("v")
@@ -1015,8 +1036,7 @@ object StreamingOps {
     "stream_static_join" -> ((s, d) => {
       val dim = graft.Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      replayThroughStream(s, d, "stream_static_join_sink",
-        expand = identity,
+      replayThroughFiles(s, d, "stream_static_join_sink",
         build = src => src
           .join(broadcast(dim), col("user_id") === col("c_custkey"))
           .select(col("event_id"), col("user_id"), col("c_name"),
@@ -1040,25 +1060,48 @@ object StreamingOps {
     //    nothing. Writing to a NEW directory per batch keeps the read
     //    (old snapshot) and write (new snapshot) disjoint — the
     //    snapshot-isolation a real table format provides. No watermark:
-    //    the merge itself is the state, so the engine holds none.
+    //    the merge itself is the state, so the engine holds none — and
+    //    no sentinels either: nothing watermark-bounded needs flushing.
+    //    Ingest is the production FILE path (readStream over a watched
+    //    parquet directory, batch boundary from a 1-row min/max
+    //    aggregate, distributed staged writes, rename-per-file arrival) —
+    //    zero driver collects anywhere in this query.
     "stream_foreachbatch_merge" -> ((s, d) => {
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val rows = replayRows(s, d)
-      val minUs = rows.iterator.map(_.us).min
-      val maxUs = rows.iterator.map(_.us).max
-      val midUs = minUs + (maxUs - minUs) / 2
-      val (b1, b2) = rows.partition(_.us <= midUs)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_fb_state").toString
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100).cast("long").as("v_cents"),
+          col("event_type"))
+      val mm = ev.agg(min(col("us")), max(col("us"))).head() // 1-row scalar
+      val midUs = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val root = java.nio.file.Paths
+        .get(graft.Scratch.dir("file_stream_foreachbatch_merge"))
+      java.nio.file.Files.createDirectories(root)
+      val inDir = root.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      val base = root.resolve("state").toString
+      def staged(df: DataFrame, name: String): Seq[java.nio.file.Path] = {
+        val out = root.resolve(name)
+        df.write.parquet(out.toString)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(out).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+      }
+      val b1 = staged(ev.filter(col("us") <= midUs), "b1")
+      val b2 = staged(ev.filter(col("us") > midUs), "b2")
+      def arrive(files: Seq[java.nio.file.Path], pfx: String): Unit =
+        files.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f, inDir.resolve(s"${pfx}_$i.parquet")) }
       def latest(df: DataFrame) = df.groupBy("user_id")
         .agg(max_by(
           struct(col("us"), col("event_id"), col("event_type"),
             col("v_cents")),
           struct(col("us"), col("event_id"))).as("r"))
       var cur: Option[String] = None
-      val stream = MemoryStream[Replay]
-      val q = stream.toDF().writeStream
+      val q = s.readStream.schema(ev.schema).parquet(inDir.toString)
+        .writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
             id: Long) =>
           val bl = latest(batch.toDF()).withColumnRenamed("r", "d")
@@ -1084,16 +1127,17 @@ object StreamingOps {
           prev.foreach(StreamingOps.deleteRecursively)
           ()
         }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
         .start()
       try {
-        stream.addData(b1.toSeq); q.processAllAvailable()
-        stream.addData(b2.toSeq); q.processAllAvailable()
+        arrive(b1, "b1"); q.processAllAvailable()
+        arrive(b2, "b2"); q.processAllAvailable()
       } finally q.stop()
       // the final snapshot must outlive THIS query's consumption only —
-      // defer the temp-dir removal to the session's next sweep (the same
-      // post-consumption hook that unpins caches), so repeated bench/
-      // verify runs don't leak one graft_fb_state dir per invocation
-      graft.Caches.defer(s) { StreamingOps.deleteRecursively(base) }
+      // defer the scratch-root removal to the session's next sweep (the
+      // same post-consumption hook that unpins caches), so repeated
+      // bench/verify runs don't leak one scratch dir per invocation
+      graft.Caches.defer(s) { StreamingOps.deleteRecursively(root.toString) }
       s.read.parquet(cur.get)
         .select(col("user_id"), col("w.us").as("last_ts_us"),
           col("w.event_type").as("last_type"),

@@ -96,6 +96,16 @@ class StreamingSpec extends AnyFunSuite {
       ("2026-01-01 10:40:00.0", "click", 1L)), rows.toSeq.toString)
   }
 
+  test("harnessFloor drains the file-source schedule with empty data batches") {
+    // the floor's `expand = _.limit(0)` leaves batch 1 with ZERO staged
+    // files (an empty parquet write emits no part files) — the harness
+    // must still start, drain the sentinel batches, and return an empty
+    // result, or Bench's stream_harness_floor measurement wedges
+    graft.Caches.hardSweep(spark)
+    val floor = graft.streaming.StreamingOps.harnessFloor(spark, sf0001)
+    assert(floor.count() == 0, "floor output must be empty by construction")
+  }
+
   test("stream_session_window equals the batch session_window_agg row-for-row") {
     // the oracle-gated streaming query: its deterministic replay schedule
     // (midpoint batch split + sentinel watermark flush) must reproduce the
