@@ -26,12 +26,54 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // -Dgraft.jobs=1: per-JOB timing (id, wall ms, #stages, #tasks,
+    // description) — decomposes barrier-bound iterative queries into
+    // their actions/broadcast-collect jobs, which per-query wall time
+    // cannot separate
+    if (sys.props.get("graft.jobs").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(js.jobId, (System.nanoTime(), js.stageInfos.map(_.numTasks).sum,
+              Option(js.properties).flatMap(p =>
+                Option(p.getProperty("spark.job.description"))).getOrElse(""))): Unit
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val st = starts.remove(je.jobId)
+            if (st != null) println(
+              f"[job] id=${je.jobId}%4d ms=${(System.nanoTime() - st._1) / 1e6}%7.1f " +
+                f"tasks=${st._2}%4d ${st._3.take(90)}")
+          }
+        })
     // warmup (JIT/codegen/parquet init), same as Bench
     SparkEntry.queries("scalar_funcs")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     // sub-plan probes for decomposition (not part of the query surface)
     val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("_copurchase" -> ((s, d) => queries.GraphAlgos.coPurchaseEdges(s, d)))
+      Map("_copurchase" -> ((s, d) => queries.GraphAlgos.coPurchaseEdges(s, d)),
+        // architectural floor of one iteration round: lazy localCheckpoint
+        // of a trivially-transformed 20k-row frame + 1-row agg action,
+        // 20 rounds — isolates the per-barrier cost every iterative query
+        // pays from any real operator work
+        "_roundfloor" -> ((s, _) => {
+          import org.apache.spark.sql.functions._
+          var df = s.range(20000).select(col("id").as("x"), col("id").as("h"))
+          var ids = Set.empty[Int]
+          for (r <- 1 to 20) {
+            val t0 = System.nanoTime()
+            val (ck, nIds) = queries.GraphAlgos.checkpointWithIdsLazy(
+              df.select(col("x"), (col("h") + r).as("h")))
+            val st = ck.agg(sum(col("h"))).head()
+            require(!st.isNullAt(0))
+            queries.GraphAlgos.freeRdds(s, ids)
+            df = ck; ids = nIds
+            println(f"[floor] round $r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          }
+          df
+        }))
     names.foreach { name =>
       (1 to runs).foreach { i =>
         // -Dgraft.sweep=1 replicates Bench's cold-cache discipline (hard

@@ -221,7 +221,7 @@ object ScaleRehearsal {
           greatest(col("u"), col("v")).as("v"))
         .distinct().select(col("u"), col("v"), lit(1L).as("w"))
         .localCheckpoint(true)
-      val (lbl1, ids1, q0, q1, m2a) =
+      val (lbl1, ids1, q0, q1, m2a, _) =
         queries.GraphAlgos.louvainSweepMonotone(spark, we)
       val coarse = queries.GraphAlgos.coarsen(we, lbl1).localCheckpoint(true)
       val cSingles = coarse.select(col("u").as("x"))
@@ -229,7 +229,7 @@ object ScaleRehearsal {
         .select(col("x"), col("x").as("comm"))
       val (qc, m2c) = queries.GraphAlgos.modularityScaled(coarse, cSingles)
       val cEdges = coarse.count()
-      val (lbl2, ids2, qc2, q2, _) =
+      val (lbl2, ids2, qc2, q2, _, _) =
         queries.GraphAlgos.louvainSweepMonotone(spark, coarse)
       free(ids1); free(ids2)
       val ok = m2a == m2c && q1 >= q0 && qc == q1 && qc2 == qc && q2 >= q1

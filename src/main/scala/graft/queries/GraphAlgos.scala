@@ -597,67 +597,124 @@ object GraphAlgos {
     * changed set, the frontier, and the recomputed H-index rows join as
     * broadcast build sides and every edge/node-sized frame is SCANNED
     * map-side instead of shuffled. The frontier's size is licensed by
-    * the LOOSE bound changed·maxDeg (zero extra jobs — the exact count
-    * would cost a materialize + count per round, measured as expensive
-    * as the shuffles it saved), so a crawl-scale round (changed ≈ all
+    * EXACT degree sums carried in the iterate frame (dg = deg(x), s2 =
+    * Σ_{y~x} deg(y); Σ over the changed set bounds |frontier| and the
+    * 2-hop frontier with multiplicity) — zero extra jobs, the sums ride
+    * the same convergence action — so a crawl-scale round (changed ≈ all
     * nodes, frontiers of 10⁹) exceeds the thresholds and keeps today's
-    * shuffled plans — the hints engage exactly when the data fits one
-    * executor's hash table, the regime broadcasting is FOR. Job count
-    * per tail round is 3 (frontier broadcast collect, H-index broadcast
-    * collect, fused checkpoint+convergence action — the lazy-checkpoint
-    * fusion is [[checkpointWithIdsLazy]]); measured at sf0.1 the query
-    * went 108 s → 37 s (tail rounds 1.4 s → 0.8 s) with identical
-    * per-round changed counts and the same 38-round convergence. */
+    * shuffled plans: the hints engage exactly when the data fits one
+    * executor's hash table, the regime broadcasting is FOR. Measured at
+    * sf0.1 the explicit hints took the query 108 s → 37 s (tail rounds
+    * 1.4 s → 0.8 s) with identical per-round changed counts and the same
+    * 38-round convergence.
+    *
+    * ROUND FUSION (optimization round 10): the tail is BARRIER-bound —
+    * dozens of rounds whose per-round data is a few thousand rows but
+    * whose driver action + query-stage floor costs ~0.5-0.8 s each — so
+    * when the 2-HOP frontier is also provably broadcastable (Σ s2 over
+    * the changed set, or the node count, ≤ the license), TWO semi-naive
+    * sub-rounds run per barrier: sub-round 2 recomputes N(frontier₁) ⊇
+    * N(changed₁), a superset of the exact semi-naive frontier, so the
+    * result is identical node-for-node (the per-k histogram gate and the
+    * sort-form equality gate in CorenessLouvainSpec/the rehearsal pin
+    * it); convergence = "sub-round 2 changed nothing". With every build
+    * side broadcast, sub-round 1's H-index (its only expensive subtree)
+    * is computed ONCE and reused via its broadcast exchange. Halves the
+    * tail's barrier count; measured at sf0.1 the fixpoint went 43.5 s →
+    * (see OPTIMIZATION_r10.md) with the same final histogram. */
   private[graft] def corenessFixpoint(s: SparkSession, sym: DataFrame,
       hmax: Long, maxDeg: Long, maxRounds: Int = 100,
       checkMonotone: Boolean = false): (DataFrame, Set[Int], Int, Boolean) = {
     val bcastIds = 4L * 1000 * 1000 // ≤ ~32 MB of packed longs
+    // the h frame permanently carries two static per-node columns beside
+    // the iterate: dg = degree and s2 = Σ_{y~x} deg(y). They make the
+    // broadcast licenses EXACT sums instead of the loose changed·maxDeg
+    // product (Σ_{x∈changed} dg(x) ≥ |N(changed)| and Σ_{x∈changed} s2(x)
+    // ≥ |N(N(changed))|, both with multiplicity) at zero extra jobs per
+    // round — each round's convergence aggregate reads them off the same
+    // action. s2 costs one extra edge-sized join at init, once.
+    val deg0 = sym.groupBy(col("x")).agg(count(lit(1)).as("h"))
     var (h, hIds) = checkpointWithIds(
-      sym.groupBy(col("x")).agg(count(lit(1)).as("h")))
+      deg0.join(
+        sym.join(deg0.select(col("x").as("y"), col("h").as("dgy")), "y")
+          .groupBy(col("x")).agg(sum(col("dgy")).as("s2")), Seq("x"))
+        .select(col("x"), col("h"), col("h").as("dg"), col("s2")))
     // round 1's frontier is every node; `changed` always rides the
     // current h checkpoint, so freeing the previous generation after the
     // new one lands releases both
     var changed = h.select(col("x"))
     var changedCnt = h.count() // node-sized count on the fresh checkpoint
+    val nNodes = changedCnt // every frontier is ≤ the node set
+    var b1 = Long.MaxValue // Σ dg over changed (≥ |frontier|); exact from round 2
+    var b2 = Long.MaxValue // Σ s2 over changed (≥ |2-hop frontier|)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxRounds) {
-      rounds += 1
-      val tR = System.nanoTime()
-      // frontier ≤ changed·maxDeg distinct ids — the broadcast license
-      val fBound =
-        if (maxDeg > 0 && changedCnt <= bcastIds / math.max(1L, maxDeg))
-          changedCnt * math.max(1L, maxDeg)
-        else Long.MaxValue
-      val chs = changed.select(col("x").as("y"))
-      val frontier = sym.join(
-          if (changedCnt <= bcastIds) broadcast(chs) else chs, "y")
+    // one semi-naive sub-round built LAZILY over the current iterate:
+    // frontier = N(changedDf), recompute H-index on the frontier only,
+    // merge into hdf with per-node changed/violated flags (suffix-tagged
+    // so two fused sub-rounds can coexist in one plan). `keep` carries
+    // the earlier sub-round's flag columns through the merge.
+    def subRound(hdf: DataFrame, changedDf: DataFrame, cB: Boolean,
+        fB: Boolean, tag: String, keep: Seq[String]): DataFrame = {
+      val chs = changedDf.select(col("x").as("y"))
+      val frontier = sym.join(if (cB) broadcast(chs) else chs, "y")
         .select(col("x")).distinct()
-      val sub = sym.join(
-        if (fBound <= bcastIds) broadcast(frontier) else frontier, "x")
-      val nhSub0 = hIndexRound(sub, h, hmax, maxDeg)
+      val sub = sym.join(if (fB) broadcast(frontier) else frontier, "x")
+      val nhSub0 = hIndexRound(sub, hdf, hmax, maxDeg)
         .withColumnRenamed("h", "hn")
-      val nhSub = if (fBound <= bcastIds) broadcast(nhSub0) else nhSub0
-      val (nh, nhIds) = checkpointWithIdsLazy(
-        h.join(nhSub, Seq("x"), "left")
-          .select(col("x"), coalesce(col("hn"), col("h")).as("h"),
-            (col("hn").isNotNull && col("hn") =!= col("h")).as("chg"),
-            (col("hn") > col("h")).as("viol")))
-      // ONE action: materializes the lazy checkpoint and reads both
-      // convergence counters off it
-      val st = nh.agg(sum(when(col("chg"), 1L).otherwise(0L)),
-        sum(when(col("viol"), 1L).otherwise(0L))).head()
+      val nhSub = if (fB) broadcast(nhSub0) else nhSub0
+      hdf.join(nhSub, Seq("x"), "left")
+        .select(Seq(col("x"), coalesce(col("hn"), col("h")).as("h"),
+          col("dg"), col("s2")) ++ keep.map(col) ++ Seq(
+          (col("hn").isNotNull && col("hn") =!= col("h")).as("chg" + tag),
+          (col("hn") > col("h")).as("viol" + tag)): _*)
+    }
+    while (!converged && rounds < maxRounds) {
+      val tR = System.nanoTime()
+      val cB = changedCnt <= bcastIds
+      val f1B = math.min(nNodes, b1) <= bcastIds
+      // FUSE two sub-rounds into one barrier when the 2-hop frontier is
+      // provably broadcastable: sub-round 2 recomputes N(frontier₁) ⊇
+      // N(changed₁) (changed₁ ⊆ frontier₁, so the semi-naive exactness
+      // argument carries), and with every build side broadcast the
+      // sub-round-1 result is evaluated once (its expensive part is the
+      // REUSED nhSub₁ broadcast; the cheap node-sized merge is the only
+      // recomputed subtree). Unlicensed (crawl-scale early) rounds keep
+      // one sub-round per barrier with shuffled plans — fusing THERE
+      // would recompute a full unshared H-index round twice.
+      val fuse = cB && f1B && math.min(nNodes, b2) <= bcastIds &&
+        rounds + 1 < maxRounds
+      val m1 = subRound(h, changed, cB, f1B, "1", Nil)
+      val (m, lastChg) = if (fuse) {
+        val m2 = subRound(m1, m1.filter(col("chg1")), cB = true, fB = true,
+          "2", Seq("chg1", "viol1"))
+        (m2, "chg2")
+      } else (m1, "chg1")
+      val (nh, nhIds) = checkpointWithIdsLazy(m)
+      // ONE action: materializes the lazy checkpoint and reads every
+      // counter and the next round's licenses off it
+      val st = nh.agg(
+        sum(when(col(lastChg), 1L).otherwise(0L)),
+        sum(when(col("viol1") ||
+          (if (fuse) col("viol2") else lit(false)), 1L).otherwise(0L)),
+        sum(when(col(lastChg), col("dg")).otherwise(0L)),
+        sum(when(col(lastChg), col("s2")).otherwise(0L)),
+        sum(when(col("chg1"), 1L).otherwise(0L))).head()
+      rounds += (if (fuse) 2 else 1)
       if (sys.env.contains("GRAFT_TRACE")) System.err.println(
-        f"corenessFixpoint round $rounds: changed=${st.getLong(0)} " +
+        f"corenessFixpoint round $rounds (fused=$fuse): " +
+          f"changed=${st.getLong(0)} (sub1=${st.getLong(4)}) " +
           f"round_sec=${(System.nanoTime() - tR) / 1e9}%.2f")
       if (checkMonotone) require(st.getLong(1) == 0L,
-        s"corenessFixpoint: h INCREASED on ${st.getLong(1)} nodes at round " +
+        s"corenessFixpoint: h INCREASED on ${st.getLong(1)} nodes by round " +
           s"$rounds — the h-sequence must be non-increasing")
       freeRdds(s, hIds)
-      h = nh.select(col("x"), col("h"))
+      h = nh.select(col("x"), col("h"), col("dg"), col("s2"))
       hIds = nhIds
-      changed = nh.filter(col("chg")).select(col("x"))
+      changed = nh.filter(col(lastChg)).select(col("x"))
       changedCnt = st.getLong(0)
+      b1 = st.getLong(2)
+      b2 = st.getLong(3)
       if (changedCnt == 0L) converged = true
     }
     (h.select(col("x"), col("h")), hIds, rounds, converged)
@@ -695,21 +752,53 @@ object GraphAlgos {
     * Q is at least the input labeling's, else keep singletons). */
   private[graft] def louvainSweep(s: SparkSession,
       we0: DataFrame): (DataFrame, Set[Int]) = {
+    val (moved, mIds, _, _) = louvainSweepStats(s, we0)
+    (moved, mIds)
+  }
+
+  /** The sweep plus its fused one-action statistics, shared by
+    * [[louvainSweep]] and [[louvainSweepMonotone]]. The degree checkpoint
+    * carries three extra per-node columns (max non-loop incident weight,
+    * self-loop strength) so ONE node-sized aggregate yields every scalar
+    * the guarded sweep needs: 2m, the max strength, the max edge weight
+    * (previously its own edge-sized pass + barrier), and the SINGLETON
+    * pricing terms — for singleton labels A_in = 2·Σ_loops w (only
+    * self-loops are intra-community) and Σ_c d_c² = Σ_x strength(x)², so
+    * Q₀·(2m)² = m2·ΣA_loops − Σ strength² falls out of the same action
+    * with no labeled edge join at all. That replaces
+    * modularityScaled(we, singles)'s two edge-sized joins + strength
+    * pass + two barriers AND the separate maxW pass: per guarded sweep,
+    * 4 fewer barriers and 3 fewer edge passes, result-identical (exact
+    * integers; equality with the labeled pricing is pinned by
+    * CorenessLouvainSpec's ladder invariants).
+    *
+    * Returns (moved labels, their RDD ids, 2m, Q₀·(2m)²). The Q₀ slot is
+    * meaningful only under the m2 ≤ ⌊√(2⁶³−1)⌋ bound the PRICING path
+    * guards ([[modularityScaled]]'s require) — the raw-sweep caller
+    * discards it, and the monotone caller prices the moved labels first,
+    * which fails loudly on the same bound before Q₀ is ever compared. */
+  private def louvainSweepStats(s: SparkSession,
+      we0: DataFrame): (DataFrame, Set[Int], Long, Long) = {
     val loops = we0.filter(col("u") === col("v"))
-      .select(col("u").as("x"), (col("w") * 2).as("w"))
+      .select(col("u").as("x"), (col("w") * 2).as("w"),
+        lit(null).cast("long").as("ew"))
     val we = we0.filter(col("u") =!= col("v"))
     val sym = we.select(col("u").as("x"), col("v").as("y"), col("w"))
       .unionByName(we.select(col("v").as("x"), col("u").as("y"), col("w")))
     val (deg, degIds) = checkpointWithIds(
-      sym.select(col("x"), col("w")).unionByName(loops)
-        .groupBy(col("x")).agg(sum(col("w")).as("dw")))
-    // 2m and the max strength come off ONE node-sized pass over the
-    // fresh deg checkpoint — one fewer barrier per sweep on the ladder
+      sym.select(col("x"), col("w"), col("w").as("ew")).unionByName(loops)
+        .groupBy(col("x")).agg(sum(col("w")).as("dw"),
+          max(col("ew")).as("mw"),
+          sum(when(col("ew").isNull, col("w"))).as("lw")))
+    // every sweep scalar off ONE node-sized pass over the fresh deg
+    // checkpoint: 2m, max strength, max non-loop weight, ΣA_loops, Σdw²
     val dst = deg.agg(coalesce(sum(col("dw")), lit(0L)).cast("long"),
-      coalesce(max(col("dw")), lit(0L)).cast("long")).head()
-    val (m2, maxDeg) = (dst.getLong(0), dst.getLong(1))
-    val maxW = sym.agg(coalesce(max(col("w")), lit(0L)).cast("long"))
-      .head().getLong(0)
+      coalesce(max(col("dw")), lit(0L)).cast("long"),
+      coalesce(max(col("mw")), lit(0L)).cast("long"),
+      coalesce(sum(col("lw")), lit(0L)).cast("long"),
+      coalesce(sum(col("dw") * col("dw")), lit(0L)).cast("long")).head()
+    val (m2, maxDeg, maxW) = (dst.getLong(0), dst.getLong(1), dst.getLong(2))
+    val q0 = m2 * dst.getLong(3) - dst.getLong(4)
     require(maxW == 0 || m2 <= Long.MaxValue / math.max(1L, maxW),
       s"louvainSweep: 2m*w overflows BIGINT (2m=$m2, max w=$maxW) — " +
         "rescale edge weights before the sweep")
@@ -728,7 +817,7 @@ object GraphAlgos {
         .select(col("x"),
           when(col("bs") > 0, col("best")).otherwise(col("x")).as("comm")))
     freeRdds(s, degIds)
-    (moved, mIds)
+    (moved, mIds, m2, q0)
   }
 
   /** [[louvainSweep]] with monotonicity GUARANTEED by construction:
@@ -745,21 +834,20 @@ object GraphAlgos {
     * the sweep improves Q and the moved labels pass through.
     * Returns (labels, backing RDD ids, Q·(2m)² before, after, 2m). */
   private[graft] def louvainSweepMonotone(s: SparkSession,
-      we: DataFrame): (DataFrame, Set[Int], Long, Long, Long) = {
-    val singles = we.select(col("u").as("x"))
-      .unionByName(we.select(col("v").as("x"))).distinct()
-      .select(col("x"), col("x").as("comm"))
-    val (q0, m2) = modularityScaled(we, singles)
-    val (lbl, ids) = louvainSweep(s, we)
-    val (q1, m2b) = modularityScaled(we, lbl)
+      we: DataFrame): (DataFrame, Set[Int], Long, Long, Long, Long) = {
+    val (lbl, ids, m2, q0) = louvainSweepStats(s, we)
+    val (q1, m2b, nComm) = modularityScaledN(we, lbl)
     require(m2b == m2,
       s"louvainSweepMonotone: total strength moved under relabeling " +
         s"($m2b != $m2) — modularityScaled is broken")
-    if (q1 >= q0) (lbl, ids, q0, q1, m2)
+    if (q1 >= q0) (lbl, ids, q0, q1, m2, nComm)
     else {
       freeRdds(s, ids)
+      val singles = we.select(col("u").as("x"))
+        .unionByName(we.select(col("v").as("x"))).distinct()
+        .select(col("x"), col("x").as("comm"))
       val (sl, sIds) = checkpointWithIds(singles)
-      (sl, sIds, q0, q0, m2)
+      (sl, sIds, q0, q0, m2, sl.count())
     }
   }
 
@@ -791,6 +879,17 @@ object GraphAlgos {
     * verdicts. Returns (qScaled, 2m). */
   private[graft] def modularityScaled(we: DataFrame,
       labels: DataFrame): (Long, Long) = {
+    val (q, m2, _) = modularityScaledN(we, labels)
+    (q, m2)
+  }
+
+  /** [[modularityScaled]] plus the community count, folded into the
+    * Σd_c² action's final aggregate — the count was previously its own
+    * `labels.select(comm).distinct().count()` barrier per ladder level
+    * (every node has a strength row and every community a member, so the
+    * per-community group count IS the distinct-community count). */
+  private[graft] def modularityScaledN(we: DataFrame,
+      labels: DataFrame): (Long, Long, Long) = {
     val withC = we
       .join(labels.select(col("x").as("u"), col("comm").as("cu")), "u")
       .join(labels.select(col("x").as("v"), col("comm").as("cv")), "v")
@@ -814,11 +913,12 @@ object GraphAlgos {
       .unionByName(we.filter(col("u") =!= col("v"))
         .select(col("v").as("x"), col("w").as("s")))
       .groupBy(col("x")).agg(sum(col("s")).as("dw"))
-    val sumDc2 = strength.join(labels, "x")
+    val dc2 = strength.join(labels, "x")
       .groupBy(col("comm")).agg(sum(col("dw")).as("dc"))
-      .agg(coalesce(sum(col("dc") * col("dc")), lit(0L)).cast("long"))
-      .head().getLong(0)
-    (m2 * aIn - sumDc2, m2)
+      .agg(coalesce(sum(col("dc") * col("dc")), lit(0L)).cast("long"),
+        count(lit(1)))
+      .head()
+    (m2 * aIn - dc2.getLong(0), m2, dc2.getLong(1))
   }
 
   val queries: Map[String, Q] = Map(
@@ -2125,17 +2225,14 @@ object GraphAlgos {
         (r.getLong(0), r.getLong(1))
       }
       val (nWe, nNodes) = edgeNodeCounts(we)
-      val (lbl1, ids1, q0, q1, m2) = louvainSweepMonotone(s, we)
-      val nComm1 = lbl1.select(col("comm")).distinct().count()
+      val (lbl1, ids1, q0, q1, m2, nComm1) = louvainSweepMonotone(s, we)
       val (coarse, coarseIds) = checkpointWithIds(coarsen(we, lbl1))
       val (nCoarse, nCoarseNodes) = edgeNodeCounts(coarse)
-      val (lbl2, ids2, qc, q2, m2c) = louvainSweepMonotone(s, coarse)
-      val nComm2 = lbl2.select(col("comm")).distinct().count()
+      val (lbl2, ids2, qc, q2, m2c, nComm2) = louvainSweepMonotone(s, coarse)
       val composed = lbl1.select(col("x"), col("comm").as("c1"))
         .join(lbl2.select(col("x").as("c1"), col("comm")), "c1")
         .select(col("x"), col("comm"))
-      val (qComposed, m2comp) = modularityScaled(we, composed)
-      val nComm4 = composed.select(col("comm")).distinct().count()
+      val (qComposed, m2comp, nComm4) = modularityScaledN(we, composed)
       // every value below is a bounded driver scalar already computed —
       // all backing blocks can go now
       freeRdds(s, weIds ++ ids1 ++ coarseIds ++ ids2)

@@ -134,8 +134,11 @@ class CorenessLouvainSpec extends AnyFunSuite {
     // counterexample test below), but max(q0, q1) selection makes it one.
     val we = GraphAlgos.weightedCoPurchase(spark, sf0001)
       .localCheckpoint(true)
-    val (lbl1, ids1, qSingle, qSweep1, m2a) =
+    val (lbl1, ids1, qSingle, qSweep1, m2a, nComm1) =
       GraphAlgos.louvainSweepMonotone(spark, we)
+    // the fused community count must equal the labels' own distinct count
+    assert(nComm1 == lbl1.select(col("comm")).distinct().count(),
+      "modularityScaledN's folded community count drifted from the labels")
     assert(qSweep1 >= qSingle,
       s"guarded sweep 1 decreased modularity: $qSweep1 < $qSingle")
     // on this community-structured fixture the guard must be a no-op:
@@ -153,7 +156,7 @@ class CorenessLouvainSpec extends AnyFunSuite {
     // original (each super-node IS a community): Q must carry over exactly
     assert(qCoarseSingle == qSweep1,
       s"coarsening is not modularity-invariant: $qCoarseSingle != $qSweep1")
-    val (lbl2, ids2, qc2, qSweep2, _) =
+    val (lbl2, ids2, qc2, qSweep2, _, _) =
       GraphAlgos.louvainSweepMonotone(spark, coarse)
     assert(qc2 == qCoarseSingle,
       s"monotone sweep's own singleton pricing disagrees: $qc2 != $qCoarseSingle")
@@ -189,7 +192,9 @@ class CorenessLouvainSpec extends AnyFunSuite {
       s"raw synchronous sweep no longer regresses on the path ($qRaw) — " +
         "update the counterexample if the tie-break rule changed")
     GraphAlgos.freeRdds(spark, rawIds)
-    val (gLbl, gIds, gq0, gq1, _) = GraphAlgos.louvainSweepMonotone(spark, we)
+    val (gLbl, gIds, gq0, gq1, _, gn) =
+      GraphAlgos.louvainSweepMonotone(spark, we)
+    assert(gn == 3L, s"fallback community count must be the node count: $gn")
     assert(gq0 == -6L && gq1 == -6L,
       s"guarded sweep must fall back to singletons here: q0=$gq0 q1=$gq1")
     val kept = gLbl.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
