@@ -205,6 +205,49 @@ object SketchAggs {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Single-value KMV insert: [[KmvUnion]]'s Long-input twin for rounds
+    * whose messages are INDIVIDUAL hashes rather than sketches (the ball-1
+    * round: each neighbor contributes one modular hash). Feeding
+    * KmvUnion 1-element arrays pays an array allocation + array
+    * serialization per message row; this inserts the bare long into the
+    * sorted-distinct bottom-k buffer (binary search + bounded arraycopy)
+    * and shuffles 8 bytes per partial instead of an array cell. Result
+    * is IDENTICAL to KmvUnion over singleton arrays: both keep the k
+    * smallest distinct values in signed order (callers feed small
+    * positive modular hashes). */
+  final class KmvAddLong(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k > 1, s"k must be > 1, got $k")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], v: Long): Array[Long] = {
+      val n = buf.length
+      if (n == k && v >= buf(n - 1)) return buf // kth or beyond: absorbed
+      val idx = java.util.Arrays.binarySearch(buf, v)
+      if (idx >= 0) return buf // already present (sketch is a set)
+      val ins = -idx - 1
+      val outLen = math.min(n + 1, k)
+      val out = new Array[Long](outLen)
+      System.arraycopy(buf, 0, out, 0, ins)
+      out(ins) = v
+      System.arraycopy(buf, ins, out, ins + 1, outLen - ins - 1)
+      out
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) < b(j))
+        val v = if (takeA) { val x = a(i); i += 1; x }
+                else { val x = b(j); j += 1; x }
+        if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** Count-min sketch over a gram stream: d rows x w counters (w a power
     * of two), row r's hash = FNV-1a 64 of the salted gram ('a'+r prefix)
     * — the engine's reproducible fingerprint primitive, which is what

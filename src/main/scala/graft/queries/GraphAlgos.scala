@@ -184,17 +184,29 @@ object GraphAlgos {
     for (_ <- 1 to rounds) {
       val msgs = e.join(frontier.withColumnRenamed("x", "a"), "a")
         .select(col("b").as("x"), (col("dist") + col("w")).as("dist"))
+      // FUSED round state (optimization round 10): the merge aggregate
+      // carries the previous distance alongside the new minimum —
+      // min(dist) over the tagged union is the new distance, and
+      // min(dist) over the OLD rows alone is the previous one — so ONE
+      // checkpointed frame yields both the distance table and the
+      // improved flag. The old shape paid a second eager checkpoint plus
+      // a dist-vs-dist re-join per round for exactly this information
+      // (1 materialization job + 1 join × rounds, gone). dist/frontier
+      // are lazy projections over the same materialized RDD; results
+      // are bit-identical (same min-union aggregate, same filter law).
       val (ck, nIds) = checkpointWithIds(
-        dist.unionByName(msgs).groupBy(col("x"))
-          .agg(min(col("dist")).as("dist")))
-      val (fr, fIds) = checkpointWithIds(
-        ck.join(dist.select(col("x"), col("dist").as("pd")), Seq("x"), "left")
-          .filter(col("pd").isNull || col("dist") < col("pd"))
-          .select(col("x"), col("dist")))
+        dist.select(col("x"), col("dist"), lit(true).as("old"))
+          .unionByName(msgs.select(col("x"), col("dist"),
+            lit(false).as("old")))
+          .groupBy(col("x"))
+          .agg(min(col("dist")).as("dist"),
+            min(when(col("old"), col("dist"))).as("pd"))
+          .select(col("x"), col("dist"),
+            (col("pd").isNull || col("dist") < col("pd")).as("imp")))
       freeRdds(s, ids)
-      dist = ck
-      frontier = fr
-      ids = nIds ++ fIds
+      dist = ck.select(col("x"), col("dist"))
+      frontier = ck.filter(col("imp")).select(col("x"), col("dist"))
+      ids = nIds
     }
     graft.Caches.defer(s)(freeRdds(s, ids))
     dist
@@ -466,9 +478,12 @@ object GraphAlgos {
     * radius-2 balls over the symmetrized co-purchase graph. k-min of a
     * union equals k-min of the members' k-mins, so per-round truncation is
     * LOSSLESS for the final estimates and state stays k longs per node
-    * however big the ball gets — radius rounds of one edge-partitioned join
-    * + one bounded-state aggregate, the same per-round shuffle profile as
-    * pagerank (the 100 TB point; exact all-node balls cost Σdeg² rows).
+    * however big the ball gets. Round 1 is one PROJECTION of the edge
+    * frame into (x, hash) long rows + one bounded-state aggregate (no
+    * seed distinct, no join — see the inline note); round 2 is one
+    * edge-partitioned join + one bounded-state aggregate, the same
+    * per-round shuffle profile as pagerank (the 100 TB point; exact
+    * all-node balls cost Σdeg² rows).
     * Hashes are modular (h = x·2654435761 mod (1e9+7) + 1, 0 kept free).
     * Both generations are localCheckpoint'ed and freed at the next
     * Caches.defer sweep.
@@ -477,21 +492,32 @@ object GraphAlgos {
   private val kmvM = 1000000007L
   private def kmvBallSketches(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val kmv = udaf(new graft.functions.SketchAggs.KmvUnion(kmvK))
+    val kmvL = udaf(new graft.functions.SketchAggs.KmvAddLong(kmvK))
     val (e, eIds) = checkpointWithIds(coPurchaseEdges(s, d))
     graft.Caches.defer(s)(freeRdds(s, eIds))
     val sym = e.select(col("u").as("x"), col("v").as("y"))
       .unionByName(e.select(col("v").as("x"), col("u").as("y")))
-    val st0 = sym.select(col("x")).distinct()
-      .select(col("x"),
-        array((col("x") * lit(2654435761L)) % lit(kmvM) + lit(1L)).as("sk"))
-    def round(st: DataFrame): (DataFrame, Set[Int]) = {
-      val msgs = sym.join(st.withColumnRenamed("x", "y"), "y")
+    def h(c: Column): Column = (c * lit(2654435761L)) % lit(kmvM) + lit(1L)
+    // Round 1 runs on LONG messages with no seed frame at all
+    // (optimization round 10): ball₁(x) = {x} ∪ N(x), and a KMV sketch
+    // is a DISTINCT bottom-k, so each edge (x, y) contributes hash(y)
+    // and a duplicate-absorbed hash(x) directly — a pure projection of
+    // the edge frame into (x, hash) rows aggregated by [[KmvAddLong]].
+    // The old shape seeded a singleton-array frame off a full
+    // node-DISTINCT shuffle and published it through an edge-sized
+    // equi-join; both that shuffle and that join are gone, and round-1
+    // messages shuffle 8-byte longs instead of 1-element arrays.
+    // Result-identical: same distinct hash set per node, same bottom-k.
+    val nb1 = sym.select(col("x"), h(col("y")).as("hv"))
+      .unionByName(sym.select(col("x"), h(col("x")).as("hv")))
+    val (st1, ids1) = checkpointWithIds(
+      nb1.groupBy(col("x")).agg(kmvL(col("hv")).as("sk")))
+    val (st2, ids2) = {
+      val msgs = sym.join(st1.withColumnRenamed("x", "y"), "y")
         .select(col("x"), col("sk"))
       checkpointWithIds(
-        msgs.unionByName(st).groupBy(col("x")).agg(kmv(col("sk")).as("sk")))
+        msgs.unionByName(st1).groupBy(col("x")).agg(kmv(col("sk")).as("sk")))
     }
-    val (st1, ids1) = round(st0)
-    val (st2, ids2) = round(st1)
     graft.Caches.defer(s)(freeRdds(s, ids1))
     graft.Caches.defer(s)(freeRdds(s, ids2))
     (st1, st2)

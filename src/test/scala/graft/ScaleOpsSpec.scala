@@ -87,6 +87,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(full.length == k)
   }
 
+  test("KmvAddLong == KmvUnion over singleton arrays (the ball-1 rewrite)") {
+    // the long-input insert path must produce bit-identical sketches to
+    // the array-union path it replaced in kmvBallSketches round 1 —
+    // same k smallest DISTINCT values, any feed order, any merge split
+    val k = 16
+    val add = new SketchAggs.KmvAddLong(k)
+    val un = new SketchAggs.KmvUnion(k)
+    val rnd = new scala.util.Random(1234L)
+    for (trial <- 1 to 50) {
+      val n = 1 + rnd.nextInt(60)
+      // small positive modular-hash regime incl. heavy duplicates
+      val vs = Seq.fill(n)(1L + rnd.nextInt(40).toLong)
+      val viaAdd = vs.foldLeft(add.zero)(add.reduce)
+      val viaUnion = vs.foldLeft(un.zero)((b, v) => un.reduce(b, Array(v)))
+      assert(viaAdd.sameElements(viaUnion),
+        s"trial $trial: ${viaAdd.toSeq} vs ${viaUnion.toSeq} for $vs")
+      // merge of split halves == reduce-all (the partial-agg contract)
+      val (l, r) = vs.splitAt(n / 2)
+      val lb = l.foldLeft(add.zero)(add.reduce)
+      val rb = r.foldLeft(add.zero)(add.reduce)
+      assert(add.merge(lb, rb).sameElements(viaAdd), s"trial $trial merge")
+      // sorted distinct, never longer than k
+      assert(viaAdd.length <= k)
+      assert(viaAdd.toSeq == viaAdd.toSeq.distinct.sorted)
+    }
+  }
+
   test("distinct_kmv estimates within the theoretical bound on real data") {
     val rows = SparkEntry.queries("distinct_kmv")(spark, sf001).collect()
     assert(rows.length == 5)
