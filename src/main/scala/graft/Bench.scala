@@ -14,8 +14,17 @@ import org.apache.spark.sql.SparkSession
   * is the variance hot spot — round 5's driver run charged graph_pagerank
   * 10.2 s where the same unchanged code measured 2.9–3.9 s in two other
   * runs on the same box — so those queries get SPARK_GRAFT_RUNS_NOISY
-  * samples (default 5) and every query's per-run times plus the box's
+  * samples (default 3 since r11 — the clean/spread resampling below
+  * already adds samples exactly where a run was noisy, and the blanket
+  * 5-sample rule stacked on it drove the round-10 record to 5516 s of
+  * timed samples and BOTH driver bench invocations into rc=124
+  * timeouts) and every query's per-run times plus the box's
   * /proc/loadavg at each run start go into the BENCH.md record.
+  * Per-query sampling is wall-capped (SPARK_GRAFT_QUERY_WALL, default
+  * 45 s): once a query's accumulated timed wall passes the cap with ≥2
+  * samples taken, sampling stops and the query lands in
+  * `queries_wall_capped` — a record that exists with 2 samples on the
+  * heavy tail beats a perfect record the driver never sees.
   *
   * Since round 8 the record does not just EXPOSE contention, it ACTS on
   * it: a run whose steal+iowait share exceeded 2% or whose entry load
@@ -153,8 +162,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // r11 measurement fix (documented in OPTIMIZATION_r11.md): the noisy
+    // family's blanket 5-sample rule predates the clean/spread resampling
+    // machinery (r8/r9), which already ADDS samples exactly where the
+    // box was noisy — with both active the round-10 record collected up
+    // to 15 samples per graph query (5516 s of timed samples; the
+    // driver's two bench invocations both hit rc=124 and produced NO
+    // record at all). Base samples drop to `runs` with resampling
+    // unchanged; a quiet box yields the same tight medians.
     val runsNoisy = math.max(runs,
-      sys.env.getOrElse("SPARK_GRAFT_RUNS_NOISY", "5").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_RUNS_NOISY", "3").toInt)
     def isNoisy(name: String): Boolean =
       name.startsWith("graph_") || name == "layout_zorder"
     val spark = SparkSession.builder()
@@ -208,6 +225,7 @@ object Bench {
     val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX",
       (cpus.toInt / 4.0).toString).toDouble
     val spreadMax = sys.env.getOrElse("SPARK_GRAFT_SPREAD_MAX", "2.0").toDouble
+    val wallCap = sys.env.getOrElse("SPARK_GRAFT_QUERY_WALL", "45").toDouble
     // a failed query reports -1 (never its partial elapsed time, which
     // would read as a speedup) and is excluded from the total
     // SPARK_GRAFT_ONLY: comma-separated name filter for LOCAL iteration
@@ -263,15 +281,36 @@ object Bench {
         if (xs.isEmpty) xs
         else { val mn = xs.map(_._1).min; xs.filter(_._1 <= mn * spreadMax) }
       }
-      var samples = (1 to nRuns).flatMap(_ => sampleOnce())
+      // r11 WALL CAP (measurement fix, documented in OPTIMIZATION_r11.md):
+      // sampling of one query stops once its accumulated timed wall
+      // exceeds SPARK_GRAFT_QUERY_WALL seconds and at least 2 samples
+      // exist — the round-10 record spent 550 s sampling ONE query
+      // (graph_coreness_fixpoint, 13 samples) and the driver's bench
+      // invocations timed out with NO record. Long-running queries are
+      // proportionally the least scheduling-noisy, so 2–3 samples carry
+      // the same information 5+ do on a sub-second query; the cap is
+      // env-parameterised and a capped query is listed in
+      // `queries_wall_capped` so the record adjudicates itself.
+      def wallOf(xs: Seq[(Double, Double, Double, Double)]): Double =
+        xs.map(_._1).sum
+      var samples = Seq.empty[(Double, Double, Double, Double)]
+      var base = 0
+      while (base < nRuns &&
+          (samples.size < 2 || wallOf(samples) < wallCap)) {
+        base += 1
+        samples = samples ++ sampleOnce()
+      }
       // bounded resample: keep sampling while the clean-AND-tight count
-      // is short of nRuns, up to 2*nRuns extra attempts total
+      // is short of nRuns, up to 2*nRuns extra attempts total, never
+      // past the wall cap
       var extra = 0
       while ((samples.count(clean) < nRuns ||
-          tight(samples.filter(clean)).size < nRuns) && extra < 2 * nRuns) {
+          tight(samples.filter(clean)).size < nRuns) && extra < 2 * nRuns &&
+          wallOf(samples) < wallCap) {
         extra += 1
         samples = samples ++ sampleOnce()
       }
+      val wallCapped = samples.nonEmpty && wallOf(samples) >= wallCap
       val preferred = { val c = samples.filter(clean)
         if (c.size >= (nRuns + 1) / 2) c else samples }
       val contended = samples.nonEmpty && preferred.exists(!clean(_))
@@ -284,7 +323,7 @@ object Bench {
       val loads = samples.map(_._2)
       val steals = samples.map(_._4) // reported share keeps iowait
       if (times.isEmpty)
-        (name, -1.0, -1.0, times, loads, steals, false, false, -1.0, 0)
+        (name, -1.0, -1.0, times, loads, steals, false, false, -1.0, 0, false)
       else {
         val med = { val st = tightSet.map(_._1).sorted; st(st.length / 2) }
         // the tight-set median can under-report genuinely BIMODAL query
@@ -297,42 +336,45 @@ object Bench {
         val medAll = { val st = preferred.map(_._1).sorted; st(st.length / 2) }
         val dropped = preferred.size - tightSet.size
         (name, med, times.max, times, loads, steals, contended,
-          spreadFlagged, medAll, dropped)
+          spreadFlagged, medAll, dropped, wallCapped)
       }
     }
-    val qs = results.map { case (k, med, _, _, _, _, _, _, _, _) =>
+    val qs = results.map { case (k, med, _, _, _, _, _, _, _, _, _) =>
       "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, _, mx, _, _, _, _, _, _, _) =>
+    val qsMax = results.map { case (k, _, mx, _, _, _, _, _, _, _, _) =>
       "\"" + k + "\":" + fmt(mx) }
       .mkString("{", ",", "}")
-    val qsRuns = results.map { case (k, _, _, ts, _, _, _, _, _, _) =>
+    val qsRuns = results.map { case (k, _, _, ts, _, _, _, _, _, _, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsLoad = results.map { case (k, _, _, _, lds, _, _, _, _, _) =>
+    val qsLoad = results.map { case (k, _, _, _, lds, _, _, _, _, _, _) =>
       "\"" + k + "\":" + lds.map(l => f"$l%.2f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsSteal = results.map { case (k, _, _, _, _, sts, _, _, _, _) =>
+    val qsSteal = results.map { case (k, _, _, _, _, sts, _, _, _, _, _) =>
       "\"" + k + "\":" + sts.map(s => f"$s%.1f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qsContended = results.collect { case (k, _, _, _, _, _, true, _, _, _) =>
+    val qsContended = results.collect { case (k, _, _, _, _, _, true, _, _, _, _) =>
       "\"" + k + "\"" }.mkString("[", ",", "]")
-    val qsSpread = results.collect { case (k, _, _, _, _, _, _, true, _, _) =>
+    val qsSpread = results.collect { case (k, _, _, _, _, _, _, true, _, _, _) =>
       "\"" + k + "\"" }.mkString("[", ",", "]")
+    val qsWallCapped = results.collect {
+      case (k, _, _, _, _, _, _, _, _, _, true) =>
+        "\"" + k + "\"" }.mkString("[", ",", "]")
     // medians over ALL clean samples (no tight filter) — only for queries
     // where it differs from the tight median; plus the per-query count of
     // clean samples the tight filter dropped (bimodality stays visible)
     val qsMedAll = results.collect {
-      case (k, med, _, _, _, _, _, _, medAll, _)
+      case (k, med, _, _, _, _, _, _, medAll, _, _)
         if medAll >= 0 && math.abs(medAll - med) > 0.0005 =>
         "\"" + k + "\":" + fmt(medAll) }.mkString("{", ",", "}")
     val qsDropped = results.collect {
-      case (k, _, _, _, _, _, _, _, _, dropped) if dropped > 0 =>
+      case (k, _, _, _, _, _, _, _, _, dropped, _) if dropped > 0 =>
         "\"" + k + "\":" + dropped }.mkString("{", ",", "}")
     val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")).getOrElse("null")
     val failed = results.collect {
-      case (k, med, _, _, _, _, _, _, _, _) if med < 0 => "\"" + k + "\"" }
+      case (k, med, _, _, _, _, _, _, _, _, _) if med < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     // streaming HARNESS FLOOR: the replay machinery's own cost (source
     // collect, checkpoint init, 4 micro-batch commits, memory sink) with
@@ -367,6 +409,7 @@ object Bench {
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_contended":$qsContended,"queries_spread":$qsSpread,""" +
+        s""""queries_wall_capped":$qsWallCapped,""" +
         s""""only":$onlyJson,$probeJson,""" +
         s""""runs":$runs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val fullLine =
@@ -375,8 +418,10 @@ object Bench {
         s""""queries_steal_pct":$qsSteal,"queries_contended":$qsContended,""" +
         s""""queries_spread":$qsSpread,""" +
         s""""queries_median_all_clean":$qsMedAll,"queries_tight_dropped":$qsDropped,""" +
+        s""""queries_wall_capped":$qsWallCapped,""" +
         s""""only":$onlyJson,""" +
-        f""""steal_max":$stealMax%.1f,"load_max":$loadMax%.1f,"spread_max":$spreadMax%.1f,""" +
+        f""""steal_max":$stealMax%.1f,"load_max":$loadMax%.1f,""" +
+        f""""spread_max":$spreadMax%.1f,"query_wall_cap":$wallCap%.1f,""" +
         s""""runs":$runs,"runs_noisy":$runsNoisy,""" +
         f""""load_start":$benchLoadStart%.2f,"load_end":${load1()}%.2f,""" +
         s""""errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
@@ -420,7 +465,12 @@ object Bench {
         "`queries_tight_dropped` counts the clean samples the tight " +
         "filter discarded per query — a persistent gap between the two " +
         "medians across records is the query's own bimodality, not the " +
-        "box. `cpu_probe_*` is the absolute " +
+        f"box. Per-query sampling stops once its timed wall passes " +
+        f"$wallCap%.0f s with ≥2 samples (`queries_wall_capped` lists " +
+        "the queries that hit the cap) — long queries are " +
+        "proportionally the least scheduling-noisy and a record that " +
+        "exists beats one the driver's timeout discards. " +
+        "`cpu_probe_*` is the absolute " +
         "box-speed yardstick — 400M deterministic mix64 steps, " +
         "single-thread at start/end and split across all cores; " +
         "`mem_probe_*` is its memory-BANDWIDTH companion — 16 GB streamed " +

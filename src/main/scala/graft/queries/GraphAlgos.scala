@@ -648,6 +648,109 @@ object GraphAlgos {
     * is computed ONCE and reused via its broadcast exchange. Halves the
     * tail's barrier count; measured at sf0.1 the fixpoint went 43.5 s →
     * (see OPTIMIZATION_r10.md) with the same final histogram. */
+  /** Single-task arc license for [[corenessExactSmall]]: below it the
+    * whole symmetrized edge list fits one executor task's memory with
+    * room to spare (32M arcs ≈ 256 MB as two int CSR arrays + the id
+    * remap), so the exact O(n+m) peel beats ANY distributed iteration —
+    * the same decision rule the broadcast licenses embody, one level up:
+    * when the data fits a single hash table, stop shuffling; when the
+    * GRAPH fits a single task, stop iterating. Env-overridable so a
+    * memory-constrained deployment can lower it (GRAFT_CORENESS_KERNEL
+    * arcs). The 50M-node rehearsal graph (~500M arcs) exceeds it and
+    * keeps the distributed fixpoint path honest at scale. */
+  private[graft] def corenessKernelMaxArcs: Long =
+    sys.env.get("GRAFT_CORENESS_KERNEL").map(_.toLong)
+      .getOrElse(32L * 1000 * 1000)
+
+  /** EXACT core numbers via the Batagelj–Zaversnik O(n+m) bucket peel,
+    * run as ONE narrow task on an executor (coalesce(1) over the
+    * already-materialized edge checkpoint — no driver collect, no
+    * shuffle, no barrier). Result-identical to [[corenessFixpoint]]
+    * (the h-index fixpoint IS the core number — Lü et al. 2016 — and
+    * CorenessLouvainSpec gates kernel == fixpoint == driver-side peel
+    * node-for-node at sf0.001). This is the scale-ADAPTIVE half of the
+    * coreness operator: a 1.4M-arc subproblem (sf0.1) has no business
+    * paying 38 synchronized rounds of a distributed fixpoint — at crawl
+    * scale the same license keeps the semi-naive loop. `sym` must carry
+    * both directions of every edge. */
+  private[graft] def corenessExactSmall(s: SparkSession,
+      sym: DataFrame): DataFrame = {
+    import s.implicits._
+    sym.select(col("x").cast("long"), col("y").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        // gather arcs (both directions present => degree = arc count)
+        val xs = new scala.collection.mutable.ArrayBuffer[Long](1 << 16)
+        val ys = new scala.collection.mutable.ArrayBuffer[Long](1 << 16)
+        while (it.hasNext) { val (a, b) = it.next(); xs += a; ys += b }
+        val m = xs.length
+        if (m == 0) Iterator.empty
+        else {
+          // dense remap
+          val idOf = new java.util.HashMap[Long, Int](m)
+          val ids = new scala.collection.mutable.ArrayBuffer[Long](1 << 12)
+          def dense(v: Long): Int = {
+            val got = idOf.getOrDefault(v, -1)
+            if (got >= 0) got
+            else { val i = ids.length; ids += v; idOf.put(v, i); i }
+          }
+          val ax = new Array[Int](m); val ay = new Array[Int](m)
+          var i = 0
+          while (i < m) { ax(i) = dense(xs(i)); ay(i) = dense(ys(i)); i += 1 }
+          val n = ids.length
+          // CSR over the x side
+          val deg = new Array[Int](n)
+          i = 0; while (i < m) { deg(ax(i)) += 1; i += 1 }
+          val start = new Array[Int](n + 1)
+          i = 0; while (i < n) { start(i + 1) = start(i) + deg(i); i += 1 }
+          val fill = java.util.Arrays.copyOf(start, n)
+          val adj = new Array[Int](m)
+          i = 0; while (i < m) { adj(fill(ax(i))) = ay(i); fill(ax(i)) += 1; i += 1 }
+          // Batagelj–Zaversnik: counting-sort nodes by degree, peel in
+          // order, demoting touched neighbors one bucket at a time
+          val maxDeg = { var md = 0; i = 0
+            while (i < n) { if (deg(i) > md) md = deg(i); i += 1 }; md }
+          val bin = new Array[Int](maxDeg + 2)
+          i = 0; while (i < n) { bin(deg(i) + 1) += 1; i += 1 }
+          i = 1; while (i <= maxDeg + 1) { bin(i) += bin(i - 1); i += 1 }
+          val pos = new Array[Int](n); val vert = new Array[Int](n)
+          val binStart = java.util.Arrays.copyOf(bin, bin.length)
+          i = 0
+          while (i < n) {
+            pos(i) = binStart(deg(i)); vert(pos(i)) = i
+            binStart(deg(i)) += 1; i += 1
+          }
+          val d = java.util.Arrays.copyOf(deg, n) // current degrees
+          i = 0
+          while (i < n) {
+            val v = vert(i)
+            var j = start(v)
+            val end = start(v + 1)
+            while (j < end) {
+              val u = adj(j)
+              if (d(u) > d(v)) {
+                // swap u with the first vertex of its bucket, shrink it
+                val du = d(u); val pu = pos(u)
+                val pw = bin(du); val w = vert(pw)
+                if (u != w) {
+                  pos(u) = pw; vert(pw) = u
+                  pos(w) = pu; vert(pu) = w
+                }
+                bin(du) += 1
+                d(u) = du - 1
+              }
+              j += 1
+            }
+            i += 1
+          }
+          // d(v) at peel time IS the core number
+          (0 until n).iterator.map(v => (ids(v), d(v).toLong))
+        }
+      }
+      .toDF("x", "h")
+  }
+
   private[graft] def corenessFixpoint(s: SparkSession, sym: DataFrame,
       hmax: Long, maxDeg: Long, maxRounds: Int = 100,
       checkMonotone: Boolean = false): (DataFrame, Set[Int], Int, Boolean) = {
@@ -2133,13 +2236,29 @@ object GraphAlgos {
       freeRdds(s, eIds)
       val dst = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
         .agg(sum(col("deg")), max(col("deg"))).head()
-      val hmax = math.sqrt(dst.getLong(0).toDouble).toLong
+      val arcs = dst.getLong(0) // |sym| = 2m
+      val hmax = math.sqrt(arcs.toDouble).toLong
       val maxDeg = dst.getLong(1)
-      val (h, hIds, rounds, converged) = corenessFixpoint(s, sym, hmax,
-        maxDeg, maxRounds = 100, checkMonotone = true)
-      require(converged,
-        s"corenessFixpoint did not converge within $rounds rounds")
-      graft.Caches.defer(s)(freeRdds(s, symIds ++ hIds))
+      // SCALE-ADAPTIVE algorithm selection (optimization round 11): the
+      // exact peel and the h-index fixpoint compute the SAME core
+      // numbers (Lü et al. 2016; gated node-for-node in
+      // CorenessLouvainSpec and by this query's oracle, which replays
+      // the h-index iteration to convergence in DuckDB). Below the
+      // single-task license the O(n+m) peel runs as one narrow task —
+      // a 1.4M-arc subproblem must not pay 38 synchronized distributed
+      // rounds; above it (the 50M rehearsal, any crawl) the semi-naive
+      // broadcast-licensed fixpoint runs unchanged.
+      val h = if (arcs <= corenessKernelMaxArcs) {
+        corenessExactSmall(s, sym)
+      } else {
+        val (hf, hIds, rounds, converged) = corenessFixpoint(s, sym, hmax,
+          maxDeg, maxRounds = 100, checkMonotone = true)
+        require(converged,
+          s"corenessFixpoint did not converge within $rounds rounds")
+        graft.Caches.defer(s)(freeRdds(s, hIds))
+        hf
+      }
+      graft.Caches.defer(s)(freeRdds(s, symIds))
       h.groupBy(col("h").cast("long").as("k")).agg(count(lit(1)).as("cnt"))
         .unionByName(Seq((-1L, 0L)).toDF("k", "cnt"))
         .orderBy("k")

@@ -92,6 +92,15 @@ class CorenessLouvainSpec extends AnyFunSuite {
     val bad = got.filter { case (n, hv) => hv != core(n).toLong }
     assert(bad.isEmpty,
       s"${bad.size} nodes disagree with the exact peel, e.g. ${bad.take(3)}")
+    // the single-task kernel (the scale-adaptive small-graph path the
+    // declared query takes below the arc license) must agree with both
+    val kern = GraphAlgos.corenessExactSmall(spark, sym).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("h"))).toMap
+    assert(kern.keySet == core.keySet)
+    val badK = kern.filter { case (n, hv) => hv != core(n).toLong }
+    assert(badK.isEmpty,
+      s"${badK.size} kernel nodes disagree with the exact peel, " +
+        s"e.g. ${badK.take(3)}")
   }
 
   test("checkpoint stats stay clamped across many self-joining rounds (driver-melt regression)") {
