@@ -73,7 +73,12 @@ object Profile {
             println(f"[floor] round $r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
           }
           df
-        }))
+        }),
+        // the streaming replay harness's own cost (see Bench's
+        // stream_harness_floor) — profiled here so -Dgraft.jobs=1 can
+        // decompose it into staging writes vs micro-batch commits
+        "_streamfloor" -> ((s, d) =>
+          graft.streaming.StreamingOps.harnessFloor(s, d)))
     names.foreach { name =>
       (1 to runs).foreach { i =>
         // -Dgraft.sweep=1 replicates Bench's cold-cache discipline (hard

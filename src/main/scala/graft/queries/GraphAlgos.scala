@@ -181,8 +181,21 @@ object GraphAlgos {
     // instead of re-relaxing every reached node against all m edges.
     var frontier: DataFrame = dist
     var ids = Set.empty[Int]
+    // BROADCAST license (optimization round 11, the coreness-fixpoint
+    // r10 fix applied here): the frontier is node-sized (≤ one row per
+    // reached node) while `e` is edge-sized — but AQE only converts the
+    // join to broadcast AFTER both children's shuffle writes ran, so
+    // every round paid an edge-sized shuffle write regardless. One arc
+    // count on the caller's already-checkpointed edge frame licenses an
+    // explicit broadcast of the frontier for every round (frontier rows
+    // ≤ distinct nodes ≤ arcs); the message aggregate then partial-
+    // aggregates map-side and the per-round shuffle drops from 2
+    // edge-sized exchanges to one node-sized one. Crawl-scale graphs
+    // exceed the license and keep today's shuffled plans.
+    val bcastFrontier = e.count() <= 4L * 1000 * 1000
     for (_ <- 1 to rounds) {
-      val msgs = e.join(frontier.withColumnRenamed("x", "a"), "a")
+      val fr = frontier.withColumnRenamed("x", "a")
+      val msgs = e.join(if (bcastFrontier) broadcast(fr) else fr, "a")
         .select(col("b").as("x"), (col("dist") + col("w")).as("dist"))
       // FUSED round state (optimization round 10): the merge aggregate
       // carries the previous distance alongside the new minimum —
@@ -194,7 +207,17 @@ object GraphAlgos {
       // (1 materialization job + 1 join × rounds, gone). dist/frontier
       // are lazy projections over the same materialized RDD; results
       // are bit-identical (same min-union aggregate, same filter law).
-      val (ck, nIds) = checkpointWithIds(
+      //
+      // LAZY checkpoints (optimization round 11): relaxRounds reads NO
+      // per-round scalar — fixed rounds, no convergence test — so the
+      // eager materialization job each round paid was pure barrier. All
+      // `rounds` generations are lazy LogicalRDD leaves (flat plans,
+      // same hygiene) materialized together by the CALLER's terminal
+      // action: one driver action for the whole pyramid instead of one
+      // per round. Every generation stays pinned until the deferred
+      // sweep (frames are node-sized; freeing mid-chain would kill a
+      // truncated lineage before its first compute).
+      val (ck, nIds) = checkpointWithIdsLazy(
         dist.select(col("x"), col("dist"), lit(true).as("old"))
           .unionByName(msgs.select(col("x"), col("dist"),
             lit(false).as("old")))
@@ -203,10 +226,9 @@ object GraphAlgos {
             min(when(col("old"), col("dist"))).as("pd"))
           .select(col("x"), col("dist"),
             (col("pd").isNull || col("dist") < col("pd")).as("imp")))
-      freeRdds(s, ids)
       dist = ck.select(col("x"), col("dist"))
       frontier = ck.filter(col("imp")).select(col("x"), col("dist"))
-      ids = nIds
+      ids = ids ++ nIds
     }
     graft.Caches.defer(s)(freeRdds(s, ids))
     dist
@@ -424,14 +446,23 @@ object GraphAlgos {
   private[graft] def boruvkaForest(s: SparkSession, we: DataFrame,
       rounds: Int, doublings: Int): (DataFrame, DataFrame, Set[Int]) = {
     val keep = scala.collection.mutable.Set.empty[Int]
+    // BROADCAST license (optimization round 11, the relaxRounds fix):
+    // comp/ptr/sel are node-sized while `we` is edge-sized, and AQE only
+    // flips to broadcast AFTER both children's shuffle writes — so every
+    // round paid edge-sized exchanges for node-sized build sides. One
+    // arc count on the caller's checkpointed frame licenses explicit
+    // broadcasts everywhere a node-sized frame joins; crawl-scale inputs
+    // exceed it and keep the shuffled plans.
+    val small = we.count() <= 4L * 1000 * 1000
+    def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var comp = we.select(explode(array(col("u"), col("v"))).as("id"))
       .distinct().select(col("id"), col("id").as("comp"))
     var compIds = Set.empty[Int]
     var chosen = List.empty[DataFrame]
     for (r <- 1 to rounds) {
       val ec = we
-        .join(comp.select(col("id").as("u"), col("comp").as("cu")), "u")
-        .join(comp.select(col("id").as("v"), col("comp").as("cv")), "v")
+        .join(b(comp.select(col("id").as("u"), col("comp").as("cu"))), "u")
+        .join(b(comp.select(col("id").as("v"), col("comp").as("cv"))), "v")
         .filter(col("cu") =!= col("cv"))
       val inc = ec.select(col("cu").as("c"), col("cv").as("o"), col("pk"))
         .unionByName(ec.select(col("cv").as("c"), col("cu").as("o"), col("pk")))
@@ -441,28 +472,34 @@ object GraphAlgos {
       chosen ::= sel.select(lit(r.toLong).as("round"), col("mk").as("pk"))
         .distinct()
       val brk = sel.select(col("c"), col("p"))
-        .join(sel.select(col("c").as("p"), col("p").as("pp")), "p")
+        .join(b(sel.select(col("c").as("p"), col("p").as("pp"))), "p")
         .select(col("c"),
           when(col("pp") === col("c"), least(col("c"), col("p")))
             .otherwise(col("p")).as("p"))
       val isolated = comp.select(col("comp").as("c")).distinct()
-        .join(sel.select(col("c")), Seq("c"), "left_anti")
+        .join(b(sel.select(col("c"))), Seq("c"), "left_anti")
         .select(col("c"), col("c").as("p"))
       var (ptr, ptrIds) = checkpointWithIds(brk.unionByName(isolated))
       var changed = true
       var k = 0
       while (k < doublings && changed) {
-        val (nxt, nxtIds) = checkpointWithIds(
-          ptr.join(ptr.select(col("c").as("p"), col("p").as("p2")), "p")
+        // LAZY checkpoint + one action (optimization round 11): the
+        // changed test rides the materializing aggregate instead of a
+        // separate limit(1).count() job — halves the per-doubling
+        // barrier count, result-identical (same ≠ predicate)
+        val (nxt, nxtIds) = checkpointWithIdsLazy(
+          ptr.join(b(ptr.select(col("c").as("p"), col("p").as("p2"))), "p")
             .select(col("c"), col("p").as("old"), col("p2").as("p")))
-        changed = nxt.filter(col("p") =!= col("old")).limit(1).count() > 0
+        val chg = nxt.agg(
+          sum(when(col("p") =!= col("old"), 1L).otherwise(0L))).head()
+        changed = !chg.isNullAt(0) && chg.getLong(0) > 0
         freeRdds(s, ptrIds)
         ptr = nxt.select(col("c"), col("p"))
         ptrIds = nxtIds
         k += 1
       }
       val (nextComp, nextCompIds) = checkpointWithIds(
-        comp.join(ptr.select(col("c").as("comp"), col("p")), "comp")
+        comp.join(b(ptr.select(col("c").as("comp"), col("p"))), "comp")
           .select(col("id"), col("p").as("comp")))
       freeRdds(s, ptrIds)
       freeRdds(s, compIds)
@@ -655,11 +692,13 @@ object GraphAlgos {
     * the same decision rule the broadcast licenses embody, one level up:
     * when the data fits a single hash table, stop shuffling; when the
     * GRAPH fits a single task, stop iterating. Env-overridable so a
-    * memory-constrained deployment can lower it (GRAFT_CORENESS_KERNEL
+    * memory-constrained deployment can lower it (GRAFT_GRAPH_KERNEL
     * arcs). The 50M-node rehearsal graph (~500M arcs) exceeds it and
-    * keeps the distributed fixpoint path honest at scale. */
-  private[graft] def corenessKernelMaxArcs: Long =
-    sys.env.get("GRAFT_CORENESS_KERNEL").map(_.toLong)
+    * keeps the distributed fixpoint path honest at scale. Shared by the
+    * coreness peel and the louvain-ladder kernel — one license, one
+    * definition of "fits a single task". */
+  private[graft] def graphKernelMaxArcs: Long =
+    sys.env.get("GRAFT_GRAPH_KERNEL").map(_.toLong)
       .getOrElse(32L * 1000 * 1000)
 
   /** EXACT core numbers via the Batagelj–Zaversnik O(n+m) bucket peel,
@@ -978,6 +1017,188 @@ object GraphAlgos {
       val (sl, sIds) = checkpointWithIds(singles)
       (sl, sIds, q0, q0, m2, sl.count())
     }
+  }
+
+  /** Single-task twin of the WHOLE declared louvain ladder (guarded
+    * sweep → coarsen → guarded sweep → composed pricing), exact-integer
+    * arithmetic identical to [[louvainSweepMonotone]] /
+    * [[modularityScaledN]] / [[coarsen]] step for step: same strengths
+    * (self-loop A_uu = 2w), same argmax (max score, ties to the smaller
+    * neighbor id, move iff score > 0), same monotone guard (keep moved
+    * labels only when Q(moved) ≥ Q(singletons)), same overflow guards.
+    * Run as ONE narrow task under the same size license as
+    * [[corenessExactSmall]] — the ladder is ~16 driver actions over a
+    * sub-million-row graph at bench SF, all barrier/planning floor; at
+    * crawl scale the license fails and the distributed ladder (also
+    * exercised at 50M in the rehearsal) runs unchanged. Equality with
+    * the DataFrame ladder is pinned by CorenessLouvainSpec and by the
+    * query's oracle, which replays both sweeps in DuckDB from scratch. */
+  private[graft] def louvainLadderKernel(s: SparkSession,
+      we: DataFrame): DataFrame = {
+    import s.implicits._
+    we.select(col("u").cast("long"), col("v").cast("long"),
+        col("w").cast("long"))
+      .as[(Long, Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        import scala.collection.mutable
+        val eu = new mutable.ArrayBuffer[Long](1 << 16)
+        val ev = new mutable.ArrayBuffer[Long](1 << 16)
+        val ew = new mutable.ArrayBuffer[Long](1 << 16)
+        while (it.hasNext) {
+          val (a, b, w) = it.next(); eu += a; ev += b; ew += w
+        }
+        type Labels = java.util.HashMap[Long, Long]
+        def nDistinct(us: mutable.ArrayBuffer[Long],
+            vs: mutable.ArrayBuffer[Long]): Long = {
+          val st = new java.util.HashSet[Long]()
+          var i = 0
+          while (i < us.length) { st.add(us(i)); st.add(vs(i)); i += 1 }
+          st.size.toLong
+        }
+        // strengths: dw(x) with A_uu = 2w; also max non-loop w
+        def strengths(eu: mutable.ArrayBuffer[Long],
+            ev: mutable.ArrayBuffer[Long], ew: mutable.ArrayBuffer[Long])
+            : (java.util.HashMap[Long, Long], Long, Long) = {
+          val dw = new java.util.HashMap[Long, Long]()
+          var maxW = 0L; var sumLw = 0L
+          var i = 0
+          while (i < eu.length) {
+            val u = eu(i); val v = ev(i); val w = ew(i)
+            if (u == v) {
+              dw.put(u, dw.getOrDefault(u, 0L) + 2 * w)
+              sumLw += 2 * w
+            } else {
+              dw.put(u, dw.getOrDefault(u, 0L) + w)
+              dw.put(v, dw.getOrDefault(v, 0L) + w)
+              if (w > maxW) maxW = w
+            }
+            i += 1
+          }
+          (dw, maxW, sumLw)
+        }
+        // one guarded sweep; returns (labels, q0, q1, m2, nComm)
+        def sweepMonotone(eu: mutable.ArrayBuffer[Long],
+            ev: mutable.ArrayBuffer[Long], ew: mutable.ArrayBuffer[Long])
+            : (Labels, Long, Long, Long, Long) = {
+          val (dw, maxW, sumLw) = strengths(eu, ev, ew)
+          var m2 = 0L; var maxDeg = 0L; var sumDw2 = 0L
+          val dit = dw.values.iterator()
+          while (dit.hasNext) {
+            val d = dit.next(); m2 += d
+            if (d > maxDeg) maxDeg = d
+            sumDw2 += d * d
+          }
+          val q0 = m2 * sumLw - sumDw2
+          require(maxW == 0 || m2 <= Long.MaxValue / math.max(1L, maxW),
+            s"louvainSweep: 2m*w overflows BIGINT (2m=$m2, max w=$maxW) — " +
+              "rescale edge weights before the sweep")
+          require(maxDeg <= 3037000499L,
+            s"louvainSweep: deg*deg overflows BIGINT (max weighted degree " +
+              s"$maxDeg) — rescale edge weights before the sweep")
+          // argmax over non-loop incident edges, both directions
+          val bestScore = new java.util.HashMap[Long, Long]()
+          val bestY = new java.util.HashMap[Long, Long]()
+          def cand(x: Long, y: Long, w: Long): Unit = {
+            val sc = m2 * w - dw.get(x) * dw.get(y)
+            val cur = bestScore.getOrDefault(x, Long.MinValue)
+            if (sc > cur || (sc == cur && y < bestY.get(x))) {
+              bestScore.put(x, sc); bestY.put(x, y)
+            }
+          }
+          var i = 0
+          while (i < eu.length) {
+            val u = eu(i); val v = ev(i); val w = ew(i)
+            if (u != v) { cand(u, v, w); cand(v, u, w) }
+            i += 1
+          }
+          val moved = new Labels()
+          val nit = dw.keySet.iterator()
+          while (nit.hasNext) {
+            val x = nit.next()
+            val bs = bestScore.getOrDefault(x, Long.MinValue)
+            moved.put(x, if (bs > 0) bestY.get(x) else x)
+          }
+          val (q1, m2b, nComm) = price(eu, ev, ew, moved)
+          require(m2b == m2,
+            s"louvainSweepMonotone: total strength moved under relabeling " +
+              s"($m2b != $m2) — modularityScaled is broken")
+          if (q1 >= q0) (moved, q0, q1, m2, nComm)
+          else {
+            val singles = new Labels()
+            val sit = dw.keySet.iterator()
+            while (sit.hasNext) { val x = sit.next(); singles.put(x, x) }
+            (singles, q0, q0, m2, dw.size.toLong)
+          }
+        }
+        // exact-integer Q·(2m)² pricing + community count
+        def price(eu: mutable.ArrayBuffer[Long],
+            ev: mutable.ArrayBuffer[Long], ew: mutable.ArrayBuffer[Long],
+            lbl: Labels): (Long, Long, Long) = {
+          var m2 = 0L; var aIn = 0L
+          var i = 0
+          while (i < eu.length) {
+            val u = eu(i); val v = ev(i); val w = ew(i)
+            m2 += 2 * w
+            if (lbl.get(u) == lbl.get(v)) aIn += 2 * w
+            i += 1
+          }
+          require(m2 <= 3037000499L,
+            s"modularityScaled: 2m = $m2 overflows BIGINT in m2*aIn / " +
+              "dc*dc — rescale weights or sample the graph before " +
+              "pricing modularity")
+          val (dw, _, _) = strengths(eu, ev, ew)
+          val dc = new java.util.HashMap[Long, Long]()
+          val nit = dw.entrySet.iterator()
+          while (nit.hasNext) {
+            val e = nit.next()
+            val c = lbl.get(e.getKey)
+            dc.put(c, dc.getOrDefault(c, 0L) + e.getValue)
+          }
+          var sumDc2 = 0L
+          val cit = dc.values.iterator()
+          while (cit.hasNext) { val d = cit.next(); sumDc2 += d * d }
+          (m2 * aIn - sumDc2, m2, dc.size.toLong)
+        }
+        val nWe = eu.length.toLong
+        val nNodes = nDistinct(eu, ev)
+        val (lbl1, q0, q1, m2, nComm1) = sweepMonotone(eu, ev, ew)
+        // coarsen: (least(cu,cv), greatest(cu,cv), Σw)
+        val cMap = new java.util.HashMap[(Long, Long), Long]()
+        var i = 0
+        while (i < eu.length) {
+          val cu = lbl1.get(eu(i)); val cv = lbl1.get(ev(i))
+          val k = if (cu <= cv) (cu, cv) else (cv, cu)
+          cMap.put(k, cMap.getOrDefault(k, 0L) + ew(i))
+          i += 1
+        }
+        val cu2 = new mutable.ArrayBuffer[Long](cMap.size)
+        val cv2 = new mutable.ArrayBuffer[Long](cMap.size)
+        val cw2 = new mutable.ArrayBuffer[Long](cMap.size)
+        val mit = cMap.entrySet.iterator()
+        while (mit.hasNext) {
+          val e = mit.next()
+          cu2 += e.getKey._1; cv2 += e.getKey._2; cw2 += e.getValue
+        }
+        val nCoarse = cu2.length.toLong
+        val nCoarseNodes = nDistinct(cu2, cv2)
+        val (lbl2, qc, q2, m2c, nComm2) = sweepMonotone(cu2, cv2, cw2)
+        val composed = new Labels()
+        val lit1 = lbl1.entrySet.iterator()
+        while (lit1.hasNext) {
+          val e = lit1.next()
+          composed.put(e.getKey, lbl2.get(e.getValue))
+        }
+        val (qComposed, m2comp, nComm4) = price(eu, ev, ew, composed)
+        Iterator(
+          (0L, q0, m2, nNodes, nWe),
+          (1L, q1, m2, nComm1, nWe),
+          (2L, qc, m2c, nCoarseNodes, nCoarse),
+          (3L, q2, m2c, nComm2, nCoarse),
+          (4L, qComposed, m2comp, nComm4, nWe))
+      }
+      .toDF("level", "q_scaled", "m2", "n_comm", "n_edges")
+      .orderBy("level")
   }
 
   /** Contract a labeled graph to its community super-graph: each edge
@@ -2248,7 +2469,7 @@ object GraphAlgos {
       // a 1.4M-arc subproblem must not pay 38 synchronized distributed
       // rounds; above it (the 50M rehearsal, any crawl) the semi-naive
       // broadcast-licensed fixpoint runs unchanged.
-      val h = if (arcs <= corenessKernelMaxArcs) {
+      val h = if (arcs <= graphKernelMaxArcs) {
         corenessExactSmall(s, sym)
       } else {
         val (hf, hIds, rounds, converged) = corenessFixpoint(s, sym, hmax,
@@ -2370,6 +2591,18 @@ object GraphAlgos {
         (r.getLong(0), r.getLong(1))
       }
       val (nWe, nNodes) = edgeNodeCounts(we)
+      // SCALE-ADAPTIVE algorithm selection (optimization round 11), the
+      // corenessExactSmall decision one operator over: below the
+      // single-task license the whole ladder (2 guarded sweeps + coarsen
+      // + 3 pricings, ~16 driver actions whose cost at bench SF is
+      // barrier/planning floor, not data) runs as one narrow task with
+      // IDENTICAL exact-integer arithmetic; above it the distributed
+      // ladder below runs unchanged (and at 50M in the rehearsal).
+      if (nWe <= graphKernelMaxArcs) {
+        val out = louvainLadderKernel(s, we)
+        graft.Caches.defer(s)(freeRdds(s, weIds))
+        out
+      } else {
       val (lbl1, ids1, q0, q1, m2, nComm1) = louvainSweepMonotone(s, we)
       val (coarse, coarseIds) = checkpointWithIds(coarsen(we, lbl1))
       val (nCoarse, nCoarseNodes) = edgeNodeCounts(coarse)
@@ -2389,6 +2622,7 @@ object GraphAlgos {
         (4L, qComposed, m2comp, nComm4, nWe))
         .toDF("level", "q_scaled", "m2", "n_comm", "n_edges")
         .orderBy("level")
+      }
     }),
 
     "graph_kcore" -> ((s, d) => {
