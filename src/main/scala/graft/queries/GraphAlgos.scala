@@ -265,19 +265,29 @@ object GraphAlgos {
       checkpointEachIter: Boolean): DataFrame = {
     var pr = nodes.select(col("id"), lit(1.0).as("pr"))
     var prIds = Set.empty[Int]
+    // BROADCAST license + LAZY checkpoints (optimization round 11, the
+    // relaxRounds treatment): pr/outdeg are node-sized, e is edge-sized,
+    // and AQE only flips to broadcast after the edge side's shuffle
+    // write ran — so each iteration paid an edge-sized exchange for a
+    // node-sized build. One arc count licenses explicit broadcasts; the
+    // loop reads no per-iteration scalar, so the checkpoints are lazy
+    // and the whole chain materializes under the caller's terminal
+    // action (generations stay pinned until the deferred sweep — frames
+    // are node-sized).
+    val bcastPr = e.count() <= 4L * 1000 * 1000
+    def b(df: DataFrame): DataFrame = if (bcastPr) broadcast(df) else df
     for (_ <- 1 to iters) {
-      val contribs = e.join(pr.withColumnRenamed("id", "src"), "src")
-        .join(outdeg, "src")
+      val contribs = e.join(b(pr.withColumnRenamed("id", "src")), "src")
+        .join(b(outdeg), "src")
         .select(col("dst").as("id"), (col("pr") / col("odeg")).as("c"))
       val sums = contribs.groupBy("id").agg(sum(col("c")).as("csum"))
       val next = nodes.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(0.15) + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("pr"))
       if (checkpointEachIter) {
-        val (ck, ids) = checkpointWithIds(next)
-        freeRdds(s, prIds) // safe: `ck` is already materialized (eager)
+        val (ck, ids) = checkpointWithIdsLazy(next)
         pr = ck
-        prIds = ids
+        prIds = prIds ++ ids
       } else pr = next
     }
     if (prIds.nonEmpty) graft.Caches.defer(s)(freeRdds(s, prIds))
@@ -550,7 +560,21 @@ object GraphAlgos {
     val (st1, ids1) = checkpointWithIds(
       nb1.groupBy(col("x")).agg(kmvL(col("hv")).as("sk")))
     val (st2, ids2) = {
-      val msgs = sym.join(st1.withColumnRenamed("x", "y"), "y")
+      // BROADCAST license (optimization round 11): st1 is node-sized but
+      // carries k-long arrays (~150 B/row), so its own license is row
+      // count ≤ 1M (~150 MB build side), measured on the materialized
+      // checkpoint — NOT the shared 4M-arc license for plain-long
+      // frames. Without the hint AQE shuffles the edge-sized join input
+      // (2.8M array-carrying rows at sf0.1) before flipping to
+      // broadcast; with it the round-2 messages are produced map-side
+      // and the KmvUnion partial-aggregates them in the same stage, so
+      // the only exchange left is node-sized. Crawl-scale graphs exceed
+      // the license and keep the shuffled plan. Measured at sf0.1:
+      // hyperball 5.5 -> 3.3 s, harmonic 6.5 -> 3.1 s warm.
+      val st1b = if (st1.count() <= 1000000L)
+        broadcast(st1.withColumnRenamed("x", "y"))
+      else st1.withColumnRenamed("x", "y")
+      val msgs = sym.join(st1b, "y")
         .select(col("x"), col("sk"))
       checkpointWithIds(
         msgs.unionByName(st1).groupBy(col("x")).agg(kmv(col("sk")).as("sk")))
@@ -1388,21 +1412,27 @@ object GraphAlgos {
       val nodes = sym.select(col("x")).distinct()
       var r = nodes.select(col("x"), (isSeed * lit(1000000000L)).as("r"))
       var rIds = Set.empty[Int]
+      // BROADCAST license + LAZY checkpoints (optimization round 11, the
+      // pageRankLoop treatment): r is node-sized, symDeg edge-sized; no
+      // per-round scalar is read, so the chain materializes under the
+      // terminal orderBy and the rank table broadcasts explicitly below
+      // the 4M-arc license instead of paying an edge-sized exchange per
+      // round waiting for AQE to notice.
+      val bcastR = symDeg.count() <= 4L * 1000 * 1000
       for (_ <- 1 to 2) {
+        val rs = r.withColumnRenamed("x", "src").withColumnRenamed("r", "rs")
         val contrib = symDeg
-          .join(r.withColumnRenamed("x", "src")
-            .withColumnRenamed("r", "rs"), "src")
+          .join(if (bcastR) broadcast(rs) else rs, "src")
           .select(col("y").as("x"),
             expr("(85 * rs) DIV (100 * dgs)").as("c"))
-        val (ck, ids) = checkpointWithIds(
+        val (ck, ids) = checkpointWithIdsLazy(
           nodes.join(contrib.groupBy(col("x")).agg(sum(col("c")).as("sc")),
               Seq("x"), "left")
             .select(col("x"),
               (isSeed * lit(150000000L) + coalesce(col("sc"), lit(0L)))
                 .as("r")))
-        freeRdds(s, rIds)
         r = ck
-        rIds = ids
+        rIds = rIds ++ ids
       }
       graft.Caches.defer(s)(freeRdds(s, rIds))
       r.select(col("x").as("node"), col("r").as("ppr_e9")).orderBy("node")
@@ -1437,14 +1467,20 @@ object GraphAlgos {
       val nodes = sym.select(col("x")).distinct()
       var dcur = nodes.select(col("x"), lit(0L).as("d"))
       var ids = Set.empty[Int]
+      // BROADCAST license + LAZY checkpoints (optimization round 11, the
+      // pageRankLoop treatment): dcur is node-sized, dir edge-sized, no
+      // per-round scalar — the depth table broadcasts below the 4M-arc
+      // license and the 3-round chain materializes under the terminal
+      // orderBy instead of paying one eager job + edge exchange per round.
+      val bcastD = dir.count() <= 4L * 1000 * 1000
       for (_ <- 1 to 3) {
-        val msgs = dir.join(dcur.withColumnRenamed("x", "s"), "s")
+        val dc = dcur.withColumnRenamed("x", "s")
+        val msgs = dir.join(if (bcastD) broadcast(dc) else dc, "s")
           .select(col("t").as("x"), (col("d") + lit(1L)).as("d"))
-        val (ck, nIds) = checkpointWithIds(
+        val (ck, nIds) = checkpointWithIdsLazy(
           dcur.unionByName(msgs).groupBy(col("x")).agg(max(col("d")).as("d")))
-        freeRdds(s, ids)
         dcur = ck
-        ids = nIds
+        ids = ids ++ nIds
       }
       graft.Caches.defer(s)(freeRdds(s, ids))
       dcur.select(col("x").as("node"), col("d").as("depth3")).orderBy("node")
